@@ -1,0 +1,175 @@
+"""Typed configuration objects.
+
+The reference threads an untyped ``q_config`` dict through its quantizer
+(``awq/entry.py:113-117``) and keeps runtime knobs in mutable module globals
+that must be set before model import (``tinychat/utils/constants.py:4-26``).
+Here everything is an immutable dataclass passed explicitly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Weight-quantization settings (counterpart of the reference q_config).
+
+    Mirrors the semantics of ``awq/quantize/quantizer.py:61-103``:
+    group-wise asymmetric min/max quantization with a zero point.
+    """
+
+    w_bit: int = 4
+    group_size: int = 128  # -1 => one group spanning the whole input dim
+    zero_point: bool = True
+
+    def __post_init__(self):
+        if self.w_bit not in (2, 3, 4, 8):
+            raise ValueError(f"unsupported w_bit={self.w_bit}")
+        if self.group_size != -1 and self.group_size <= 0:
+            raise ValueError(f"bad group_size={self.group_size}")
+
+    @property
+    def max_int(self) -> int:
+        return 2**self.w_bit - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class RopeScaling:
+    """Rope scaling config (llama3-style by default)."""
+
+    rope_type: str = "llama3"
+    factor: float = 8.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture description, derived from an HF config.json.
+
+    One config type covers every decoder-only family the reference ships
+    rewritten models for (``tinychat/models/*``): llama/qwen2/mistral via
+    rope+rmsnorm+swiglu, opt via learned-pos+layernorm+gelu, mpt via alibi,
+    falcon via mqa, bigcode (starcoder) via mqa+learned-pos.
+    """
+
+    arch: str  # llama | qwen2 | mistral | opt | mpt | falcon | bigcode | neox
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    max_position_embeddings: int = 4096
+    rms_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[RopeScaling] = None
+    tie_word_embeddings: bool = False
+    qkv_bias: bool = False          # qwen2
+    attn_bias: bool = False         # opt/bigcode: bias on all attn projs
+    mlp_bias: bool = False
+    norm: str = "rmsnorm"           # rmsnorm | layernorm
+    act: str = "silu"               # silu (swiglu mlp) | gelu (plain mlp)
+    pos_embed: str = "rope"         # rope | learned | alibi | none
+    do_layer_norm_before: bool = True  # opt pre/post-LN variant
+    # runtime
+    dtype: str = "bfloat16"
+
+    @property
+    def num_kv_groups(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class GenConfig:
+    """Sampling parameters (counterpart of tinychat's gen_params,
+    ``tinychat/demo.py:19-47``)."""
+
+    temperature: float = 0.7
+    top_p: float = 0.9
+    top_k: int = 40
+    repetition_penalty: float = 1.0
+    max_new_tokens: int = 512
+    greedy: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Engine-level settings (counterpart of tinychat/utils/constants.py)."""
+
+    max_seq_len: int = 2048
+    max_batch_size: int = 1
+    prefill_chunk: int = 0  # 0 => whole-prompt prefill
+
+
+def _get(d: Mapping[str, Any], *names, default=None):
+    for n in names:
+        if n in d and d[n] is not None:
+            return d[n]
+    return default
+
+
+def model_config_from_hf(hf: Mapping[str, Any]) -> ModelConfig:
+    """Build a ModelConfig from a raw HF ``config.json`` mapping."""
+    mt = _get(hf, "model_type", default="llama")
+    if mt in ("llama", "mistral", "qwen2"):
+        hidden = hf["hidden_size"]
+        heads = hf["num_attention_heads"]
+        head_dim = _get(hf, "head_dim", default=hidden // heads)
+        rs = None
+        raw_rs = _get(hf, "rope_scaling")
+        if raw_rs and _get(raw_rs, "rope_type", "type") == "llama3":
+            rs = RopeScaling(
+                rope_type="llama3",
+                factor=raw_rs.get("factor", 8.0),
+                low_freq_factor=raw_rs.get("low_freq_factor", 1.0),
+                high_freq_factor=raw_rs.get("high_freq_factor", 4.0),
+                original_max_position_embeddings=raw_rs.get(
+                    "original_max_position_embeddings", 8192
+                ),
+            )
+        return ModelConfig(
+            arch=mt,
+            vocab_size=hf["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=hf["intermediate_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=heads,
+            num_kv_heads=_get(hf, "num_key_value_heads", default=heads),
+            head_dim=head_dim,
+            max_position_embeddings=_get(
+                hf, "max_position_embeddings", default=4096
+            ),
+            rms_eps=_get(hf, "rms_norm_eps", default=1e-5),
+            rope_theta=_get(hf, "rope_theta", default=10000.0),
+            rope_scaling=rs,
+            tie_word_embeddings=_get(hf, "tie_word_embeddings", default=False),
+            qkv_bias=(mt == "qwen2"),
+        )
+    if mt == "opt":
+        hidden = hf["hidden_size"]
+        return ModelConfig(
+            arch="opt",
+            vocab_size=hf["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=hf["ffn_dim"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            num_kv_heads=hf["num_attention_heads"],
+            head_dim=hidden // hf["num_attention_heads"],
+            max_position_embeddings=_get(
+                hf, "max_position_embeddings", default=2048
+            ),
+            norm="layernorm",
+            act="relu" if _get(hf, "activation_function", default="relu") == "relu" else "gelu",
+            pos_embed="learned",
+            attn_bias=True,
+            mlp_bias=True,
+            do_layer_norm_before=_get(hf, "do_layer_norm_before", default=True),
+            tie_word_embeddings=_get(hf, "tie_word_embeddings", default=True),
+        )
+    raise NotImplementedError(f"model_type={mt}")
