@@ -1,0 +1,243 @@
+"""Fused dequant W4A16 (and W3A16) matmul.
+
+TPU-native counterpart of the reference CUDA kernels
+``awq/kernels/csrc/quantization_new/gemm/gemm_cuda.cu`` (prefill GEMM) and
+``.../gemv/gemv_cuda.cu`` (decode GEMV). The design is re-derived for TPU
+rather than translated:
+
+- Weights are packed int4 codes in the Mosaic-friendly layout of
+  :mod:`awq_tpu.quant.packing` (``int32 [IC//8, OC]``, 64-channel chunks).
+- One Pallas kernel serves both GEMM and GEMV shapes: the grid is
+  ``(M/bm, OC/bn, IC/bk)`` with the K dimension innermost, accumulating in
+  an f32 VMEM scratch tile. Pallas's automatic pipelining double-buffers
+  the packed-weight blocks, so decode (tiny M) runs at HBM streaming speed
+  — the TPU analogue of the reference's split-K + semaphore scheme
+  (``gemm_cuda.cu:312-753``), which the XLA grid handles for free.
+- Dequantization uses the *matmul-then-scale* identity: within a
+  quantization group g, ``x @ ((q - z) s) == s * (x @ q) - (sum_k x) * (s z)``,
+  so the MXU consumes raw int4 codes cast to bf16 and the VPU only touches
+  ``[bm, bn]`` partial sums per group — instead of scaling every weight
+  element. ``szeros`` stores ``scales * zeros`` precomputed.
+
+Accumulation is f32 (the reference uses fp16 accumulation for fp16 inputs,
+``gemm_cuda.cu:92-140``; f32 here is both faster on MXU and more accurate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from awq_tpu.quant.core import quantize_groupwise
+from awq_tpu.quant.packing import pack_int4, unpack_int4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QLinear:
+    """Packed quantized linear parameters (a pytree node).
+
+    Counterpart of the reference ``WQLinear`` buffers
+    (``awq/quantize/qmodule.py:98-130``) minus the tensor-core interleave.
+    """
+
+    qweight: jax.Array                 # int32 [IC//8, OC]
+    scales: jax.Array                  # f32   [IC//G, OC]
+    szeros: jax.Array                  # f32   [IC//G, OC]  == scales * zeros
+    bias: Optional[jax.Array] = None   # [OC] or None
+    w_bit: int = dataclasses.field(default=4, metadata=dict(static=True))
+    group_size: int = dataclasses.field(default=128, metadata=dict(static=True))
+
+    @property
+    def in_features(self) -> int:
+        return self.qweight.shape[0] * 8
+
+    @property
+    def out_features(self) -> int:
+        return self.qweight.shape[1]
+
+
+def quantize_linear(
+    w: jax.Array,
+    n_bit: int = 4,
+    group_size: int = 128,
+    bias: Optional[jax.Array] = None,
+    clip_max: Optional[jax.Array] = None,
+    scale_dtype=jnp.float32,
+) -> QLinear:
+    """Real-quantize a ``[IC, OC]`` weight into a packed :class:`QLinear`.
+
+    Counterpart of ``WQLinear.from_linear`` (``qmodule.py:139-199``).
+    """
+    g = w.shape[0] if group_size == -1 else group_size
+    q, s, z = quantize_groupwise(w, n_bit=n_bit, group_size=g, clip_max=clip_max)
+    return QLinear(
+        qweight=pack_int4(q),
+        scales=s.astype(scale_dtype),
+        szeros=(s * z).astype(scale_dtype),
+        bias=bias,
+        w_bit=n_bit,
+        group_size=g,
+    )
+
+
+# --------------------------------------------------------------------------
+# XLA reference implementation (runs anywhere; used on CPU and in tests)
+# --------------------------------------------------------------------------
+
+
+def w4a16_matmul_xla(x, qweight, scales, szeros, group_size: int):
+    ic = qweight.shape[0] * 8
+    q = unpack_int4(qweight, out_dtype=jnp.float32)
+    n_g = ic // group_size
+    qg = q.reshape(n_g, group_size, -1)
+    w = qg * scales[:, None, :] - szeros[:, None, :]
+    w = w.reshape(ic, -1).astype(x.dtype)
+    return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# Pallas kernel
+# --------------------------------------------------------------------------
+
+
+def _unpack_block(w):
+    """int32 ``[bkp, bn]`` packed block -> int32 codes ``[8*bkp, bn]``.
+
+    Pure shift/mask + tile-aligned stack; see packing.py for the layout.
+    """
+    bkp, bn = w.shape
+    w3 = w.reshape(bkp // 8, 8, bn)
+    planes = [(w3 >> (4 * s)) & 0xF for s in range(8)]
+    return jnp.stack(planes, axis=1).reshape(bkp * 8, bn)
+
+
+def _w4a16_kernel(x_ref, qw_ref, s_ref, sz_ref, o_ref, acc_ref, *,
+                  bk: int, group_size: int, out_dtype):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    codes = _unpack_block(qw_ref[:])                       # [bk, bn] int32
+    wq = codes.astype(jnp.bfloat16)
+    x = x_ref[:]                                           # [bm, bk]
+    n_g = bk // group_size
+    # per-group: acc += s_g * (x_g @ q_g) - (sum x_g) * sz_g
+    # (static lane slices only — reshapes splitting the lane dim don't
+    # lower in Mosaic)
+    acc = acc_ref[:]
+    for g in range(n_g):
+        lo = g * group_size
+        xg = x[:, lo:lo + group_size]
+        part = jnp.dot(
+            xg,
+            wq[lo:lo + group_size, :],
+            preferred_element_type=jnp.float32,
+        )                                                  # [bm, bn]
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + part * s_ref[g, :][None, :] - xsum * sz_ref[g, :][None, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _pick_block(dim: int, candidates) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    raise ValueError(f"dim {dim} not divisible by any of {candidates}")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "block_m", "block_n", "block_k")
+)
+def w4a16_matmul_pallas(
+    x, qweight, scales, szeros, group_size: int,
+    block_m: int = 0, block_n: int = 512, block_k: int = 0,
+):
+    m, ic = x.shape
+    oc = qweight.shape[1]
+    # bm need not divide m (we pad); pick the smallest tile-aligned block
+    # covering m, capped at 256 (decode m=1..8 -> bm=16, one bf16 tile).
+    bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
+    bn = _pick_block(oc, (block_n, 256, 128))
+    bk = block_k or _pick_block(ic, (1024, 512, 256, 128, 64))
+    bk = max(bk, group_size)
+    if bk % group_size != 0 or group_size % 64 != 0:
+        # irregular group sizes fall back to the XLA path
+        return w4a16_matmul_xla(x, qweight, scales, szeros, group_size)
+
+    m_pad = -m % bm
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    grid = (x.shape[0] // bm, oc // bn, ic // bk)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a16_kernel, bk=bk, group_size=group_size, out_dtype=x.dtype
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk // 8, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bk // group_size, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bk // group_size, bn), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], oc), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * x.shape[0] * ic * oc,
+            bytes_accessed=ic * oc // 2 + x.shape[0] * ic * 2 + x.shape[0] * oc * 2,
+            transcendentals=0,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, qweight, scales, szeros)
+    return out[:m] if m_pad else out
+
+
+def w4a16_matmul(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    szeros: jax.Array,
+    group_size: int = 128,
+    impl: str = "auto",
+) -> jax.Array:
+    """``x [..., IC] @ dequant(qweight) -> [..., OC]``.
+
+    Dispatches GEMV/GEMM shapes to the same Pallas kernel on TPU (the
+    reference dispatches tokens<8 to a GEMV kernel, ``qmodule.py:201-224``)
+    and to the XLA reference implementation elsewhere.
+    """
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if impl == "xla" or (impl == "auto" and jax.default_backend() != "tpu"):
+        out = w4a16_matmul_xla(x2, qweight, scales, szeros, group_size)
+    else:
+        out = w4a16_matmul_pallas(x2, qweight, scales, szeros, group_size)
+    return out.reshape(*lead, qweight.shape[1])
+
+
+def qlinear_apply(ql: QLinear, x: jax.Array, impl: str = "auto") -> jax.Array:
+    """Apply a quantized linear layer: ``x @ W_deq + bias``."""
+    out = w4a16_matmul(
+        x, ql.qweight, ql.scales, ql.szeros, ql.group_size, impl=impl
+    )
+    if ql.bias is not None:
+        out = out + ql.bias.astype(out.dtype)
+    return out

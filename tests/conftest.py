@@ -7,7 +7,10 @@ sharding validated on a virtual 8-device mesh.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the session's JAX_PLATFORMS (an attached TPU
+# would otherwise serve every test compile over a remote tunnel).
+# Set AWQ_TPU_TEST_PLATFORM=tpu to run the suite against real hardware.
+os.environ["JAX_PLATFORMS"] = os.environ.get("AWQ_TPU_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,3 +24,27 @@ os.environ.setdefault(
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# A pytest plugin may have imported jax before this conftest ran, pinning
+# the session's TPU backend; force a re-init on CPU.
+import sys  # noqa: E402
+
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.clear_backends()
+    except Exception:
+        pass
+
+
+def pytest_sessionstart(session):
+    import jax
+
+    assert jax.default_backend() == "cpu" or os.environ.get(
+        "AWQ_TPU_TEST_PLATFORM"
+    ), f"tests must run on CPU, got {jax.default_backend()}"
+    assert len(jax.devices()) >= 8 or os.environ.get(
+        "AWQ_TPU_TEST_PLATFORM"
+    ), "expected 8 virtual CPU devices"
