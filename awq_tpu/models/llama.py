@@ -1,0 +1,235 @@
+"""Functional Llama-family decoder (llama 1/2/3, mistral, qwen2, vicuna,
+codellama, deepseek-r1-distill-llama/qwen...).
+
+TPU-first redesign of the reference's from-scratch inference model
+(``tinychat/models/llama.py:325-413`` and ``qwen2.py``): instead of torch
+modules with per-layer static buffers, the model is
+
+- a parameter pytree with all decoder layers **stacked on a leading axis**
+  (one ``lax.scan`` trace per forward — compile time is O(1) in depth),
+- a pure ``forward(params, cfg, tokens, cache, start_pos)`` with static
+  shapes: the KV cache is preallocated ``[L, 2, B, T, n_kv, hd]`` and
+  written via ``dynamic_update_slice`` at ``start_pos``, so chunked
+  prefill / multi-round KV reuse (reference ``llama.py:342-350``) falls
+  out of the same jitted function with zero recompilation.
+
+Quantized and fp16 execution share this file: each linear is either a
+``Linear`` or a packed ``QLinear`` pytree (the reference instead rewrites
+modules via surgery, ``tinychat/modules/fused_attn.py:549-634``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from awq_tpu.config import ModelConfig, QuantConfig
+from awq_tpu.models.layers import (
+    Linear,
+    apply_rope,
+    attention,
+    linear_apply,
+    mlp_gelu,
+    mlp_swiglu,
+    layer_norm,
+    rms_norm,
+    rope_table,
+    update_kv_cache,
+)
+from awq_tpu.ops.w4a16 import quantize_linear
+
+Params = Dict[str, Any]
+
+# per-layer linears eligible for AWQ quantization, in block order
+LAYER_LINEARS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> Params:
+    """Random-initialized parameters (tests/benchmarks; real weights come
+    from :mod:`awq_tpu.models.hf_import`)."""
+    dt = _dtype(cfg)
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    nq, nkv, hd, L = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+    ks = jax.random.split(key, 16)
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+    def lin(k, ic, oc, bias):
+        return Linear(
+            w=w(k, (L, ic, oc)),
+            b=jnp.zeros((L, oc), dt) if bias else None,
+        )
+
+    layers = {
+        "ln1": jnp.ones((L, h), dt),
+        "ln2": jnp.ones((L, h), dt),
+        "wq": lin(ks[0], h, nq * hd, cfg.qkv_bias or cfg.attn_bias),
+        "wk": lin(ks[1], h, nkv * hd, cfg.qkv_bias or cfg.attn_bias),
+        "wv": lin(ks[2], h, nkv * hd, cfg.qkv_bias or cfg.attn_bias),
+        "wo": lin(ks[3], nq * hd, h, cfg.attn_bias),
+        "up": lin(ks[5], h, i, cfg.mlp_bias),
+        "down": lin(ks[6], i, h, cfg.mlp_bias),
+    }
+    if cfg.act == "silu":
+        layers["gate"] = lin(ks[4], h, i, cfg.mlp_bias)
+    if cfg.norm == "layernorm":
+        layers["ln1_b"] = jnp.zeros((L, h), dt)
+        layers["ln2_b"] = jnp.zeros((L, h), dt)
+    params: Params = {
+        "embed": w(ks[7], (cfg.vocab_size, h)),
+        "layers": layers,
+        "norm": jnp.ones((h,), dt),
+    }
+    if cfg.norm == "layernorm":
+        params["norm_b"] = jnp.zeros((h,), dt)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(ks[8], (h, cfg.vocab_size))
+    return params
+
+
+def init_kv_cache(
+    cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
+) -> jax.Array:
+    """Preallocated static KV cache ``[L, 2, B, T, n_kv, hd]`` (counterpart
+    of the per-layer cache buffers at ``tinychat/models/llama.py:128-155``)."""
+    return jnp.zeros(
+        (cfg.num_layers, 2, batch, max_seq, cfg.num_kv_heads, cfg.head_dim),
+        dtype,
+    )
+
+
+def _norm(cfg: ModelConfig, x, weight, bias):
+    if cfg.norm == "rmsnorm":
+        return rms_norm(x, weight, cfg.rms_eps)
+    return layer_norm(x, weight, bias, cfg.rms_eps)
+
+
+def _layer_forward(
+    cfg: ModelConfig,
+    lp: Params,                # single-layer params (no leading L)
+    h: jax.Array,              # [B, S, H]
+    kv: jax.Array,             # [2, B, T, n_kv, hd]
+    start_pos: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    positions: jax.Array,      # [S]
+) -> Tuple[jax.Array, jax.Array]:
+    b, s, _ = h.shape
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    x = _norm(cfg, h, lp["ln1"], lp.get("ln1_b"))
+    q = linear_apply(lp["wq"], x).reshape(b, s, nq, hd)
+    k = linear_apply(lp["wk"], x).reshape(b, s, nkv, hd)
+    v = linear_apply(lp["wv"], x).reshape(b, s, nkv, hd)
+    if cfg.pos_embed == "rope":
+        q, k = apply_rope(q, k, cos, sin, positions)
+    k_cache, v_cache = update_kv_cache(kv[0], kv[1], k, v, start_pos)
+    attn = attention(q, k_cache, v_cache, start_pos)
+    h = h + linear_apply(lp["wo"], attn)
+
+    x = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
+    if cfg.act == "silu":
+        m = mlp_swiglu(lp["gate"], lp["up"], lp["down"], x)
+    else:
+        m = mlp_gelu(lp["up"], lp["down"], x, act=cfg.act)
+    h = h + m
+    return h, jnp.stack([k_cache, v_cache])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "last_only"))
+def forward(
+    params: Params,
+    cfg: ModelConfig,
+    tokens: jax.Array,          # [B, S] int32
+    cache: jax.Array,           # [L, 2, B, T, n_kv, hd]
+    start_pos: jax.Array,       # scalar int32
+    last_only: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the decoder; returns ``(logits, new_cache)``.
+
+    ``last_only=True`` computes logits for the final position only
+    (prefill fast path, reference ``llama.py:353``); ``False`` returns
+    ``[B, S, V]`` for perplexity evaluation.
+    """
+    b, s = tokens.shape
+    dt = _dtype(cfg)
+    h = params["embed"][tokens].astype(dt)
+
+    max_t = cache.shape[3]
+    cos, sin = rope_table(cfg, max_t)
+    positions = start_pos + jnp.arange(s)
+
+    if cfg.pos_embed == "learned":
+        # OPT: learned positions with a +2 offset quirk
+        h = h + params["pos_embed"][positions + 2][None].astype(dt)
+
+    def body(h, lp_kv):
+        lp, kv = lp_kv
+        h, kv = _layer_forward(cfg, lp, h, kv, start_pos, cos, sin, positions)
+        return h, kv
+
+    h, new_cache = jax.lax.scan(body, h, (params["layers"], cache))
+
+    if last_only:
+        h = h[:, -1:, :]
+    h = _norm(cfg, h, params["norm"], params.get("norm_b"))
+    head = params.get("lm_head")
+    if head is None:
+        logits = jnp.matmul(
+            h, params["embed"].astype(dt).T, preferred_element_type=jnp.float32
+        )
+    else:
+        logits = jnp.matmul(h, head.astype(dt), preferred_element_type=jnp.float32)
+    return logits, new_cache
+
+
+def quantize_params(
+    params: Params,
+    qcfg: QuantConfig,
+    clips: Optional[Dict[str, jax.Array]] = None,
+) -> Params:
+    """Real-quantize every decoder-layer linear to packed ``QLinear``
+    (embed/lm_head stay fp, as in ``real_quantize_model_weight``,
+    ``awq/quantize/quantizer.py:126-165``). AWQ scales must already be
+    folded into the weights (see awq_tpu.quant.apply)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    L = layers["ln1"].shape[0]
+    for name in LAYER_LINEARS:
+        if name not in layers:
+            continue
+        lin = layers[name]
+        if not isinstance(lin, Linear):
+            continue
+        clip = None if clips is None else clips.get(name)
+
+        def quant_one(w, b, c):
+            return quantize_linear(
+                w.astype(jnp.float32),
+                n_bit=qcfg.w_bit,
+                group_size=qcfg.group_size,
+                bias=b,
+                clip_max=c,
+            )
+
+        qls = [
+            quant_one(
+                lin.w[l],
+                None if lin.b is None else lin.b[l],
+                None if clip is None else clip[l],
+            )
+            for l in range(L)
+        ]
+        layers[name] = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *qls
+        )
+    out["layers"] = layers
+    return out
