@@ -1,0 +1,96 @@
+"""Single-model inference engine: cache ownership + chunked prefill
+accounting.
+
+Counterpart of the TinyChat demo loop state (``tinychat/demo.py:256-283``:
+``start_pos`` bookkeeping across dialogue rounds) plus model assembly
+(``load_awq_llama_fast`` + module surgery) — here assembly is just
+"build params pytree, optionally quantized".
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from awq_tpu.config import GenConfig, ModelConfig, QuantConfig, RuntimeConfig
+from awq_tpu.models import forward, init_kv_cache
+from awq_tpu.runtime.generate import StreamGenerator, generate
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        runtime: Optional[RuntimeConfig] = None,
+        tokenizer=None,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.rt = runtime or RuntimeConfig()
+        self.tokenizer = tokenizer
+        self.cache = init_kv_cache(
+            cfg, self.rt.max_batch_size,
+            min(self.rt.max_seq_len, cfg.max_position_embeddings),
+            cache_dtype,
+        )
+        self.start_pos = 0
+
+    # ---- conversation state (chunked prefill across rounds) ----
+
+    def reset(self):
+        self.start_pos = 0
+        self.cache = jnp.zeros_like(self.cache)
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.cache.shape[3]
+
+    def warmup(self, seq_len: int = 64):
+        """Trigger compilation of prefill + decode (reference warmup:
+        ``tinychat/demo.py:242``)."""
+        toks = jnp.zeros((self.rt.max_batch_size, seq_len), jnp.int32)
+        logits, _ = forward(self.params, self.cfg, toks, self.cache, jnp.int32(0))
+        logits.block_until_ready()
+        logits, _ = forward(
+            self.params, self.cfg, toks[:, :1], self.cache, jnp.int32(seq_len)
+        )
+        logits.block_until_ready()
+
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        gen: GenConfig,
+        stop_ids: Sequence[int] = (),
+        key=None,
+        continue_dialogue: bool = True,
+    ) -> Dict[str, Any]:
+        """One dialogue round: prefill only the new tokens (history KV is
+        reused via start_pos), then scan-decode."""
+        tokens = jnp.asarray([list(prompt_ids)], jnp.int32)
+        if self.start_pos + tokens.shape[1] + gen.max_new_tokens > self.max_seq_len:
+            self.reset()  # simplistic eviction; paged cache lands later
+        out = generate(
+            self.params, self.cfg, tokens, self.cache, gen,
+            stop_ids=stop_ids, start_pos=self.start_pos, key=key,
+        )
+        self.cache = out["cache"]
+        n_new = int(out["n_valid"][0])
+        if continue_dialogue:
+            self.start_pos += tokens.shape[1] + n_new
+        out["output_ids"] = out["output_ids"][0, :n_new]
+        if self.tokenizer is not None:
+            out["text"] = self.tokenizer.decode(list(map(int, out["output_ids"])))
+        return out
+
+    def stream(
+        self, gen: GenConfig, stop_ids: Sequence[int] = (), stream_interval: int = 2
+    ) -> StreamGenerator:
+        return StreamGenerator(
+            self.params, self.cfg, self.tokenizer, gen, self.cache,
+            stop_ids=stop_ids, stream_interval=stream_interval,
+        )
