@@ -1,5 +1,6 @@
 from awq_tpu.models.llama import (  # noqa: F401
     init_params,
+    init_qparams,
     forward,
     quantize_params,
     init_kv_cache,

@@ -95,6 +95,58 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> Params
     return params
 
 
+def init_qparams(
+    cfg: ModelConfig, qcfg: QuantConfig, key: jax.Array, scale: float = 0.02
+) -> Params:
+    """Random *packed* quantized parameters, built directly in the packed
+    layout (no fp16 intermediate) — for benchmarks at 7B+ scale where the
+    fp16 pytree would not fit alongside the packed one."""
+    from awq_tpu.ops.w4a16 import QLinear
+
+    dt = _dtype(cfg)
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    nq, nkv, hd, L = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+    g = cfg.hidden_size if qcfg.group_size == -1 else qcfg.group_size
+    ks = iter(jax.random.split(key, 32))
+
+    def qlin(ic, oc, bias):
+        # random int4 codes + smooth scales => well-conditioned activations
+        qw = jax.random.randint(next(ks), (L, ic // 8, oc), -(2**31), 2**31 - 1,
+                                jnp.int32)
+        s = jax.random.uniform(next(ks), (L, ic // g, oc), jnp.float32,
+                               0.5, 1.5) * (scale / 4)
+        z = jnp.full_like(s, float(2 ** (qcfg.w_bit - 1))) * s
+        return QLinear(
+            qweight=qw, scales=s, szeros=z,
+            bias=jnp.zeros((L, oc), dt) if bias else None,
+            w_bit=qcfg.w_bit, group_size=g,
+        )
+
+    layers = {
+        "ln1": jnp.ones((L, h), dt),
+        "ln2": jnp.ones((L, h), dt),
+        "wq": qlin(h, nq * hd, cfg.qkv_bias or cfg.attn_bias),
+        "wk": qlin(h, nkv * hd, cfg.qkv_bias or cfg.attn_bias),
+        "wv": qlin(h, nkv * hd, cfg.qkv_bias or cfg.attn_bias),
+        "wo": qlin(nq * hd, h, cfg.attn_bias),
+        "up": qlin(h, i, cfg.mlp_bias),
+        "down": qlin(i, h, cfg.mlp_bias),
+    }
+    if cfg.act == "silu":
+        layers["gate"] = qlin(h, i, cfg.mlp_bias)
+    params: Params = {
+        "embed": (jax.random.normal(next(ks), (cfg.vocab_size, h), jnp.float32)
+                  * scale).astype(dt),
+        "layers": layers,
+        "norm": jnp.ones((h,), dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (
+            jax.random.normal(next(ks), (h, cfg.vocab_size), jnp.float32) * scale
+        ).astype(dt)
+    return params
+
+
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
 ) -> jax.Array:

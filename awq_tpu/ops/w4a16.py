@@ -133,8 +133,12 @@ def _w4a16_kernel(x_ref, qw_ref, s_ref, sz_ref, o_ref, acc_ref, *,
     n_g = bk // group_size
     # per-group: acc += s_g * (x_g @ q_g) - (sum x_g) * sz_g
     # (static lane slices only — reshapes splitting the lane dim don't
-    # lower in Mosaic)
+    # lower in Mosaic). scales/szeros rides along the grid with the full
+    # group axis resident (blocking it would violate the (8,128) tile
+    # minimum when a K block spans <8 groups); g0 is this block's first
+    # group index.
     acc = acc_ref[:]
+    g0 = k * n_g
     for g in range(n_g):
         lo = g * group_size
         xg = x[:, lo:lo + group_size]
@@ -144,7 +148,9 @@ def _w4a16_kernel(x_ref, qw_ref, s_ref, sz_ref, o_ref, acc_ref, *,
             preferred_element_type=jnp.float32,
         )                                                  # [bm, bn]
         xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-        acc = acc + part * s_ref[g, :][None, :] - xsum * sz_ref[g, :][None, :]
+        s_row = s_ref[g0 + g, :][None, :]
+        sz_row = sz_ref[g0 + g, :][None, :]
+        acc = acc + part * s_row - xsum * sz_row
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
@@ -191,8 +197,11 @@ def w4a16_matmul_pallas(
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
             pl.BlockSpec((bk // 8, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((bk // group_size, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((bk // group_size, bn), lambda i, j, k: (k, j)),
+            # full group axis resident per N block: a (bk/G, bn) block
+            # would have <8 sublanes and fail Mosaic tiling (caught on
+            # real-TPU 7B shapes); the whole scales array is tiny.
+            pl.BlockSpec((ic // group_size, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((ic // group_size, bn), lambda i, j, k: (0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], oc), x.dtype),

@@ -1,0 +1,92 @@
+"""NamedSharding layout for model params and KV caches.
+
+This replaces the reference's accelerate device maps / ``simple_dispatch_model``
+hooks (``awq/utils/utils.py:11-51``, ``awq/entry.py:166-186``) with
+Megatron-style tensor parallelism expressed purely as PartitionSpecs — XLA
+GSPMD inserts the all-gathers/psums:
+
+- ``wq/wk/wv/gate/up`` — column-parallel: output channels (attention heads /
+  MLP hidden) sharded on ``tp``. The packed ``qweight [L, IC//8, OC]`` keeps
+  OC as its lane dimension (see quant/packing.py), so it shards exactly like
+  the fp16 weight would.
+- ``wo/down`` — row-parallel: input channels sharded on ``tp``; the
+  contraction ends with a psum over ``tp`` (inserted by GSPMD).
+- ``embed`` — vocab-sharded on ``tp``; ``lm_head`` column-parallel.
+- KV cache ``[L, 2, B, T, n_kv, hd]`` — batch on ``dp``, kv-heads on ``tp``
+  (requires ``n_kv % tp == 0``; for MQA models keep tp on q-heads only by
+  passing ``shard_kv=False``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+COLUMN_PARALLEL = ("wq", "wk", "wv", "gate", "up", "fc1")
+ROW_PARALLEL = ("wo", "down", "fc2")
+
+
+def _spec_for(path: str, leaf, tp: int) -> P:
+    nd = leaf.ndim
+
+    def ok(axis: int) -> bool:
+        return leaf.shape[axis] % tp == 0
+
+    if any(f"'{n}'" in path for n in COLUMN_PARALLEL):
+        # [L, *, OC] / [L, OC]: shard the trailing output-channel axis
+        if ok(nd - 1):
+            return P(*([None] * (nd - 1) + ["tp"]))
+        return P()
+    if any(f"'{n}'" in path for n in ROW_PARALLEL):
+        # w/qweight/scales/szeros [L, IC(/pack|/G), OC]: shard the reduction
+        # axis; a scales array with fewer groups than tp stays replicated
+        # (its footprint is negligible).
+        if nd == 3 and ok(1):
+            return P(None, "tp", None)
+        return P()  # bias [L, OC] replicated (added after the psum)
+    if "embed'" in path and nd == 2 and "pos" not in path:
+        if ok(0):
+            return P("tp", None)  # vocab-sharded token embedding
+        return P()
+    if "lm_head" in path and ok(nd - 1):
+        return P(*([None] * (nd - 1) + ["tp"]))
+    return P()  # norms, pos embeds: replicated
+
+
+def param_pspecs(params: Dict[str, Any], tp: int = 1) -> Dict[str, Any]:
+    """PartitionSpec pytree matching ``params``' structure.
+
+    ``tp`` is the tensor-axis size, used to keep non-divisible (tiny) leaves
+    replicated rather than erroring.
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(str(path), leaf, max(tp, 1)), params
+    )
+
+
+def cache_pspec(shard_kv: bool = True) -> P:
+    """Spec for the ``[L, 2, B, T, n_kv, hd]`` static KV cache."""
+    return P(None, None, "dp", None, "tp" if shard_kv else None, None)
+
+
+def _named(mesh: Mesh, spec_tree):
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place ``params`` on the mesh with tensor-parallel layout."""
+    tp = mesh.shape.get("tp", 1)
+    return jax.device_put(params, _named(mesh, param_pspecs(params, tp)))
+
+
+def shard_cache(cache: jax.Array, mesh: Mesh, shard_kv: bool = True) -> jax.Array:
+    tp = mesh.shape.get("tp", 1)
+    n_kv = cache.shape[4]
+    if n_kv % tp != 0:
+        shard_kv = False
+    return jax.device_put(cache, NamedSharding(mesh, cache_pspec(shard_kv)))
