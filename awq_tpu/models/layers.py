@@ -145,8 +145,8 @@ def alibi_slopes(n_heads: int) -> jax.Array:
 
 def attention(
     q: jax.Array,            # [B, S, n_q, hd]
-    k_cache: jax.Array,      # [B, T, n_kv, hd]  (full static cache)
-    v_cache: jax.Array,      # [B, T, n_kv, hd]
+    k_cache: jax.Array,      # [B, n_kv, T, hd]  (full static cache)
+    v_cache: jax.Array,      # [B, n_kv, T, hd]
     start_pos: jax.Array,    # scalar: this chunk occupies [start, start+S)
     bias: Optional[jax.Array] = None,  # e.g. alibi [n_q, 1, T]
 ) -> jax.Array:
@@ -154,18 +154,17 @@ def attention(
 
     The chunked-prefill mask mirrors the reference
     (``tinychat/models/llama.py:342-350``): query i may attend to cache
-    positions j <= start_pos + i. Decode (S=1) is the same code path — the
-    counterpart of the reference's fused decode attention (N5) with the
-    fusion left to XLA; a Pallas flash-decode kernel can slot in here.
+    positions j <= start_pos + i. The cache is **head-major** so each
+    head's [T, hd] slab is contiguous in HBM — the layout the Pallas
+    flash-decode kernel (counterpart of N5) streams with full-width DMAs.
     """
     b, s, n_q, hd = q.shape
-    t = k_cache.shape[1]
-    n_kv = k_cache.shape[2]
+    n_kv, t = k_cache.shape[1], k_cache.shape[2]
     groups = n_q // n_kv
 
     qf = q.reshape(b, s, n_kv, groups, hd)
     scores = jnp.einsum(
-        "bskgh,btkh->bkgst",
+        "bskgh,bkth->bkgst",
         qf,
         k_cache,
         preferred_element_type=jnp.float32,
@@ -179,7 +178,7 @@ def attention(
     scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bkgst,btkh->bskgh",
+        "bkgst,bkth->bskgh",
         probs.astype(q.dtype),
         v_cache,
         preferred_element_type=jnp.float32,
@@ -188,7 +187,7 @@ def attention(
 
 
 def update_kv_cache(
-    k_cache: jax.Array,      # [B, T, n_kv, hd]
+    k_cache: jax.Array,      # [B, n_kv, T, hd]
     v_cache: jax.Array,
     k: jax.Array,            # [B, S, n_kv, hd]
     v: jax.Array,
@@ -197,9 +196,11 @@ def update_kv_cache(
     """Write the new K/V chunk at ``start_pos`` (static shapes, no
     recompilation across positions — the TPU replacement for the
     reference's in-kernel cache append)."""
-    zeros = (0, start_pos, 0, 0)
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), zeros)
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), zeros)
+    zeros = (0, 0, start_pos, 0)
+    kt = jnp.swapaxes(k, 1, 2).astype(k_cache.dtype)   # [B, n_kv, S, hd]
+    vt = jnp.swapaxes(v, 1, 2).astype(v_cache.dtype)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, kt, zeros)
+    v_cache = jax.lax.dynamic_update_slice(v_cache, vt, zeros)
     return k_cache, v_cache
 
 

@@ -8,7 +8,7 @@ modules with per-layer static buffers, the model is
 - a parameter pytree with all decoder layers **stacked on a leading axis**
   (one ``lax.scan`` trace per forward — compile time is O(1) in depth),
 - a pure ``forward(params, cfg, tokens, cache, start_pos)`` with static
-  shapes: the KV cache is preallocated ``[L, 2, B, T, n_kv, hd]`` and
+  shapes: the KV cache is preallocated ``[L, 2, B, n_kv, T, hd]`` and
   written via ``dynamic_update_slice`` at ``start_pos``, so chunked
   prefill / multi-round KV reuse (reference ``llama.py:342-350``) falls
   out of the same jitted function with zero recompilation.
@@ -150,10 +150,12 @@ def init_qparams(
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
 ) -> jax.Array:
-    """Preallocated static KV cache ``[L, 2, B, T, n_kv, hd]`` (counterpart
-    of the per-layer cache buffers at ``tinychat/models/llama.py:128-155``)."""
+    """Preallocated static KV cache ``[L, 2, B, n_kv, T, hd]`` (counterpart
+    of the per-layer cache buffers at ``tinychat/models/llama.py:128-155``;
+    head-major so each head's [T, hd] slab is HBM-contiguous for the
+    flash-decode kernel's DMAs)."""
     return jnp.zeros(
-        (cfg.num_layers, 2, batch, max_seq, cfg.num_kv_heads, cfg.head_dim),
+        (cfg.num_layers, 2, batch, cfg.num_kv_heads, max_seq, cfg.head_dim),
         dtype,
     )
 
@@ -168,7 +170,7 @@ def _layer_forward(
     cfg: ModelConfig,
     lp: Params,                # single-layer params (no leading L)
     h: jax.Array,              # [B, S, H]
-    kv: jax.Array,             # [2, B, T, n_kv, hd]
+    kv: jax.Array,             # [2, B, n_kv, T, hd]
     start_pos: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
@@ -201,7 +203,7 @@ def forward(
     params: Params,
     cfg: ModelConfig,
     tokens: jax.Array,          # [B, S] int32
-    cache: jax.Array,           # [L, 2, B, T, n_kv, hd]
+    cache: jax.Array,           # [L, 2, B, n_kv, T, hd]
     start_pos: jax.Array,       # scalar int32
     last_only: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -215,7 +217,7 @@ def forward(
     dt = _dtype(cfg)
     h = params["embed"][tokens].astype(dt)
 
-    max_t = cache.shape[3]
+    max_t = cache.shape[4]
     cos, sin = rope_table(cfg, max_t)
     positions = start_pos + jnp.arange(s)
 

@@ -12,7 +12,7 @@ GSPMD inserts the all-gathers/psums:
 - ``wo/down`` — row-parallel: input channels sharded on ``tp``; the
   contraction ends with a psum over ``tp`` (inserted by GSPMD).
 - ``embed`` — vocab-sharded on ``tp``; ``lm_head`` column-parallel.
-- KV cache ``[L, 2, B, T, n_kv, hd]`` — batch on ``dp``, kv-heads on ``tp``
+- KV cache ``[L, 2, B, n_kv, T, hd]`` — batch on ``dp``, kv-heads on ``tp``
   (requires ``n_kv % tp == 0``; for MQA models keep tp on q-heads only by
   passing ``shard_kv=False``).
 """
@@ -67,8 +67,8 @@ def param_pspecs(params: Dict[str, Any], tp: int = 1) -> Dict[str, Any]:
 
 
 def cache_pspec(shard_kv: bool = True) -> P:
-    """Spec for the ``[L, 2, B, T, n_kv, hd]`` static KV cache."""
-    return P(None, None, "dp", None, "tp" if shard_kv else None, None)
+    """Spec for the ``[L, 2, B, n_kv, T, hd]`` static KV cache."""
+    return P(None, None, "dp", "tp" if shard_kv else None, None, None)
 
 
 def _named(mesh: Mesh, spec_tree):
@@ -86,7 +86,7 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 def shard_cache(cache: jax.Array, mesh: Mesh, shard_kv: bool = True) -> jax.Array:
     tp = mesh.shape.get("tp", 1)
-    n_kv = cache.shape[4]
+    n_kv = cache.shape[3]
     if n_kv % tp != 0:
         shard_kv = False
     return jax.device_put(cache, NamedSharding(mesh, cache_pspec(shard_kv)))

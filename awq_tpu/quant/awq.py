@@ -87,7 +87,9 @@ def _llama_capture(cfg: ModelConfig, lp, h, cos, sin):
     k = linear_apply(lp["wk"], x1).reshape(b, s, nkv, hd)
     v = linear_apply(lp["wv"], x1).reshape(b, s, nkv, hd)
     q, k = apply_rope(q, k, cos, sin, positions)
-    attn = attention(q, k, v, jnp.int32(0))
+    attn = attention(
+        q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), jnp.int32(0)
+    )
     h = h + linear_apply(lp["wo"], attn)
 
     x2 = rms_norm(h, lp["ln2"], cfg.rms_eps)
@@ -115,7 +117,10 @@ def _attn_block_fn(cfg: ModelConfig, lp, cos, sin):
         k = linear_apply(ws["wk"], x1).reshape(b, s, nkv, hd)
         v = linear_apply(ws["wv"], x1).reshape(b, s, nkv, hd)
         q, k = apply_rope(q, k, cos, sin, jnp.arange(s))
-        return linear_apply(lp["wo"], attention(q, k, v, jnp.int32(0)))
+        attn = attention(
+            q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), jnp.int32(0)
+        )
+        return linear_apply(lp["wo"], attn)
 
     return fn
 

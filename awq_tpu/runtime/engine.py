@@ -48,7 +48,7 @@ class InferenceEngine:
 
     @property
     def max_seq_len(self) -> int:
-        return self.cache.shape[3]
+        return self.cache.shape[4]
 
     def warmup(self, seq_len: int = 64):
         """Trigger compilation of prefill + decode (reference warmup:

@@ -76,6 +76,20 @@ def decode_scan(
     return tokens.T, dones.T, cache
 
 
+def cache_bucket(t_total: int, need: int, min_bucket: int = 256) -> int:
+    """Smallest power-of-two cache prefix covering ``need`` positions.
+
+    Attention cost scales with the cache length actually materialized, so
+    generation bursts run on a sliced prefix instead of the full
+    ``max_seq_len`` cache (the reference reads only the valid prefix via
+    its dynamic-length decode kernel, ``fused_attn.py:484-502``; on TPU the
+    static-shape equivalent is a small set of power-of-two buckets, one
+    compile each)."""
+    if need >= t_total:
+        return t_total
+    return min(t_total, max(min_bucket, 1 << (need - 1).bit_length()))
+
+
 def generate(
     params,
     cfg: ModelConfig,
@@ -91,6 +105,12 @@ def generate(
     key = jax.random.PRNGKey(0) if key is None else key
     b, s = tokens.shape
     vocab = cfg.vocab_size
+
+    t_total = cache.shape[4]
+    bucket = cache_bucket(t_total, start_pos + s + gen.max_new_tokens)
+    full_cache = cache if bucket < t_total else None
+    if bucket < t_total:
+        cache = jax.lax.slice_in_dim(cache, 0, bucket, axis=4)
 
     t0 = time.perf_counter()
     logits, cache = forward(
@@ -115,6 +135,11 @@ def generate(
     )
     toks.block_until_ready()
     decode_time = time.perf_counter() - t1
+
+    if full_cache is not None:
+        cache = jax.lax.dynamic_update_slice(
+            full_cache, cache, (0, 0, 0, 0, 0, 0)
+        )
 
     toks = jnp.concatenate([first[:, None], toks], axis=1)
     dones = jnp.concatenate([jnp.isin(first, stop)[:, None], dones], axis=1)
