@@ -1,0 +1,212 @@
+"""Benchmark CLI: TTFT across context lengths + decode throughput.
+
+Counterpart of ``tinychat/benchmark.py:24-379`` — same methodology:
+warmup, multi-run averages, decode measured exLLaMA-style with a short
+context, TTFT swept over context lengths, optional chunked-prefill mode
+(history KV reuse across rounds). Random weights by default (benchmark is
+about kernels, not accuracy), or a quantized checkpoint via --load_quant.
+
+  python -m awq_tpu.benchmark --geometry llama2-7b --precision W4A16
+  python -m awq_tpu.benchmark --geometry llama3-8b --mode ttft
+  python -m awq_tpu.benchmark --geometry llama2-7b --mode chunk_prefill
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Dict
+
+import numpy as np
+
+GEOMETRIES: Dict[str, dict] = {
+    "llama2-7b": dict(
+        arch="llama", vocab_size=32000, hidden_size=4096,
+        intermediate_size=11008, num_layers=32, num_heads=32,
+        num_kv_heads=32, head_dim=128, max_position_embeddings=4096,
+    ),
+    "llama2-13b": dict(
+        arch="llama", vocab_size=32000, hidden_size=5120,
+        intermediate_size=13824, num_layers=40, num_heads=40,
+        num_kv_heads=40, head_dim=128, max_position_embeddings=4096,
+    ),
+    "llama3-8b": dict(
+        arch="llama", vocab_size=128256, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32,
+        num_kv_heads=8, head_dim=128, max_position_embeddings=8192,
+        rope_theta=500000.0,
+    ),
+    "tiny": dict(
+        arch="llama", vocab_size=1024, hidden_size=512,
+        intermediate_size=1024, num_layers=4, num_heads=8, num_kv_heads=8,
+        head_dim=64, max_position_embeddings=2048,
+    ),
+}
+
+
+def _sync(x):
+    return np.asarray(x)  # host fetch = the only reliable sync (see bench.py)
+
+
+def build_model(geometry: str, precision: str, load_quant, max_seq: int):
+    import jax
+    import jax.numpy as jnp
+
+    from awq_tpu.config import ModelConfig, QuantConfig
+    from awq_tpu.models import init_kv_cache, init_params, init_qparams
+    from awq_tpu.models.llama import quantize_params
+
+    if load_quant:
+        from awq_tpu.utils.checkpoint import load_checkpoint
+
+        params, cfg, _ = load_checkpoint(load_quant)
+    else:
+        cfg = ModelConfig(**GEOMETRIES[geometry], dtype="bfloat16")
+        if precision in ("W4A16", "W3A16"):
+            qcfg = QuantConfig(
+                w_bit=4 if precision == "W4A16" else 3, group_size=128
+            )
+            params = init_qparams(cfg, qcfg, jax.random.PRNGKey(0))
+        else:
+            params = init_params(cfg, jax.random.PRNGKey(0))
+    cache = init_kv_cache(cfg, 1, max_seq, jnp.bfloat16)
+    return cfg, params, cache
+
+
+def bench_decode(cfg, params, cache, context: int, steps: int, runs: int):
+    import jax
+    import jax.numpy as jnp
+
+    from awq_tpu.config import GenConfig
+    from awq_tpu.models import forward
+    from awq_tpu.runtime.generate import cache_bucket, decode_scan
+
+    bucket = cache_bucket(cache.shape[4], context + steps + 1)
+    cache = jax.lax.slice_in_dim(cache, 0, bucket, axis=4)
+    toks = jnp.zeros((1, context), jnp.int32)
+    logits, cache = forward(params, cfg, toks, cache, jnp.int32(0))
+    first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    gen = GenConfig(greedy=True)
+    stop = jnp.asarray([-1], jnp.int32)
+    seen = jnp.zeros((1, cfg.vocab_size), bool)
+
+    def burst():
+        t, _, _ = decode_scan(
+            params, cfg, cache, first, jnp.int32(context),
+            jax.random.PRNGKey(0), stop, seen, gen, steps, cfg.vocab_size,
+        )
+        return t
+
+    _sync(burst())  # compile
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _sync(burst())
+        times.append(time.perf_counter() - t0)
+    ms = np.mean(times) / steps * 1e3
+    return {"ms_per_token": ms, "tokens_per_s": 1e3 / ms}
+
+
+def bench_ttft(cfg, params, cache, seq_lens, runs: int):
+    import jax
+    import jax.numpy as jnp
+
+    from awq_tpu.models import forward
+    from awq_tpu.runtime.generate import cache_bucket
+
+    out = {}
+    for s in seq_lens:
+        bucket = cache_bucket(cache.shape[4], s + 1)
+        c = jax.lax.slice_in_dim(cache, 0, bucket, axis=4)
+        toks = jnp.zeros((1, s), jnp.int32)
+
+        def prefill():
+            logits, _ = forward(params, cfg, toks, c, jnp.int32(0))
+            return jnp.argmax(logits[:, -1], -1)
+
+        _sync(prefill())
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _sync(prefill())
+            times.append(time.perf_counter() - t0)
+        out[s] = float(np.mean(times))
+    return out
+
+
+def bench_chunk_prefill(cfg, params, cache, history_lens, question_len: int,
+                        runs: int):
+    """Multi-round TTFT with history KV reuse (reference
+    ``tinychat/benchmark.py`` chunk-prefill mode; table at
+    ``tinychat/README.md:229-234``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from awq_tpu.models import forward
+
+    out = {}
+    q = jnp.zeros((1, question_len), jnp.int32)
+    for h in history_lens:
+        # fill history KV once
+        hist = jnp.zeros((1, h), jnp.int32)
+        _, c = forward(params, cfg, hist, cache, jnp.int32(0))
+
+        def round_ttft():
+            logits, _ = forward(params, cfg, q, c, jnp.int32(h))
+            return jnp.argmax(logits[:, -1], -1)
+
+        _sync(round_ttft())
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _sync(round_ttft())
+            times.append(time.perf_counter() - t0)
+        out[h] = float(np.mean(times))
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("awq_tpu.benchmark")
+    p.add_argument("--geometry", default="llama2-7b", choices=GEOMETRIES)
+    p.add_argument("--precision", default="W4A16",
+                   choices=["W4A16", "W3A16", "W16A16"])
+    p.add_argument("--load_quant", default=None)
+    p.add_argument("--mode", default="decode",
+                   choices=["decode", "ttft", "chunk_prefill", "all"])
+    p.add_argument("--max_seq_len", type=int, default=4096)
+    p.add_argument("--context", type=int, default=4,
+                   help="decode context (reference uses 4)")
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--runs", type=int, default=3,
+                   help="(reference uses 10-run means)")
+    p.add_argument("--seq_lens", type=str, default="256,512,1024,2048,4096")
+    p.add_argument("--history_lens", type=str, default="16,64,256,1024")
+    p.add_argument("--question_len", type=int, default=32)
+    args = p.parse_args(argv)
+
+    cfg, params, cache = build_model(
+        args.geometry, args.precision, args.load_quant, args.max_seq_len
+    )
+    name = f"{args.geometry}/{args.precision}"
+    if args.mode in ("decode", "all"):
+        r = bench_decode(cfg, params, cache, args.context, args.steps,
+                         args.runs)
+        print(f"[{name}] decode: {r['ms_per_token']:.2f} ms/token "
+              f"({r['tokens_per_s']:.1f} tok/s)")
+    if args.mode in ("ttft", "all"):
+        seqs = [int(s) for s in args.seq_lens.split(",")
+                if int(s) <= args.max_seq_len]
+        r = bench_ttft(cfg, params, cache, seqs, args.runs)
+        for s, t in r.items():
+            print(f"[{name}] ttft seq={s}: {t * 1e3:.1f} ms")
+    if args.mode in ("chunk_prefill", "all"):
+        hist = [int(s) for s in args.history_lens.split(",")]
+        r = bench_chunk_prefill(cfg, params, cache, hist,
+                                args.question_len, args.runs)
+        for h, t in r.items():
+            print(f"[{name}] chunk-prefill history={h}: {t * 1e3:.1f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

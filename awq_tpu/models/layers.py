@@ -162,6 +162,18 @@ def attention(
     n_kv, t = k_cache.shape[1], k_cache.shape[2]
     groups = n_q // n_kv
 
+    if (
+        s == 1
+        and bias is None
+        and t % 256 == 0
+        and hd % 128 == 0  # hd<128 trips Mosaic memref slicing; XLA path
+        and jax.default_backend() == "tpu"
+    ):
+        from awq_tpu.ops.decode_attn import flash_decode
+
+        out = flash_decode(q[:, 0], k_cache, v_cache, start_pos + 1)
+        return out.reshape(b, 1, n_q * hd)
+
     qf = q.reshape(b, s, n_kv, groups, hd)
     scores = jnp.einsum(
         "bskgh,bkth->bkgst",

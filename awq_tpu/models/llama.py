@@ -95,6 +95,44 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> Params
     return params
 
 
+def pseudo_quantize_params(
+    params: Params,
+    qcfg: QuantConfig,
+    clips: Optional[Dict[str, jax.Array]] = None,
+) -> Params:
+    """Fake-quantize every decoder-layer linear in place (weights stay fp).
+
+    Counterpart of ``pseudo_quantize_model_weight``
+    (``awq/quantize/quantizer.py:107-122``) / the CLI's ``--q_backend fake``
+    accuracy-simulation path (``awq/entry.py:227-234``)."""
+    from awq_tpu.quant.core import pseudo_quantize
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in LAYER_LINEARS:
+        if name not in layers or not isinstance(layers[name], Linear):
+            continue
+        lin = layers[name]
+        clip = None if clips is None else clips.get(name)
+
+        def fq(w, c):
+            return pseudo_quantize(
+                w.astype(jnp.float32),
+                n_bit=qcfg.w_bit,
+                group_size=(w.shape[0] if qcfg.group_size == -1
+                            else qcfg.group_size),
+                zero_point=qcfg.zero_point,
+                clip_max=c,
+            ).astype(lin.w.dtype)
+
+        w = jax.vmap(fq)(lin.w, clip) if clip is not None else jax.vmap(
+            lambda x: fq(x, None)
+        )(lin.w)
+        layers[name] = Linear(w=w, b=lin.b)
+    out["layers"] = layers
+    return out
+
+
 def init_qparams(
     cfg: ModelConfig, qcfg: QuantConfig, key: jax.Array, scale: float = 0.02
 ) -> Params:

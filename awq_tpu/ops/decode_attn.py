@@ -1,0 +1,141 @@
+"""Flash-decode attention over the static KV cache.
+
+TPU-native counterpart of the reference's fused masked multi-head decode
+attention (``csrc/attention/decoder_masked_multihead_attention.cu`` — RoPE +
+cache append + QK + softmax + V in one CUDA kernel). On TPU the RoPE/append
+stay as XLA fusions (they touch S=1 tokens — negligible); the win is the
+attention read itself, re-derived as a Pallas kernel that
+
+- keeps the K/V caches in **HBM** and manually DMAs contiguous
+  ``[block_t, hd]`` slabs per kv-head (head-major cache layout),
+- runs **online (flash) softmax** in f32 with the running max/sum carried
+  through a ``fori_loop``,
+- bounds the loop by ``ceil(length / block_t)`` with ``length`` a
+  scalar-prefetch operand, so it reads only the valid cache prefix —
+  the dynamic-length behavior the CUDA kernel gets from its thread loop,
+  with zero recompilation across positions.
+
+GQA/MQA: queries are grouped per kv head (``[n_kv, g, hd]``), mirroring the
+reference's ``num_kv_heads`` path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _flash_decode_kernel(
+    len_ref, q_ref, k_ref, v_ref, o_ref, kbuf, vbuf, ksem, vsem,
+    *, block_t: int, scale: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    length = len_ref[0]
+    nblk = pl.cdiv(length, block_t)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale      # [g, hd]
+    g, hd = q.shape
+
+    def dma(buf, src, sem, slot, i):
+        return pltpu.make_async_copy(
+            src.at[b, h, pl.ds(i * block_t, block_t), :],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    dma(kbuf, k_ref, ksem, 0, 0).start()
+    dma(vbuf, v_ref, vsem, 0, 0).start()
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = i % 2
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            dma(kbuf, k_ref, ksem, (i + 1) % 2, i + 1).start()
+            dma(vbuf, v_ref, vsem, (i + 1) % 2, i + 1).start()
+
+        dma(kbuf, k_ref, ksem, slot, i).wait()
+        kb = kbuf[slot]                               # [bt, hd]
+        s = jax.lax.dot_general(
+            q, kb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # [g, bt]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
+        s = jnp.where(col < length, s, -jnp.inf)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)                        # [g, bt]
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        dma(vbuf, v_ref, vsem, slot, i).wait()
+        vb = vbuf[slot]                               # [bt, hd]
+        pv = jax.lax.dot_general(
+            p.astype(vb.dtype), vb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # [g, hd]
+        return m_new, l_new, acc * alpha + pv
+
+    m0 = jnp.full((g, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros((g, hd), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def flash_decode(
+    q: jax.Array,          # [B, n_q, hd] single-position queries
+    k_cache: jax.Array,    # [B, n_kv, T, hd] head-major static cache
+    v_cache: jax.Array,
+    length: jax.Array,     # scalar int32: valid cache positions
+    block_t: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns attention output ``[B, n_q, hd]`` reading only
+    ``ceil(length/block_t)`` cache blocks."""
+    b, n_q, hd = q.shape
+    n_kv, t = k_cache.shape[1], k_cache.shape[2]
+    assert t % block_t == 0, f"cache len {t} not a multiple of {block_t}"
+    g = n_q // n_kv
+    qg = q.reshape(b, n_kv, g, hd)
+    lengths = jnp.reshape(length, (1,)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_t, hd), k_cache.dtype),
+            pltpu.VMEM((2, block_t, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_decode_kernel,
+            block_t=block_t,
+            scale=1.0 / (hd ** 0.5),
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_kv, g, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lengths, qg, k_cache, v_cache)
+    return out.reshape(b, n_q, hd)

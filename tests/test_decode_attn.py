@@ -1,0 +1,70 @@
+"""Flash-decode kernel vs jnp reference equivalence (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from awq_tpu.models.layers import attention
+from awq_tpu.ops.decode_attn import flash_decode
+
+
+def _ref(q, k_cache, v_cache, length):
+    """Masked softmax attention over the cache prefix, f32."""
+    b, n_q, hd = q.shape
+    n_kv, t = k_cache.shape[1], k_cache.shape[2]
+    g = n_q // n_kv
+    qf = q.reshape(b, n_kv, g, hd).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    s = jnp.einsum("bkgh,bkth->bkgt", qf, kf) / np.sqrt(hd)
+    mask = jnp.arange(t)[None, None, None, :] < length
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bkgt,bkth->bkgh", p, v_cache.astype(jnp.float32))
+    return o.reshape(b, n_q, hd)
+
+
+@pytest.mark.parametrize("n_q,n_kv", [(8, 8), (8, 4), (8, 1)])
+@pytest.mark.parametrize("length", [1, 255, 256, 300, 512])
+def test_flash_decode_matches_reference(n_q, n_kv, length):
+    b, t, hd = 2, 512, 64
+    ks = jax.random.split(jax.random.PRNGKey(length + n_kv), 3)
+    q = jax.random.normal(ks[0], (b, n_q, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n_kv, t, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n_kv, t, hd), jnp.float32)
+
+    out = flash_decode(q, k, v, jnp.int32(length), interpret=True)
+    ref = _ref(q, k, v, length)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_decode_ignores_stale_cache_suffix():
+    """Positions >= length must not affect the result."""
+    b, n_q, n_kv, t, hd = 1, 4, 4, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, n_q, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n_kv, t, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n_kv, t, hd), jnp.float32)
+    out1 = flash_decode(q, k, v, jnp.int32(100), interpret=True)
+    # poison everything past position 100
+    k2 = k.at[:, :, 100:].set(1e9)
+    v2 = v.at[:, :, 100:].set(-1e9)
+    out2 = flash_decode(q, k2, v2, jnp.int32(100), interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_attention_decode_path_consistency():
+    """attention() S=1 (XLA path on CPU) agrees with flash_decode."""
+    b, n_q, n_kv, t, hd = 1, 8, 4, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (b, 1, n_q, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n_kv, t, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n_kv, t, hd), jnp.float32)
+    start_pos = jnp.int32(99)  # 100 valid positions
+    ref = attention(q, k, v, start_pos)
+    out = flash_decode(q[:, 0], k, v, start_pos + 1, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(b, 1, n_q * hd)), np.asarray(ref),
+        atol=2e-5, rtol=2e-5,
+    )
