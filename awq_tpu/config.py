@@ -76,6 +76,9 @@ class ModelConfig:
     act: str = "silu"               # silu (swiglu mlp) | gelu (plain mlp)
     pos_embed: str = "rope"         # rope | learned | alibi | none
     do_layer_norm_before: bool = True  # opt pre/post-LN variant
+    parallel_block: bool = False    # falcon/neox: attn+mlp share the residual
+    single_ln: bool = False         # falcon-7b: one LN feeds both branches
+    rotary_pct: float = 1.0         # neox: rope on a prefix of head_dim
     # runtime
     dtype: str = "bfloat16"
 
@@ -171,5 +174,99 @@ def model_config_from_hf(hf: Mapping[str, Any]) -> ModelConfig:
             mlp_bias=True,
             do_layer_norm_before=_get(hf, "do_layer_norm_before", default=True),
             tie_word_embeddings=_get(hf, "tie_word_embeddings", default=True),
+        )
+    if mt in ("falcon", "RefinedWeb", "RefinedWebModel"):
+        hidden = hf["hidden_size"]
+        heads = _get(hf, "num_attention_heads", "n_head")
+        if _get(hf, "new_decoder_architecture", default=False):
+            n_kv = _get(hf, "num_kv_heads", default=8)
+        else:
+            n_kv = heads if not _get(hf, "multi_query", default=True) else 1
+        return ModelConfig(
+            arch="falcon",
+            vocab_size=hf["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=_get(hf, "ffn_hidden_size",
+                                   default=4 * hidden),
+            num_layers=_get(hf, "num_hidden_layers", "n_layer"),
+            num_heads=heads,
+            num_kv_heads=n_kv,
+            head_dim=hidden // heads,
+            max_position_embeddings=_get(
+                hf, "max_position_embeddings", default=2048
+            ),
+            rms_eps=_get(hf, "layer_norm_epsilon", default=1e-5),
+            rope_theta=_get(hf, "rope_theta", default=10000.0),
+            norm="layernorm",
+            act="gelu",
+            pos_embed="rope" if not _get(hf, "alibi", default=False)
+            else "alibi",
+            attn_bias=_get(hf, "bias", default=False),
+            mlp_bias=_get(hf, "bias", default=False),
+            parallel_block=_get(hf, "parallel_attn", default=True),
+            single_ln=_get(hf, "parallel_attn", default=True)
+            and not _get(hf, "new_decoder_architecture", default=False),
+            tie_word_embeddings=_get(hf, "tie_word_embeddings", default=True),
+        )
+    if mt == "mpt":
+        hidden = hf["d_model"]
+        return ModelConfig(
+            arch="mpt",
+            vocab_size=hf["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=_get(hf, "expansion_ratio", default=4) * hidden,
+            num_layers=hf["n_layers"],
+            num_heads=hf["n_heads"],
+            num_kv_heads=hf["n_heads"],
+            head_dim=hidden // hf["n_heads"],
+            max_position_embeddings=_get(hf, "max_seq_len", default=2048),
+            norm="layernorm",
+            act="gelu",
+            pos_embed="alibi",
+            tie_word_embeddings=True,
+        )
+    if mt in ("gpt_bigcode", "bigcode"):
+        hidden = hf["n_embd"]
+        return ModelConfig(
+            arch="bigcode",
+            vocab_size=hf["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=_get(hf, "n_inner", default=4 * hidden),
+            num_layers=hf["n_layer"],
+            num_heads=hf["n_head"],
+            num_kv_heads=1 if _get(hf, "multi_query", default=True)
+            else hf["n_head"],
+            head_dim=hidden // hf["n_head"],
+            max_position_embeddings=_get(hf, "n_positions", default=8192),
+            norm="layernorm",
+            act="gelu_tanh",
+            pos_embed="learned",
+            attn_bias=True,
+            mlp_bias=True,
+            tie_word_embeddings=True,
+        )
+    if mt == "gpt_neox":
+        hidden = hf["hidden_size"]
+        return ModelConfig(
+            arch="neox",
+            vocab_size=hf["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=hf["intermediate_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            num_kv_heads=hf["num_attention_heads"],
+            head_dim=hidden // hf["num_attention_heads"],
+            max_position_embeddings=_get(
+                hf, "max_position_embeddings", default=2048
+            ),
+            rms_eps=_get(hf, "layer_norm_eps", default=1e-5),
+            rope_theta=_get(hf, "rotary_emb_base", default=10000.0),
+            norm="layernorm",
+            act="gelu",
+            pos_embed="rope",
+            rotary_pct=_get(hf, "rotary_pct", default=0.25),
+            attn_bias=True,
+            mlp_bias=True,
+            parallel_block=_get(hf, "use_parallel_residual", default=True),
         )
     raise NotImplementedError(f"model_type={mt}")

@@ -73,7 +73,13 @@ def _load_dir_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def import_hf_model(model_or_path, dtype: str = "bfloat16") -> Tuple[ModelConfig, Dict[str, Any]]:
-    """Import an HF llama/mistral/qwen2 model into (ModelConfig, params)."""
+    """Import an HF decoder checkpoint into (ModelConfig, params).
+
+    Covers every family the reference ships rewritten models or AWQ
+    search tables for (``tinychat/models/*``, ``auto_scale.py:175-444``):
+    llama/mistral/qwen2/vicuna/codellama, opt, falcon, mpt,
+    bigcode (starcoder), gpt-neox.
+    """
     if isinstance(model_or_path, str):
         with open(os.path.join(model_or_path, "config.json")) as f:
             raw_cfg = json.load(f)
@@ -84,9 +90,19 @@ def import_hf_model(model_or_path, dtype: str = "bfloat16") -> Tuple[ModelConfig
     cfg = model_config_from_hf(raw_cfg)
     if dtype:
         cfg = ModelConfig(**{**cfg.__dict__, "dtype": dtype})
-    if cfg.arch not in ("llama", "mistral", "qwen2"):
-        raise NotImplementedError(f"importer supports llama-family, got {cfg.arch}")
-    return cfg, _build_llama_params(cfg, sd)
+    builders = {
+        "llama": _build_llama_params,
+        "mistral": _build_llama_params,
+        "qwen2": _build_llama_params,
+        "opt": _build_opt_params,
+        "falcon": _build_falcon_params,
+        "mpt": _build_mpt_params,
+        "bigcode": _build_bigcode_params,
+        "neox": _build_neox_params,
+    }
+    if cfg.arch not in builders:
+        raise NotImplementedError(f"importer: unsupported arch {cfg.arch}")
+    return cfg, builders[cfg.arch](cfg, sd)
 
 
 def _build_llama_params(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -126,3 +142,182 @@ def _build_llama_params(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Dict[str
     if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
         params["lm_head"] = jnp.asarray(sd["lm_head.weight"].T, dtype=dt)
     return params
+
+
+# ---------------------------------------------------------------------------
+# generic table-driven importer for the non-llama families
+# ---------------------------------------------------------------------------
+
+
+def _stack_lin(cfg: ModelConfig, sd, fmt: str) -> Linear:
+    dt = jnp.dtype(cfg.dtype)
+    L = cfg.num_layers
+    w = np.stack([sd[fmt.format(i=i) + ".weight"].T for i in range(L)])
+    b = None
+    if fmt.format(i=0) + ".bias" in sd:
+        b = jnp.asarray(
+            np.stack([sd[fmt.format(i=i) + ".bias"] for i in range(L)]), dt
+        )
+    return Linear(w=jnp.asarray(w, dt), b=b)
+
+
+def _stack_vec(cfg: ModelConfig, sd, fmt: str, optional: bool = False):
+    dt = jnp.dtype(cfg.dtype)
+    if fmt.format(i=0) not in sd:
+        if optional:
+            return None
+        raise KeyError(fmt)
+    return jnp.asarray(
+        np.stack([sd[fmt.format(i=i)] for i in range(cfg.num_layers)]), dt
+    )
+
+
+def _split_qkv(cfg: ModelConfig, fused: Linear, layout: str) -> Dict[str, Linear]:
+    """Split a stacked fused-QKV Linear ``[L, H, qkv_out]``.
+
+    layouts: "concat" (q|k|v blocks), "neox" (per-head q,k,v interleave),
+    "mqa" (q heads | 1 k | 1 v — falcon-7b / bigcode c_attn).
+    """
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    w, b = fused.w, fused.b
+
+    def cut(lo, hi):
+        return Linear(
+            w=w[:, :, lo:hi], b=None if b is None else b[:, lo:hi]
+        )
+
+    if layout == "neox":
+        L, H, _ = w.shape
+        w3 = w.reshape(L, H, nq, 3, hd)
+        b3 = None if b is None else b.reshape(L, nq, 3, hd)
+
+        def take(j):
+            return Linear(
+                w=w3[:, :, :, j, :].reshape(L, H, nq * hd),
+                b=None if b3 is None else b3[:, :, j, :].reshape(L, nq * hd),
+            )
+
+        return {"wq": take(0), "wk": take(1), "wv": take(2)}
+    q_dim, kv_dim = nq * hd, nkv * hd
+    return {
+        "wq": cut(0, q_dim),
+        "wk": cut(q_dim, q_dim + kv_dim),
+        "wv": cut(q_dim + kv_dim, q_dim + 2 * kv_dim),
+    }
+
+
+def _build_opt_params(cfg: ModelConfig, sd) -> Dict[str, Any]:
+    dt = jnp.dtype(cfg.dtype)
+    pre = "model.decoder.layers.{i}."
+    layers = {
+        "ln1": _stack_vec(cfg, sd, pre + "self_attn_layer_norm.weight"),
+        "ln1_b": _stack_vec(cfg, sd, pre + "self_attn_layer_norm.bias"),
+        "ln2": _stack_vec(cfg, sd, pre + "final_layer_norm.weight"),
+        "ln2_b": _stack_vec(cfg, sd, pre + "final_layer_norm.bias"),
+        "wq": _stack_lin(cfg, sd, pre + "self_attn.q_proj"),
+        "wk": _stack_lin(cfg, sd, pre + "self_attn.k_proj"),
+        "wv": _stack_lin(cfg, sd, pre + "self_attn.v_proj"),
+        "wo": _stack_lin(cfg, sd, pre + "self_attn.out_proj"),
+        "up": _stack_lin(cfg, sd, pre + "fc1"),
+        "down": _stack_lin(cfg, sd, pre + "fc2"),
+    }
+    return {
+        "embed": jnp.asarray(sd["model.decoder.embed_tokens.weight"], dt),
+        "pos_embed": jnp.asarray(
+            sd["model.decoder.embed_positions.weight"], dt
+        ),
+        "layers": layers,
+        "norm": jnp.asarray(sd["model.decoder.final_layer_norm.weight"], dt),
+        "norm_b": jnp.asarray(sd["model.decoder.final_layer_norm.bias"], dt),
+    }
+
+
+def _build_falcon_params(cfg: ModelConfig, sd) -> Dict[str, Any]:
+    dt = jnp.dtype(cfg.dtype)
+    pre = "transformer.h.{i}."
+    fused = _stack_lin(cfg, sd, pre + "self_attention.query_key_value")
+    layers = {
+        "ln1": _stack_vec(cfg, sd, pre + "input_layernorm.weight"),
+        "ln1_b": _stack_vec(cfg, sd, pre + "input_layernorm.bias"),
+        **_split_qkv(cfg, fused, "concat"),
+        "wo": _stack_lin(cfg, sd, pre + "self_attention.dense"),
+        "up": _stack_lin(cfg, sd, pre + "mlp.dense_h_to_4h"),
+        "down": _stack_lin(cfg, sd, pre + "mlp.dense_4h_to_h"),
+    }
+    if not cfg.single_ln:
+        layers["ln2"] = _stack_vec(cfg, sd, pre + "post_attention_layernorm.weight")
+        layers["ln2_b"] = _stack_vec(cfg, sd, pre + "post_attention_layernorm.bias")
+    params = {
+        "embed": jnp.asarray(sd["transformer.word_embeddings.weight"], dt),
+        "layers": layers,
+        "norm": jnp.asarray(sd["transformer.ln_f.weight"], dt),
+        "norm_b": jnp.asarray(sd["transformer.ln_f.bias"], dt),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = jnp.asarray(sd["lm_head.weight"].T, dt)
+    return params
+
+
+def _build_mpt_params(cfg: ModelConfig, sd) -> Dict[str, Any]:
+    dt = jnp.dtype(cfg.dtype)
+    pre = "transformer.blocks.{i}."
+    fused = _stack_lin(cfg, sd, pre + "attn.Wqkv")
+    layers = {
+        "ln1": _stack_vec(cfg, sd, pre + "norm_1.weight"),
+        "ln2": _stack_vec(cfg, sd, pre + "norm_2.weight"),
+        **_split_qkv(cfg, fused, "concat"),
+        "wo": _stack_lin(cfg, sd, pre + "attn.out_proj"),
+        "up": _stack_lin(cfg, sd, pre + "ffn.up_proj"),
+        "down": _stack_lin(cfg, sd, pre + "ffn.down_proj"),
+    }
+    return {
+        "embed": jnp.asarray(sd["transformer.wte.weight"], dt),
+        "layers": layers,
+        "norm": jnp.asarray(sd["transformer.norm_f.weight"], dt),
+    }
+
+
+def _build_bigcode_params(cfg: ModelConfig, sd) -> Dict[str, Any]:
+    dt = jnp.dtype(cfg.dtype)
+    pre = "transformer.h.{i}."
+    fused = _stack_lin(cfg, sd, pre + "attn.c_attn")
+    layers = {
+        "ln1": _stack_vec(cfg, sd, pre + "ln_1.weight"),
+        "ln1_b": _stack_vec(cfg, sd, pre + "ln_1.bias"),
+        "ln2": _stack_vec(cfg, sd, pre + "ln_2.weight"),
+        "ln2_b": _stack_vec(cfg, sd, pre + "ln_2.bias"),
+        **_split_qkv(cfg, fused, "mqa" if cfg.num_kv_heads == 1 else "concat"),
+        "wo": _stack_lin(cfg, sd, pre + "attn.c_proj"),
+        "up": _stack_lin(cfg, sd, pre + "mlp.c_fc"),
+        "down": _stack_lin(cfg, sd, pre + "mlp.c_proj"),
+    }
+    return {
+        "embed": jnp.asarray(sd["transformer.wte.weight"], dt),
+        "pos_embed": jnp.asarray(sd["transformer.wpe.weight"], dt),
+        "layers": layers,
+        "norm": jnp.asarray(sd["transformer.ln_f.weight"], dt),
+        "norm_b": jnp.asarray(sd["transformer.ln_f.bias"], dt),
+    }
+
+
+def _build_neox_params(cfg: ModelConfig, sd) -> Dict[str, Any]:
+    dt = jnp.dtype(cfg.dtype)
+    pre = "gpt_neox.layers.{i}."
+    fused = _stack_lin(cfg, sd, pre + "attention.query_key_value")
+    layers = {
+        "ln1": _stack_vec(cfg, sd, pre + "input_layernorm.weight"),
+        "ln1_b": _stack_vec(cfg, sd, pre + "input_layernorm.bias"),
+        "ln2": _stack_vec(cfg, sd, pre + "post_attention_layernorm.weight"),
+        "ln2_b": _stack_vec(cfg, sd, pre + "post_attention_layernorm.bias"),
+        **_split_qkv(cfg, fused, "neox"),
+        "wo": _stack_lin(cfg, sd, pre + "attention.dense"),
+        "up": _stack_lin(cfg, sd, pre + "mlp.dense_h_to_4h"),
+        "down": _stack_lin(cfg, sd, pre + "mlp.dense_4h_to_h"),
+    }
+    return {
+        "embed": jnp.asarray(sd["gpt_neox.embed_in.weight"], dt),
+        "layers": layers,
+        "norm": jnp.asarray(sd["gpt_neox.final_layer_norm.weight"], dt),
+        "norm_b": jnp.asarray(sd["gpt_neox.final_layer_norm.bias"], dt),
+        "lm_head": jnp.asarray(sd["embed_out.weight"].T, dt),
+    }

@@ -66,13 +66,15 @@ def layer_norm(
 
 
 def rope_table(cfg: ModelConfig, max_len: int) -> Tuple[jax.Array, jax.Array]:
-    """Precompute (cos, sin) tables ``[max_len, head_dim]`` in f32.
+    """Precompute (cos, sin) tables ``[max_len, rotary_dim]`` in f32.
 
     HF-llama convention (rotate_half, frequencies duplicated across the two
     halves). Supports llama3-style frequency rescaling
-    (counterpart of the reference freqs precompute, ``tinychat/models/llama.py:39-57``).
+    (counterpart of the reference freqs precompute, ``tinychat/models/llama.py:39-57``)
+    and NeoX-style partial rotary dims (``rotary_pct``).
     """
-    half = cfg.head_dim // 2
+    rotary_dim = int(cfg.head_dim * cfg.rotary_pct) // 2 * 2
+    half = rotary_dim // 2
     inv_freq = 1.0 / (
         cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
     )
@@ -96,26 +98,30 @@ def rope_table(cfg: ModelConfig, max_len: int) -> Tuple[jax.Array, jax.Array]:
         inv_freq = scaled
     t = jnp.arange(max_len, dtype=jnp.float32)
     freqs = jnp.outer(t, inv_freq)                     # [T, half]
-    emb = jnp.concatenate([freqs, freqs], axis=-1)     # [T, head_dim]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)     # [T, rotary_dim]
     return jnp.cos(emb), jnp.sin(emb)
 
 
 def apply_rope(
     q: jax.Array,            # [B, S, n_q, hd]
     k: jax.Array,            # [B, S, n_kv, hd]
-    cos: jax.Array,          # [max_len, hd]
+    cos: jax.Array,          # [max_len, rotary_dim]  (rotary_dim <= hd)
     sin: jax.Array,
     positions: jax.Array,    # [S] absolute positions
 ) -> Tuple[jax.Array, jax.Array]:
     c = cos[positions][None, :, None, :]
     s = sin[positions][None, :, None, :]
+    rd = cos.shape[-1]
 
     def rot(x):
-        xf = x.astype(jnp.float32)
-        half = x.shape[-1] // 2
+        xf = x[..., :rd].astype(jnp.float32)
+        half = rd // 2
         x1, x2 = xf[..., :half], xf[..., half:]
         rotated = jnp.concatenate([-x2, x1], axis=-1)
-        return (xf * c + rotated * s).astype(x.dtype)
+        out = (xf * c + rotated * s).astype(x.dtype)
+        if rd == x.shape[-1]:
+            return out
+        return jnp.concatenate([out, x[..., rd:]], axis=-1)
 
     return rot(q), rot(k)
 
@@ -228,6 +234,8 @@ def mlp_gelu(fc1, fc2, x, act: str = "gelu") -> jax.Array:
     h = linear_apply(fc1, x)
     if act == "relu":
         h = jnp.maximum(h, 0)
-    else:
+    elif act == "gelu_tanh":  # bigcode gelu_pytorch_tanh
         h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
+    else:  # exact erf gelu (falcon/mpt/neox/opt-gelu)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(x.dtype)
     return linear_apply(fc2, h)

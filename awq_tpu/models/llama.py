@@ -70,7 +70,6 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> Params
 
     layers = {
         "ln1": jnp.ones((L, h), dt),
-        "ln2": jnp.ones((L, h), dt),
         "wq": lin(ks[0], h, nq * hd, cfg.qkv_bias or cfg.attn_bias),
         "wk": lin(ks[1], h, nkv * hd, cfg.qkv_bias or cfg.attn_bias),
         "wv": lin(ks[2], h, nkv * hd, cfg.qkv_bias or cfg.attn_bias),
@@ -78,11 +77,14 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> Params
         "up": lin(ks[5], h, i, cfg.mlp_bias),
         "down": lin(ks[6], i, h, cfg.mlp_bias),
     }
+    if not cfg.single_ln:
+        layers["ln2"] = jnp.ones((L, h), dt)
     if cfg.act == "silu":
         layers["gate"] = lin(ks[4], h, i, cfg.mlp_bias)
     if cfg.norm == "layernorm":
         layers["ln1_b"] = jnp.zeros((L, h), dt)
-        layers["ln2_b"] = jnp.zeros((L, h), dt)
+        if not cfg.single_ln:
+            layers["ln2_b"] = jnp.zeros((L, h), dt)
     params: Params = {
         "embed": w(ks[7], (cfg.vocab_size, h)),
         "layers": layers,
@@ -90,6 +92,11 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> Params
     }
     if cfg.norm == "layernorm":
         params["norm_b"] = jnp.zeros((h,), dt)
+    if cfg.pos_embed == "learned":
+        off = 2 if cfg.arch == "opt" else 0
+        params["pos_embed"] = w(
+            ks[9], (cfg.max_position_embeddings + off, h)
+        )
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(ks[8], (h, cfg.vocab_size))
     return params
@@ -213,6 +220,7 @@ def _layer_forward(
     cos: jax.Array,
     sin: jax.Array,
     positions: jax.Array,      # [S]
+    attn_bias: Optional[jax.Array] = None,  # alibi [n_q, 1, T]
 ) -> Tuple[jax.Array, jax.Array]:
     b, s, _ = h.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -224,15 +232,24 @@ def _layer_forward(
     if cfg.pos_embed == "rope":
         q, k = apply_rope(q, k, cos, sin, positions)
     k_cache, v_cache = update_kv_cache(kv[0], kv[1], k, v, start_pos)
-    attn = attention(q, k_cache, v_cache, start_pos)
-    h = h + linear_apply(lp["wo"], attn)
+    attn = attention(q, k_cache, v_cache, start_pos, bias=attn_bias)
+    attn_out = linear_apply(lp["wo"], attn)
 
-    x = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
-    if cfg.act == "silu":
-        m = mlp_swiglu(lp["gate"], lp["up"], lp["down"], x)
+    if cfg.parallel_block:
+        # falcon/neox: both branches read (pre-)norms of the SAME input and
+        # sum into one residual (falcon-7b reuses ln1 for both, single_ln)
+        xm = x if cfg.single_ln else _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
     else:
-        m = mlp_gelu(lp["up"], lp["down"], x, act=cfg.act)
-    h = h + m
+        h = h + attn_out
+        xm = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
+    if cfg.act == "silu":
+        m = mlp_swiglu(lp["gate"], lp["up"], lp["down"], xm)
+    else:
+        m = mlp_gelu(lp["up"], lp["down"], xm, act=cfg.act)
+    if cfg.parallel_block:
+        h = h + attn_out + m
+    else:
+        h = h + m
     return h, jnp.stack([k_cache, v_cache])
 
 
@@ -260,12 +277,25 @@ def forward(
     positions = start_pos + jnp.arange(s)
 
     if cfg.pos_embed == "learned":
-        # OPT: learned positions with a +2 offset quirk
-        h = h + params["pos_embed"][positions + 2][None].astype(dt)
+        # OPT: learned positions (+2 offset quirk is OPT-specific)
+        off = 2 if cfg.arch == "opt" else 0
+        h = h + params["pos_embed"][positions + off][None].astype(dt)
+
+    attn_bias = None
+    if cfg.pos_embed == "alibi":
+        # slope*(j - i) == slope*j - (softmax-invariant per-row constant),
+        # so a [n_q, 1, T] key-position bias suffices (cf. mpt.py:22-46)
+        from awq_tpu.models.layers import alibi_slopes
+
+        slopes = alibi_slopes(cfg.num_heads)
+        attn_bias = (slopes[:, None, None]
+                     * jnp.arange(max_t, dtype=jnp.float32)[None, None, :])
 
     def body(h, lp_kv):
         lp, kv = lp_kv
-        h, kv = _layer_forward(cfg, lp, h, kv, start_pos, cos, sin, positions)
+        h, kv = _layer_forward(
+            cfg, lp, h, kv, start_pos, cos, sin, positions, attn_bias
+        )
         return h, kv
 
     h, new_cache = jax.lax.scan(body, h, (params["layers"], cache))
