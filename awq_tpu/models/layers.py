@@ -230,7 +230,8 @@ def mlp_swiglu(gate, up, down, x) -> jax.Array:
     return linear_apply(down, h)
 
 
-def mlp_gelu(fc1, fc2, x, act: str = "gelu") -> jax.Array:
+def mlp_gelu(fc1, fc2, x, act: str = "gelu",
+             act_scale: Optional[jax.Array] = None) -> jax.Array:
     h = linear_apply(fc1, x)
     if act == "relu":
         h = jnp.maximum(h, 0)
@@ -238,4 +239,8 @@ def mlp_gelu(fc1, fc2, x, act: str = "gelu") -> jax.Array:
         h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
     else:  # exact erf gelu (falcon/mpt/neox/opt-gelu)
         h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(x.dtype)
+    if act_scale is not None:
+        # AWQ activation-scale fold: act output divided here, fc2 weights
+        # multiplied (counterpart of ScaledActivation, quantizer.py:14-57)
+        h = (h.astype(jnp.float32) / act_scale).astype(h.dtype)
     return linear_apply(fc2, h)

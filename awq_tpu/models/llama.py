@@ -245,7 +245,8 @@ def _layer_forward(
     if cfg.act == "silu":
         m = mlp_swiglu(lp["gate"], lp["up"], lp["down"], xm)
     else:
-        m = mlp_gelu(lp["up"], lp["down"], xm, act=cfg.act)
+        m = mlp_gelu(lp["up"], lp["down"], xm, act=cfg.act,
+                     act_scale=lp.get("act_scale"))
     if cfg.parallel_block:
         h = h + attn_out + m
     else:

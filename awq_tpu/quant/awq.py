@@ -72,34 +72,67 @@ class AwqResult:
 # ---------------------------------------------------------------------------
 
 
-def _llama_capture(cfg: ModelConfig, lp, h, cos, sin):
-    """Run one decoder layer, returning (h_out, captured linear inputs).
+def _norm_of(cfg: ModelConfig, lp, name, x):
+    from awq_tpu.models.layers import layer_norm
 
-    The captured dict mirrors the reference's forward hooks on every
-    nn.Linear (``pre_quant.py:180-193``).
-    """
-    b, s, _ = h.shape
+    if cfg.norm == "rmsnorm":
+        return rms_norm(x, lp[name], cfg.rms_eps)
+    return layer_norm(x, lp[name], lp.get(name + "_b"), cfg.rms_eps)
+
+
+def _act_fn(cfg: ModelConfig, h):
+    if cfg.act == "relu":
+        return jnp.maximum(h, 0)
+    approx = cfg.act == "gelu_tanh"
+    return jax.nn.gelu(h.astype(jnp.float32), approximate=approx).astype(h.dtype)
+
+
+def _attention_of(cfg: ModelConfig, lp, x1, cos, sin, attn_bias):
+    b, s, _ = x1.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    positions = jnp.arange(s)
-
-    x1 = rms_norm(h, lp["ln1"], cfg.rms_eps)
     q = linear_apply(lp["wq"], x1).reshape(b, s, nq, hd)
     k = linear_apply(lp["wk"], x1).reshape(b, s, nkv, hd)
     v = linear_apply(lp["wv"], x1).reshape(b, s, nkv, hd)
-    q, k = apply_rope(q, k, cos, sin, positions)
-    attn = attention(
-        q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), jnp.int32(0)
+    if cfg.pos_embed == "rope":
+        q, k = apply_rope(q, k, cos, sin, jnp.arange(s))
+    return attention(
+        q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), jnp.int32(0),
+        bias=attn_bias,
     )
-    h = h + linear_apply(lp["wo"], attn)
 
-    x2 = rms_norm(h, lp["ln2"], cfg.rms_eps)
-    g = linear_apply(lp["gate"], x2)
-    u = linear_apply(lp["up"], x2)
-    act = jax.nn.silu(g.astype(jnp.float32)).astype(x2.dtype) * u
-    h = h + linear_apply(lp["down"], act)
-    caps = {"wq": x1, "wk": x1, "wv": x1, "wo": attn, "gate": x2, "up": x2,
-            "down": act}
-    return h, caps
+
+def _capture(cfg: ModelConfig, lp, h, cos, sin, attn_bias=None):
+    """Run one decoder layer, returning (h_out, captured linear inputs).
+
+    The captured dict mirrors the reference's forward hooks on every
+    nn.Linear (``pre_quant.py:180-193``); ``__input__`` is the raw layer
+    input (the falcon whole-layer scale group feeds on it). Structure
+    mirrors ``models.llama._layer_forward`` for every supported arch.
+    """
+    x1 = _norm_of(cfg, lp, "ln1", h)
+    attn = _attention_of(cfg, lp, x1, cos, sin, attn_bias)
+    attn_out = linear_apply(lp["wo"], attn)
+
+    if cfg.parallel_block:
+        xm = x1 if cfg.single_ln else _norm_of(cfg, lp, "ln2", h)
+        h_mid = h
+    else:
+        h_mid = h + attn_out
+        xm = _norm_of(cfg, lp, "ln2", h_mid)
+
+    caps = {"__input__": h, "wq": x1, "wk": x1, "wv": x1, "wo": attn}
+    if cfg.act == "silu":
+        g = linear_apply(lp["gate"], xm)
+        u = linear_apply(lp["up"], xm)
+        act = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
+        caps.update({"gate": xm, "up": xm, "down": act})
+    else:
+        u = linear_apply(lp["up"], xm)
+        act = _act_fn(cfg, u)
+        caps.update({"up": xm, "down": act})
+    m = linear_apply(lp["down"], act)
+    h_out = (h + attn_out + m) if cfg.parallel_block else (h_mid + m)
+    return h_out, caps
 
 
 # ---------------------------------------------------------------------------
@@ -107,30 +140,42 @@ def _llama_capture(cfg: ModelConfig, lp, h, cos, sin):
 # ---------------------------------------------------------------------------
 
 
-def _attn_block_fn(cfg: ModelConfig, lp, cos, sin):
+def _attn_block_fn(cfg: ModelConfig, lp, cos, sin, attn_bias=None):
     """self_attn as a function of (wq, wk, wv): x1 -> o_proj output."""
 
     def fn(ws, x1):
-        b, s, _ = x1.shape
-        nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-        q = linear_apply(ws["wq"], x1).reshape(b, s, nq, hd)
-        k = linear_apply(ws["wk"], x1).reshape(b, s, nkv, hd)
-        v = linear_apply(ws["wv"], x1).reshape(b, s, nkv, hd)
-        q, k = apply_rope(q, k, cos, sin, jnp.arange(s))
-        attn = attention(
-            q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), jnp.int32(0)
+        merged = dict(lp)
+        merged.update(ws)
+        return linear_apply(
+            lp["wo"], _attention_of(cfg, merged, x1, cos, sin, attn_bias)
         )
-        return linear_apply(lp["wo"], attn)
 
     return fn
 
 
 def _mlp_block_fn(cfg: ModelConfig, lp):
-    def fn(ws, x2):
-        g = linear_apply(ws["gate"], x2)
-        u = linear_apply(ws["up"], x2)
-        act = jax.nn.silu(g.astype(jnp.float32)).astype(x2.dtype) * u
-        return linear_apply(lp["down"], act)
+    if cfg.act == "silu":
+        def fn(ws, x2):
+            g = linear_apply(ws["gate"], x2)
+            u = linear_apply(ws["up"], x2)
+            act = jax.nn.silu(g.astype(jnp.float32)).astype(x2.dtype) * u
+            return linear_apply(lp["down"], act)
+    else:
+        def fn(ws, x2):
+            return linear_apply(lp["down"], _act_fn(cfg, linear_apply(ws["up"], x2)))
+
+    return fn
+
+
+def _layer_block_fn(cfg: ModelConfig, lp, cos, sin, attn_bias=None):
+    """Whole decoder layer as a function of the scaled linears (falcon
+    single-LN joint group; reference uses module2inspect=layer)."""
+
+    def fn(ws, h):
+        merged = dict(lp)
+        merged.update(ws)
+        out, _ = _capture(cfg, merged, h, cos, sin, attn_bias)
+        return out
 
     return fn
 
@@ -310,26 +355,68 @@ def _scale_fc_fc(lp: dict, prev: str, nxt: str, s: jax.Array):
     )
 
 
+def _apply_one_scale(lp: dict, kind: str, prev: str, lin_names, s):
+    if kind == "ln":
+        _scale_ln_fcs(lp, prev, lin_names, s)
+    elif kind == "fc":
+        _scale_fc_fc(lp, prev, lin_names[0], s)
+    else:  # act
+        _scale_act_fc(lp, lin_names[0], s)
+
+
+def _scale_act_fc(lp: dict, nxt: str, s: jax.Array):
+    """Fold via activation scaling: act output divided at runtime by
+    ``act_scale`` (ScaledActivation counterpart, ``auto_scale.py:464-467``),
+    next linear's input channels multiplied."""
+    prev = lp.get("act_scale")
+    lp["act_scale"] = s if prev is None else (prev * s)
+    fc = lp[nxt]
+    lp[nxt] = Linear(
+        w=(fc.w.astype(jnp.float32) * s[:, None]).astype(fc.w.dtype),
+        b=fc.b,
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-arch scale groups (auto_scale.py:175-444)
 # ---------------------------------------------------------------------------
 
 
-def llama_scale_groups(cfg: ModelConfig):
-    """(prev_op, linears, feat_key, block_fn_builder) per decoder layer."""
-    groups = [
-        ("ln1", ("wq", "wk", "wv"), "wq",
-         lambda lp, cos, sin: _attn_block_fn(cfg, lp, cos, sin)),
-    ]
-    # v->o only when shapes match (GQA breaks the fold; reference:
+def scale_groups(cfg: ModelConfig):
+    """(kind, prev_name, linears, feat_key, block_fn_builder) per layer.
+
+    Counterpart of the per-arch tables at ``auto_scale.py:175-444``.
+    kind: "ln" folds into a norm, "fc" into the previous linear's output
+    channels, "act" into a ScaledActivation-equivalent act_scale.
+    """
+    mk_attn = lambda lp, cos, sin, ab: _attn_block_fn(cfg, lp, cos, sin, ab)
+    mk_mlp = lambda lp, cos, sin, ab: _mlp_block_fn(cfg, lp)
+    mk_layer = lambda lp, cos, sin, ab: _layer_block_fn(cfg, lp, cos, sin, ab)
+    single = lambda name: (lambda lp, cos, sin, ab: _single_fn(name))
+
+    groups = []
+    if cfg.single_ln:
+        # falcon-7b: one LN feeds qkv AND mlp-up; joint fold over the
+        # whole layer (reference falcon branch, auto_scale.py:331-371)
+        groups.append(("ln", "ln1", ("wq", "wk", "wv", "up"), "__input__",
+                       mk_layer))
+    else:
+        groups.append(("ln", "ln1", ("wq", "wk", "wv"), "wq", mk_attn))
+    # v->o only when shapes match (GQA/MQA breaks the fold; reference:
     # auto_scale.py:232 shape equality check)
     if cfg.num_kv_heads == cfg.num_heads:
-        groups.append(("wv", ("wo",), "wo", lambda lp, cos, sin: _single_fn("wo")))
-    groups += [
-        ("ln2", ("gate", "up"), "gate",
-         lambda lp, cos, sin: _mlp_block_fn(cfg, lp)),
-        ("up", ("down",), "down", lambda lp, cos, sin: _single_fn("down")),
-    ]
+        groups.append(("fc", "wv", ("wo",), "wo", single("wo")))
+    if cfg.act == "silu":
+        groups += [
+            ("ln", "ln2", ("gate", "up"), "gate", mk_mlp),
+            ("fc", "up", ("down",), "down", single("down")),
+        ]
+    else:
+        if not cfg.single_ln:
+            groups.append(("ln", "ln2", ("up",), "up", mk_mlp))
+        # gelu -> down: fold via activation scaling (ScaledActivation
+        # counterpart; reference scale_gelu_fc, auto_scale.py:72-83)
+        groups.append(("act", "up", ("down",), "down", single("down")))
     return groups
 
 
@@ -355,13 +442,23 @@ def run_awq(
     n, s = samples.shape
     L = cfg.num_layers
     h = params["embed"][samples].astype(jnp.dtype(cfg.dtype))
+    if cfg.pos_embed == "learned":
+        off = 2 if cfg.arch == "opt" else 0
+        h = h + params["pos_embed"][jnp.arange(s) + off][None].astype(h.dtype)
     cos, sin = rope_table(cfg, s)
+    attn_bias = None
+    if cfg.pos_embed == "alibi":
+        from awq_tpu.models.layers import alibi_slopes
+
+        slopes = alibi_slopes(cfg.num_heads)
+        attn_bias = (slopes[:, None, None]
+                     * jnp.arange(s, dtype=jnp.float32)[None, None, :])
 
     layers = params["layers"]
     new_layer_slices: List[dict] = []
     result = AwqResult(scale=[], clip=[])
     capture = jax.jit(
-        lambda lp, h: _llama_capture(cfg, lp, h, cos, sin)
+        lambda lp, h: _capture(cfg, lp, h, cos, sin, attn_bias)
     )
 
     for i in range(L):
@@ -371,22 +468,19 @@ def run_awq(
 
         lp = dict(lp)
         if auto_scale:
-            for prev, lin_names, feat_key, mk_fn in llama_scale_groups(cfg):
-                fn = mk_fn(lp, cos, sin)
+            for kind, prev, lin_names, feat_key, mk_fn in scale_groups(cfg):
+                fn = mk_fn(lp, cos, sin, attn_bias)
                 sc = _search_scale(
                     fn, {k: lp[k] for k in lin_names}, feats[feat_key], qcfg
                 )
-                if prev in ("ln1", "ln2"):
-                    _scale_ln_fcs(lp, prev, lin_names, sc)
-                else:
-                    _scale_fc_fc(lp, prev, lin_names[0], sc)
+                _apply_one_scale(lp, kind, prev, lin_names, sc)
                 # divide captured inputs (apply_scale input_feat_dict path)
                 for nme in lin_names:
                     feats[nme] = (
                         feats[nme].astype(jnp.float32) / sc
                     ).astype(feats[nme].dtype)
                 result.scale.append(
-                    (i, prev, tuple(lin_names), np.asarray(sc))
+                    (i, kind + ":" + prev, tuple(lin_names), np.asarray(sc))
                 )
         if mse_range:
             for name in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
@@ -418,12 +512,14 @@ def apply_awq(
     slices = [
         dict(jax.tree_util.tree_map(lambda a: a[i], layers)) for i in range(L)
     ]
-    for i, prev, lin_names, sc in result.scale:
+    for i, tagged, lin_names, sc in result.scale:
         s = jnp.asarray(sc)
-        if prev in ("ln1", "ln2"):
-            _scale_ln_fcs(slices[i], prev, lin_names, s)
-        else:
-            _scale_fc_fc(slices[i], prev, lin_names[0], s)
+        if ":" in tagged:
+            kind, prev = tagged.split(":", 1)
+        else:  # v0 dumps: infer from the prev name
+            prev = tagged
+            kind = "ln" if prev.startswith("ln") else "fc"
+        _apply_one_scale(slices[i], kind, prev, lin_names, s)
     out = dict(params)
     out["layers"] = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *slices
