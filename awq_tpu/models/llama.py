@@ -292,14 +292,95 @@ def forward(
         attn_bias = (slopes[:, None, None]
                      * jnp.arange(max_t, dtype=jnp.float32)[None, None, :])
 
-    def body(h, lp_kv):
-        lp, kv = lp_kv
-        h, kv = _layer_forward(
-            cfg, lp, h, kv, start_pos, cos, sin, positions, attn_bias
-        )
-        return h, kv
+    use_fused_decode = (
+        s == 1
+        and attn_bias is None
+        and max_t % 256 == 0
+        and cfg.head_dim % 128 == 0
+        and jax.default_backend() == "tpu"
+    )
+    if use_fused_decode:
+        # Decode: the cache rides through the scan as a carry and the
+        # fused Pallas kernel appends+attends on the FULL stacked cache —
+        # a per-layer cache[i] slice would be materialized as a full-cache
+        # copy per layer per token (custom-call operands can't alias a
+        # dynamic slice).
+        from awq_tpu.ops.decode_attn import flash_decode_stacked
+        from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked
 
-    h, new_cache = jax.lax.scan(body, h, (params["layers"], cache))
+        layers_all = params["layers"]
+        # only the small leaves (norms, biases, act scales) ride the scan
+        # sliced; packed weights stay stacked and are indexed INSIDE the
+        # Pallas kernels (zero-copy)
+        small = {k2: v for k2, v in layers_all.items()
+                 if isinstance(v, jax.Array)}
+
+        def lin(name, idx, xx):
+            p = layers_all[name]
+            if isinstance(p, QLinear):
+                return qlinear_apply_stacked(p, idx, xx)
+            lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
+            return linear_apply(lp1, xx)
+
+        def body(carry, idx):
+            h, cache = carry
+            lp = {k2: v[idx] for k2, v in small.items() if v is not None}
+            x = _norm(cfg, h, lp["ln1"], lp.get("ln1_b"))
+            nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+            q = lin("wq", idx, x).reshape(b, 1, nq, hd)
+            k = lin("wk", idx, x).reshape(b, 1, nkv, hd)
+            v = lin("wv", idx, x).reshape(b, 1, nkv, hd)
+            if cfg.pos_embed == "rope":
+                q, k = apply_rope(q, k, cos, sin, positions)
+            # append in XLA (in-place on the scan carry), attend in Pallas
+            kv_new = jnp.stack([
+                jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+            ])[None].astype(cache.dtype)              # [1,2,B,n_kv,1,hd]
+            cache = jax.lax.dynamic_update_slice(
+                cache, kv_new, (idx, 0, 0, 0, start_pos, 0)
+            )
+            attn = flash_decode_stacked(
+                q[:, 0], cache, idx, start_pos + 1
+            )
+            attn_out = lin("wo", idx, attn.reshape(b, 1, nq * hd))
+            if cfg.parallel_block:
+                xm = x if cfg.single_ln else _norm(
+                    cfg, h, lp["ln2"], lp.get("ln2_b"))
+            else:
+                h = h + attn_out
+                xm = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
+            if cfg.act == "silu":
+                g = lin("gate", idx, xm)
+                u = lin("up", idx, xm)
+                hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
+            else:
+                hm = lin("up", idx, xm)
+                if cfg.act == "relu":
+                    hm = jnp.maximum(hm, 0)
+                else:
+                    hm = jax.nn.gelu(
+                        hm.astype(jnp.float32),
+                        approximate=(cfg.act == "gelu_tanh"),
+                    ).astype(xm.dtype)
+                if lp.get("act_scale") is not None:
+                    hm = (hm.astype(jnp.float32)
+                          / lp["act_scale"]).astype(hm.dtype)
+            m = lin("down", idx, hm)
+            h = (h + attn_out + m) if cfg.parallel_block else (h + m)
+            return (h, cache), None
+
+        (h, new_cache), _ = jax.lax.scan(
+            body, (h, cache), jnp.arange(cfg.num_layers)
+        )
+    else:
+        def body(h, lp_kv):
+            lp, kv = lp_kv
+            h, kv = _layer_forward(
+                cfg, lp, h, kv, start_pos, cos, sin, positions, attn_bias
+            )
+            return h, kv
+
+        h, new_cache = jax.lax.scan(body, h, (params["layers"], cache))
 
     if last_only:
         h = h[:, -1:, :]

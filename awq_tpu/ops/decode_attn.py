@@ -91,6 +91,120 @@ def _flash_decode_kernel(
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
+def _stacked_decode_kernel(
+    scalars_ref, q_ref, cache_ref,
+    o_ref, kbuf, vbuf, ksem, vsem,
+    *, block_t: int, scale: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    layer = scalars_ref[0]
+    length = scalars_ref[1]
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale      # [g, hd]
+    g, hd = q.shape
+    nblk = pl.cdiv(length, block_t)
+
+    def dma(buf, kv, sem, slot, i):
+        return pltpu.make_async_copy(
+            cache_ref.at[layer, kv, b, h, pl.ds(i * block_t, block_t), :],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    dma(kbuf, 0, ksem, 0, 0).start()
+    dma(vbuf, 1, vsem, 0, 0).start()
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = i % 2
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            dma(kbuf, 0, ksem, (i + 1) % 2, i + 1).start()
+            dma(vbuf, 1, vsem, (i + 1) % 2, i + 1).start()
+
+        dma(kbuf, 0, ksem, slot, i).wait()
+        s = jax.lax.dot_general(
+            q, kbuf[slot],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
+        s = jnp.where(col < length, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        dma(vbuf, 1, vsem, slot, i).wait()
+        pv = jax.lax.dot_general(
+            p.astype(vbuf.dtype), vbuf[slot],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha + pv
+
+    m0 = jnp.full((g, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros((g, hd), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def flash_decode_stacked(
+    q: jax.Array,          # [B, n_q, hd] post-rope queries (one position)
+    cache: jax.Array,      # [L, 2, B, n_kv, T, hd] FULL stacked cache
+    layer: jax.Array,      # scalar int32
+    length: jax.Array,     # scalar int32 valid positions (incl. current)
+    block_t: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash decode over layer ``layer`` of the stacked cache.
+
+    Taking the whole ``[L, ...]`` cache avoids the per-layer slice that XLA
+    would otherwise materialize as a full-cache copy per layer per token
+    (custom-call operands can't alias a dynamic slice). The k/v append
+    happens in XLA (``dynamic_update_slice`` on the scan carry — in-place);
+    a single-position bf16 write inside the kernel would violate the (2,128)
+    HBM tile granularity.
+    """
+    b, n_q, hd = q.shape
+    n_kv, t = cache.shape[3], cache.shape[4]
+    assert t % block_t == 0, f"cache len {t} % {block_t} != 0"
+    g = n_q // n_kv
+    qg = q.reshape(b, n_kv, g, hd)
+    scalars = jnp.stack([layer.astype(jnp.int32), length.astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_t, hd), cache.dtype),
+            pltpu.VMEM((2, block_t, hd), cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _stacked_decode_kernel, block_t=block_t, scale=1.0 / (hd ** 0.5)
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_kv, g, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scalars, qg, cache)
+    return out.reshape(b, n_q, hd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
 def flash_decode(
     q: jax.Array,          # [B, n_q, hd] single-position queries

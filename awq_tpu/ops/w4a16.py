@@ -219,6 +219,110 @@ def w4a16_matmul_pallas(
     return out[:m] if m_pad else out
 
 
+def _w4a16_kernel_stacked(idx_ref, x_ref, qw_ref, s_ref, sz_ref, o_ref,
+                          acc_ref, *, bk: int, group_size: int, out_dtype):
+    del idx_ref  # consumed by the index maps
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    codes = _unpack_block(qw_ref[0])
+    wq = codes.astype(jnp.bfloat16)
+    x = x_ref[:]
+    n_g = bk // group_size
+    acc = acc_ref[:]
+    g0 = k * n_g
+    for g in range(n_g):
+        lo = g * group_size
+        xg = x[:, lo:lo + group_size]
+        part = jnp.dot(xg, wq[lo:lo + group_size, :],
+                       preferred_element_type=jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + part * s_ref[0, g0 + g, :][None, :] \
+            - xsum * sz_ref[0, g0 + g, :][None, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "block_m", "block_n", "block_k")
+)
+def w4a16_matmul_stacked(
+    x, qweight, scales, szeros, layer_idx, group_size: int,
+    block_m: int = 0, block_n: int = 512, block_k: int = 0,
+):
+    """Like :func:`w4a16_matmul_pallas` but over STACKED per-layer weights
+    ``[L, IC//8, OC]`` selected by ``layer_idx`` inside the kernel's index
+    maps (scalar prefetch). Under a ``lax.scan`` over layers this reads the
+    weights in place — slicing the stack outside the kernel would force XLA
+    to materialize a full copy of each layer's weights per call."""
+    m, ic = x.shape
+    _, icp, oc = qweight.shape
+    bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
+    bn = _pick_block(oc, (block_n, 256, 128))
+    bk = block_k or _pick_block(ic, (1024, 512, 256, 128, 64))
+    bk = max(bk, group_size)
+    m_pad = -m % bm
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    grid = (x.shape[0] // bm, oc // bn, ic // bk)
+    idx = jnp.reshape(layer_idx, (1,)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, k)),
+            pl.BlockSpec((1, bk // 8, bn), lambda i, j, k, l: (l[0], k, j)),
+            pl.BlockSpec((1, ic // group_size, bn),
+                         lambda i, j, k, l: (l[0], 0, j)),
+            pl.BlockSpec((1, ic // group_size, bn),
+                         lambda i, j, k, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a16_kernel_stacked, bk=bk, group_size=group_size,
+            out_dtype=x.dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], oc), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(idx, x, qweight, scales, szeros)
+    return out[:m] if m_pad else out
+
+
+def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
+                          x: jax.Array) -> jax.Array:
+    """Apply layer ``layer_idx`` of a stacked ``QLinear [L, ...]``."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if jax.default_backend() == "tpu":
+        out = w4a16_matmul_stacked(
+            x2, ql.qweight, ql.scales, ql.szeros, layer_idx, ql.group_size
+        )
+    else:
+        qw = ql.qweight[layer_idx]
+        out = w4a16_matmul_xla(
+            x2, qw, ql.scales[layer_idx], ql.szeros[layer_idx], ql.group_size
+        )
+    out = out.reshape(*lead, ql.qweight.shape[-1])
+    if ql.bias is not None:
+        out = out + ql.bias[layer_idx].astype(out.dtype)
+    return out
+
+
 def w4a16_matmul(
     x: jax.Array,
     qweight: jax.Array,

@@ -54,6 +54,23 @@ def test_flash_decode_ignores_stale_cache_suffix():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
 
 
+def test_flash_decode_stacked_selects_layer():
+    """stacked-cache kernel == masked attention over the selected layer."""
+    from awq_tpu.ops.decode_attn import flash_decode_stacked
+
+    L, b, n_q, n_kv, t, hd = 3, 1, 4, 4, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    cache = jax.random.normal(ks[0], (L, 2, b, n_kv, t, hd), jnp.float32)
+    q = jax.random.normal(ks[1], (b, n_q, hd), jnp.float32)
+    for layer in (0, 2):
+        out = flash_decode_stacked(
+            q, cache, jnp.int32(layer), jnp.int32(101), interpret=True
+        )
+        ref = _ref(q, cache[layer, 0], cache[layer, 1], 101)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
 def test_attention_decode_path_consistency():
     """attention() S=1 (XLA path on CPU) agrees with flash_decode."""
     b, n_q, n_kv, t, hd = 1, 8, 4, 256, 64
