@@ -55,9 +55,14 @@ class JsonHTTPServer:
                     self.wfile.write(body)
                     return
                 if isinstance(result, dict):
-                    body = json.dumps(result).encode()
+                    if "__html__" in result:  # raw page response
+                        body = result["__html__"].encode()
+                        ctype = "text/html; charset=utf-8"
+                    else:
+                        body = json.dumps(result).encode()
+                        ctype = "application/json"
                     self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Type", ctype)
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
