@@ -192,6 +192,42 @@ def init_qparams(
     return params
 
 
+def fuse_linears(params: Params, cfg: ModelConfig) -> Params:
+    """Concatenate wq/wk/wv -> ``wqkv`` and gate/up -> ``wgateup`` along the
+    output-channel axis (counterpart of the reference's QKV fusion in
+    ``make_quant_attn``, ``tinychat/modules/fused_attn.py:549-634``, and the
+    fused gate/up GEMV in ``fused_mlp.py``). One kernel launch instead of
+    three/two — launch overhead is a real cost at decode."""
+    from awq_tpu.ops.w4a16 import QLinear
+
+    layers = dict(params["layers"])
+
+    def cat(parts):
+        a = parts[0]
+        if isinstance(a, QLinear):
+            return QLinear(
+                qweight=jnp.concatenate([p.qweight for p in parts], axis=-1),
+                scales=jnp.concatenate([p.scales for p in parts], axis=-1),
+                szeros=jnp.concatenate([p.szeros for p in parts], axis=-1),
+                bias=(jnp.concatenate([p.bias for p in parts], axis=-1)
+                      if a.bias is not None else None),
+                w_bit=a.w_bit, group_size=a.group_size,
+            )
+        return Linear(
+            w=jnp.concatenate([p.w for p in parts], axis=-1),
+            b=(jnp.concatenate([p.b for p in parts], axis=-1)
+               if a.b is not None else None),
+        )
+
+    layers["wqkv"] = cat([layers.pop("wq"), layers.pop("wk"),
+                          layers.pop("wv")])
+    if "gate" in layers:
+        layers["wgateup"] = cat([layers.pop("gate"), layers.pop("up")])
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
 ) -> jax.Array:
@@ -226,9 +262,16 @@ def _layer_forward(
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     x = _norm(cfg, h, lp["ln1"], lp.get("ln1_b"))
-    q = linear_apply(lp["wq"], x).reshape(b, s, nq, hd)
-    k = linear_apply(lp["wk"], x).reshape(b, s, nkv, hd)
-    v = linear_apply(lp["wv"], x).reshape(b, s, nkv, hd)
+    if "wqkv" in lp:
+        qkv = linear_apply(lp["wqkv"], x)
+        q, k, v = jnp.split(qkv, [nq * hd, (nq + nkv) * hd], axis=-1)
+        q = q.reshape(b, s, nq, hd)
+        k = k.reshape(b, s, nkv, hd)
+        v = v.reshape(b, s, nkv, hd)
+    else:
+        q = linear_apply(lp["wq"], x).reshape(b, s, nq, hd)
+        k = linear_apply(lp["wk"], x).reshape(b, s, nkv, hd)
+        v = linear_apply(lp["wv"], x).reshape(b, s, nkv, hd)
     if cfg.pos_embed == "rope":
         q, k = apply_rope(q, k, cos, sin, positions)
     k_cache, v_cache = update_kv_cache(kv[0], kv[1], k, v, start_pos)
@@ -242,7 +285,12 @@ def _layer_forward(
     else:
         h = h + attn_out
         xm = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
-    if cfg.act == "silu":
+    if "wgateup" in lp:
+        gu = linear_apply(lp["wgateup"], xm)
+        g, u = jnp.split(gu, 2, axis=-1)
+        hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
+        m = linear_apply(lp["down"], hm)
+    elif cfg.act == "silu":
         m = mlp_swiglu(lp["gate"], lp["up"], lp["down"], xm)
     else:
         m = mlp_gelu(lp["up"], lp["down"], xm, act=cfg.act,
@@ -262,16 +310,22 @@ def forward(
     cache: jax.Array,           # [L, 2, B, n_kv, T, hd]
     start_pos: jax.Array,       # scalar int32
     last_only: bool = True,
+    inputs_embeds: Optional[jax.Array] = None,  # [B, S, H] (VLM splicing)
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the decoder; returns ``(logits, new_cache)``.
 
     ``last_only=True`` computes logits for the final position only
     (prefill fast path, reference ``llama.py:353``); ``False`` returns
-    ``[B, S, V]`` for perplexity evaluation.
+    ``[B, S, V]`` for perplexity evaluation. ``inputs_embeds`` bypasses the
+    token embedding (multimodal splicing; reference
+    ``llama.py:390-413`` takes the same optional argument).
     """
     b, s = tokens.shape
     dt = _dtype(cfg)
-    h = params["embed"][tokens].astype(dt)
+    if inputs_embeds is not None:
+        h = inputs_embeds.astype(dt)
+    else:
+        h = params["embed"][tokens].astype(dt)
 
     max_t = cache.shape[4]
     cos, sin = rope_table(cfg, max_t)
@@ -327,9 +381,16 @@ def forward(
             lp = {k2: v[idx] for k2, v in small.items() if v is not None}
             x = _norm(cfg, h, lp["ln1"], lp.get("ln1_b"))
             nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-            q = lin("wq", idx, x).reshape(b, 1, nq, hd)
-            k = lin("wk", idx, x).reshape(b, 1, nkv, hd)
-            v = lin("wv", idx, x).reshape(b, 1, nkv, hd)
+            if "wqkv" in layers_all:
+                qkv = lin("wqkv", idx, x)
+                q, k, v = jnp.split(qkv, [nq * hd, (nq + nkv) * hd], axis=-1)
+                q = q.reshape(b, 1, nq, hd)
+                k = k.reshape(b, 1, nkv, hd)
+                v = v.reshape(b, 1, nkv, hd)
+            else:
+                q = lin("wq", idx, x).reshape(b, 1, nq, hd)
+                k = lin("wk", idx, x).reshape(b, 1, nkv, hd)
+                v = lin("wv", idx, x).reshape(b, 1, nkv, hd)
             if cfg.pos_embed == "rope":
                 q, k = apply_rope(q, k, cos, sin, positions)
             # append in XLA (in-place on the scan carry), attend in Pallas
@@ -349,7 +410,11 @@ def forward(
             else:
                 h = h + attn_out
                 xm = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
-            if cfg.act == "silu":
+            if "wgateup" in layers_all:
+                gu = lin("wgateup", idx, xm)
+                g, u = jnp.split(gu, 2, axis=-1)
+                hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
+            elif cfg.act == "silu":
                 g = lin("gate", idx, xm)
                 u = lin("up", idx, xm)
                 hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u

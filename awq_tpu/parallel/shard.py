@@ -24,7 +24,7 @@ from typing import Any, Dict
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-COLUMN_PARALLEL = ("wq", "wk", "wv", "gate", "up", "fc1")
+COLUMN_PARALLEL = ("wq", "wk", "wv", "gate", "up", "fc1", "wqkv", "wgateup")
 ROW_PARALLEL = ("wo", "down", "fc2")
 
 

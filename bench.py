@@ -70,6 +70,9 @@ def main():
     qcfg = QuantConfig(w_bit=4, group_size=128)
 
     params = init_qparams(cfg, qcfg, jax.random.PRNGKey(0))
+    from awq_tpu.models.llama import fuse_linears
+
+    params = fuse_linears(params, cfg)
     jax.block_until_ready(params)
     cache = init_kv_cache(cfg, 1, args.max_seq, jnp.bfloat16)
     gen = GenConfig(greedy=True, temperature=1.0, repetition_penalty=1.0)

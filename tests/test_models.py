@@ -126,3 +126,26 @@ def test_quantized_forward_runs_and_approximates_fp():
     assert agree >= 0.7, agree
     rel = np.abs(np.asarray(q - fp)).max() / (np.abs(np.asarray(fp)).max() + 1e-9)
     assert rel < 0.35, rel
+
+
+def test_fused_linears_match_unfused():
+    """wqkv / wgateup fusion is a pure repacking: logits identical."""
+    from awq_tpu.models.llama import fuse_linears
+
+    cfg = tiny_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(5))
+    fused = fuse_linears(params, cfg)
+    assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (1, 10), 0, 256)
+    cache = init_kv_cache(cfg, 1, 16, jnp.float32)
+    a, _ = forward(params, cfg, tokens, cache, jnp.int32(0), last_only=False)
+    b, _ = forward(fused, cfg, tokens, cache, jnp.int32(0), last_only=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+
+    qparams = quantize_params(params, QuantConfig(w_bit=4, group_size=32))
+    qfused = fuse_linears(qparams, cfg)
+    a, _ = forward(qparams, cfg, tokens, cache, jnp.int32(0), last_only=False)
+    b, _ = forward(qfused, cfg, tokens, cache, jnp.int32(0), last_only=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
