@@ -126,6 +126,52 @@ def save_checkpoint(
         json.dump(meta, f)
 
 
+def split_checkpoint(path: str, out_dir: str) -> int:
+    """Split a saved checkpoint into one file per tensor.
+
+    Counterpart of ``tinychat/split_ckpt.py:6-28`` (per-tensor checkpoints
+    for memory-constrained shard-by-shard loading). Returns tensor count."""
+    from safetensors.numpy import load_file, save_file
+
+    flat = load_file(path + ".safetensors")
+    os.makedirs(out_dir, exist_ok=True)
+    import shutil
+
+    shutil.copy(path + ".json", os.path.join(out_dir, "meta.json"))
+    for i, (k, v) in enumerate(sorted(flat.items())):
+        save_file({k: v}, os.path.join(out_dir, f"t{i:05d}.safetensors"))
+    with open(os.path.join(out_dir, "index.json"), "w") as f:
+        json.dump({k: f"t{i:05d}.safetensors"
+                   for i, k in enumerate(sorted(flat))}, f)
+    return len(flat)
+
+
+def load_split_checkpoint(out_dir: str):
+    """Shard-by-shard loader (``mem_efficient_load`` counterpart,
+    ``tinychat/utils/load_quant.py:27-58``): peak host memory is one tensor
+    plus the accumulated device arrays."""
+    from safetensors.numpy import load_file
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    ver = meta.get("pack_layout_version")
+    if ver != PACK_LAYOUT_VERSION:
+        raise ValueError(f"split checkpoint pack layout v{ver} unsupported")
+    with open(os.path.join(out_dir, "index.json")) as f:
+        index = json.load(f)
+    flat: Dict[str, np.ndarray] = {}
+    for k, fname in index.items():
+        flat.update(load_file(os.path.join(out_dir, fname)))
+    for k in meta.get("bf16_keys", []):
+        flat[k] = flat[k].view(jnp.bfloat16)
+    mc = dict(meta["model_config"])
+    if mc.get("rope_scaling"):
+        mc["rope_scaling"] = RopeScaling(**mc["rope_scaling"])
+    cfg = ModelConfig(**mc)
+    qcfg = QuantConfig(**meta["quant_config"]) if meta["quant_config"] else None
+    return _unflatten(flat, meta["tags"]), cfg, qcfg
+
+
 def load_checkpoint(
     path: str,
 ) -> Tuple[Dict[str, Any], ModelConfig, Optional[QuantConfig]]:

@@ -46,6 +46,95 @@ def _unpack_autoawq_linear(
     return codes, s, sz
 
 
+def _unpack_tinychat_v2_linear(
+    qweight: np.ndarray,       # int16 [OC/4, IC] interleaved
+    scales: np.ndarray,        # [IC/G, OC] (transposed storage variants ok)
+    scaled_zeros: np.ndarray,  # [IC/G, OC]
+    oc: int,
+    ic: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (codes [IC, OC], scales f32 [IC/G, OC], szeros f32).
+
+    TinyChat's kernel computes ``q*s + scaled_zeros`` with
+    ``scaled_zeros = -(z*s)`` (``qmodule.py:139-199``); our convention is
+    ``q*s - szeros``, so ``szeros = -scaled_zeros``.
+    """
+    codes_nk = native.unpack_awq_v2(qweight, oc, ic)       # [OC, IC]
+    codes = np.ascontiguousarray(codes_nk.T)               # [IC, OC]
+    s = np.asarray(scales, np.float32)
+    if s.shape[0] == oc:  # stored transposed [OC, IC/G]
+        s = s.T
+    sz = -np.asarray(scaled_zeros, np.float32)
+    if sz.shape[0] == oc:
+        sz = sz.T
+    # strip calculate_zeros_width padding if present (qmodule.py:11-23)
+    return codes, s[:, :oc] if s.shape[1] > oc else s, \
+        sz[:, :oc] if sz.shape[1] > oc else sz
+
+
+def load_tinychat_v2_checkpoint(
+    pt_path: str,
+    hf_config_path: str,
+    dtype: str = "bfloat16",
+    group_size: int = 128,
+) -> Tuple[ModelConfig, Dict[str, Any], QuantConfig]:
+    """Load a TinyChat ``*-v2.pt`` torch checkpoint (llama-family)."""
+    import torch
+
+    with open(os.path.join(hf_config_path, "config.json")) as f:
+        raw = json.load(f)
+    cfg = model_config_from_hf(raw)
+    cfg = ModelConfig(**{**cfg.__dict__, "dtype": dtype})
+    qcfg = QuantConfig(w_bit=4, group_size=group_size)
+    blob = torch.load(pt_path, map_location="cpu", weights_only=True)
+    sd = {k: v.float().numpy() if v.dtype.is_floating_point
+          else v.numpy() for k, v in blob.items()}
+    dt = jnp.dtype(dtype)
+    L = cfg.num_layers
+
+    def qlin(prefix_fmt: str, ic: int, oc: int) -> QLinear:
+        qws, ss, szs = [], [], []
+        for i in range(L):
+            p = prefix_fmt.format(i=i)
+            codes, s, sz = _unpack_tinychat_v2_linear(
+                sd[p + ".qweight"], sd[p + ".scales"],
+                sd[p + ".scaled_zeros"], oc, ic,
+            )
+            qws.append(native.pack_int4_tpu(codes))
+            ss.append(s)
+            szs.append(sz)
+        return QLinear(
+            qweight=jnp.asarray(np.stack(qws)),
+            scales=jnp.asarray(np.stack(ss)),
+            szeros=jnp.asarray(np.stack(szs)),
+            w_bit=4, group_size=qcfg.group_size,
+        )
+
+    def vec(fmt: str):
+        return jnp.asarray(
+            np.stack([np.asarray(sd[fmt.format(i=i)]) for i in range(L)]), dt
+        )
+
+    h, i_sz = cfg.hidden_size, cfg.intermediate_size
+    kv = cfg.num_kv_heads * cfg.head_dim
+    dims = {"wq": (h, h), "wk": (h, kv), "wv": (h, kv), "wo": (h, h),
+            "gate": (h, i_sz), "up": (h, i_sz), "down": (i_sz, h)}
+    layers: Dict[str, Any] = {
+        "ln1": vec(_LLAMA_MAP["ln1"]),
+        "ln2": vec(_LLAMA_MAP["ln2"]),
+    }
+    for name, (ic, oc) in dims.items():
+        layers[name] = qlin(_LLAMA_MAP[name], ic, oc)
+    params: Dict[str, Any] = {
+        "embed": jnp.asarray(np.asarray(sd["model.embed_tokens.weight"]), dt),
+        "layers": layers,
+        "norm": jnp.asarray(np.asarray(sd["model.norm.weight"]), dt),
+    }
+    if "lm_head.weight" in sd:
+        params["lm_head"] = jnp.asarray(np.asarray(sd["lm_head.weight"]).T, dt)
+    return cfg, params, qcfg
+
+
 def load_autoawq_checkpoint(
     path: str, dtype: str = "bfloat16"
 ) -> Tuple[ModelConfig, Dict[str, Any], QuantConfig]:

@@ -12,7 +12,7 @@ import numpy as np
 
 from awq_tpu.ops.w4a16 import w4a16_matmul_stacked
 
-SHAPES = [(4096, 11008), (4096, 12288), (4096, 22016)]
+SHAPES = [(4096, 12288), (4096, 22016), (11008, 4096)]
 L = 4
 
 
@@ -27,7 +27,7 @@ def chain(op, x0, n):
     return run
 
 
-def slope(op, x, n1=10, n2=60, reps=3):
+def slope(op, x, n1=5, n2=35, reps=2):
     r1, r2 = chain(op, x, n1), chain(op, x, n2)
     np.asarray(r1(x)); np.asarray(r2(x))
     best = np.inf
@@ -47,8 +47,7 @@ def main():
         sz = jnp.full((L, ic // 128, oc), 0.08, jnp.float32)
         x = jax.random.normal(key, (1, ic), jnp.bfloat16)
         packed_gb = ic * oc / 2 / 1e9
-        for bn, bk in ((512, 1024), (512, 2048), (1024, 512), (2048, 512),
-                       (1024, 1024)):
+        for bn, bk in ((512, 1024), (512, 2048), (1024, 1024)):
             if oc % bn or ic % bk:
                 continue
             try:

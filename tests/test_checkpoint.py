@@ -99,3 +99,24 @@ def test_cli_quantize_and_reload(tiny, tmp_path):
     path = str(tmp_path / "cli-ckpt")
     save_checkpoint(path, qp, cfg, QuantConfig(w_bit=4, group_size=64))
     assert main(["--load_quant", path]) == 0
+
+
+def test_split_checkpoint_roundtrip(tiny, tmp_path):
+    from awq_tpu.utils.checkpoint import (
+        load_split_checkpoint,
+        split_checkpoint,
+    )
+
+    cfg, params = tiny
+    qp = quantize_params(params, QuantConfig(w_bit=4, group_size=64))
+    path = str(tmp_path / "ckpt-split-src")
+    save_checkpoint(path, qp, cfg, QuantConfig(w_bit=4, group_size=64))
+    n = split_checkpoint(path, str(tmp_path / "split"))
+    assert n > 10
+    p2, cfg2, qcfg2 = load_split_checkpoint(str(tmp_path / "split"))
+    assert cfg2 == cfg and qcfg2.w_bit == 4
+    tokens = jnp.arange(8, dtype=jnp.int32)[None]
+    cache = init_kv_cache(cfg, 1, 16, jnp.float32)
+    l1, _ = forward(qp, cfg, tokens, cache, jnp.int32(0))
+    l2, _ = forward(p2, cfg2, tokens, cache, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
