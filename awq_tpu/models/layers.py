@@ -107,10 +107,14 @@ def apply_rope(
     k: jax.Array,            # [B, S, n_kv, hd]
     cos: jax.Array,          # [max_len, rotary_dim]  (rotary_dim <= hd)
     sin: jax.Array,
-    positions: jax.Array,    # [S] absolute positions
+    positions: jax.Array,    # [S] shared, or [B, S] per-row positions
 ) -> Tuple[jax.Array, jax.Array]:
-    c = cos[positions][None, :, None, :]
-    s = sin[positions][None, :, None, :]
+    if positions.ndim == 1:
+        c = cos[positions][None, :, None, :]
+        s = sin[positions][None, :, None, :]
+    else:  # per-row (continuous batching: rows decode at own lengths)
+        c = cos[positions][:, :, None, :]
+        s = sin[positions][:, :, None, :]
     rd = cos.shape[-1]
 
     def rot(x):

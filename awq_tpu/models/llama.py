@@ -460,6 +460,133 @@ def forward(
     return logits, new_cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step_batched(
+    params: Params,
+    cfg: ModelConfig,
+    tokens: jax.Array,          # [B] one token per row
+    cache: jax.Array,           # [L, 2, B, n_kv, T, hd]
+    lengths: jax.Array,         # [B] current per-row lengths (write pos)
+) -> Tuple[jax.Array, jax.Array]:
+    """One decode step with PER-ROW positions — the continuous-batching
+    step (new capability; the reference engine is batch-1). Returns
+    ``(logits [B, V], cache)``. Rows write/read at their own lengths."""
+    b = tokens.shape[0]
+    dt = _dtype(cfg)
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    h = params["embed"][tokens][:, None].astype(dt)      # [B, 1, H]
+    max_t = cache.shape[4]
+    cos, sin = rope_table(cfg, max_t)
+    positions = lengths[:, None]                         # [B, 1]
+
+    if cfg.pos_embed == "learned":
+        off = 2 if cfg.arch == "opt" else 0
+        h = h + params["pos_embed"][positions + off].astype(dt)
+
+    on_tpu = jax.default_backend() == "tpu"
+    use_flash = (on_tpu and max_t % 256 == 0 and hd % 128 == 0
+                 and cfg.pos_embed in ("rope", "none", "learned"))
+    layers_all = params["layers"]
+    from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked
+
+    small = {k2: v for k2, v in layers_all.items()
+             if isinstance(v, jax.Array)}
+
+    def lin(name, idx, xx):
+        p = layers_all[name]
+        if isinstance(p, QLinear) and on_tpu:
+            return qlinear_apply_stacked(p, idx, xx)
+        lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
+        return linear_apply(lp1, xx)
+
+    rows = jnp.arange(b)
+
+    def xla_attn(q, kc, vc):
+        # [B,1,nq,hd] x [B,n_kv,T,hd] with per-row length masks
+        groups = nq // nkv
+        qf = q.reshape(b, nkv, groups, hd).astype(jnp.float32)
+        scores = jnp.einsum("bkgh,bkth->bkgt", qf,
+                            kc.astype(jnp.float32)) / jnp.sqrt(hd)
+        mask = jnp.arange(max_t)[None, None, None, :] <= \
+            lengths[:, None, None, None]
+        scores = jnp.where(mask, scores, -jnp.inf)
+        p = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bkgt,bkth->bkgh", p, vc.astype(jnp.float32))
+        return o.reshape(b, 1, nq * hd).astype(dt)
+
+    def body(carry, idx):
+        h, cache = carry
+        lp = {k2: v[idx] for k2, v in small.items() if v is not None}
+        x = _norm(cfg, h, lp["ln1"], lp.get("ln1_b"))
+        if "wqkv" in layers_all:
+            qkv = lin("wqkv", idx, x)
+            q, k, v = jnp.split(qkv, [nq * hd, (nq + nkv) * hd], axis=-1)
+            q = q.reshape(b, 1, nq, hd)
+            k = k.reshape(b, 1, nkv, hd)
+            v = v.reshape(b, 1, nkv, hd)
+        else:
+            q = lin("wq", idx, x).reshape(b, 1, nq, hd)
+            k = lin("wk", idx, x).reshape(b, 1, nkv, hd)
+            v = lin("wv", idx, x).reshape(b, 1, nkv, hd)
+        if cfg.pos_embed == "rope":
+            q, k = apply_rope(q, k, cos, sin, positions)
+        cache = cache.at[idx, 0, rows, :, lengths, :].set(
+            k[:, 0].astype(cache.dtype))
+        cache = cache.at[idx, 1, rows, :, lengths, :].set(
+            v[:, 0].astype(cache.dtype))
+        if use_flash:
+            from awq_tpu.ops.decode_attn import flash_decode_stacked
+
+            attn = flash_decode_stacked(
+                q[:, 0], cache, idx, lengths + 1
+            ).reshape(b, 1, nq * hd)
+        else:
+            attn = xla_attn(q, cache[idx, 0], cache[idx, 1])
+        attn_out = lin("wo", idx, attn)
+        if cfg.parallel_block:
+            xm = x if cfg.single_ln else _norm(cfg, h, lp["ln2"],
+                                               lp.get("ln2_b"))
+        else:
+            h = h + attn_out
+            xm = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
+        if "wgateup" in layers_all:
+            gu = lin("wgateup", idx, xm)
+            g, u = jnp.split(gu, 2, axis=-1)
+            hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
+        elif cfg.act == "silu":
+            g = lin("gate", idx, xm)
+            u = lin("up", idx, xm)
+            hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
+        else:
+            hm = lin("up", idx, xm)
+            if cfg.act == "relu":
+                hm = jnp.maximum(hm, 0)
+            else:
+                hm = jax.nn.gelu(
+                    hm.astype(jnp.float32),
+                    approximate=(cfg.act == "gelu_tanh"),
+                ).astype(xm.dtype)
+            if lp.get("act_scale") is not None:
+                hm = (hm.astype(jnp.float32) / lp["act_scale"]
+                      ).astype(hm.dtype)
+        m = lin("down", idx, hm)
+        h = (h + attn_out + m) if cfg.parallel_block else (h + m)
+        return (h, cache), None
+
+    (h, cache), _ = jax.lax.scan(
+        body, (h, cache), jnp.arange(cfg.num_layers)
+    )
+    h = _norm(cfg, h, params["norm"], params.get("norm_b"))
+    head = params.get("lm_head")
+    if head is None:
+        logits = jnp.matmul(h, params["embed"].astype(dt).T,
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.matmul(h, head.astype(dt),
+                            preferred_element_type=jnp.float32)
+    return logits[:, 0], cache
+
+
 def quantize_params(
     params: Params,
     qcfg: QuantConfig,

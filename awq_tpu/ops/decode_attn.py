@@ -99,7 +99,7 @@ def _stacked_decode_kernel(
     b = pl.program_id(0)
     h = pl.program_id(1)
     layer = scalars_ref[0]
-    length = scalars_ref[1]
+    length = scalars_ref[1 + b]  # per-row lengths (continuous batching)
 
     q = q_ref[0, 0].astype(jnp.float32) * scale      # [g, hd]
     g, hd = q.shape
@@ -156,7 +156,7 @@ def flash_decode_stacked(
     q: jax.Array,          # [B, n_q, hd] post-rope queries (one position)
     cache: jax.Array,      # [L, 2, B, n_kv, T, hd] FULL stacked cache
     layer: jax.Array,      # scalar int32
-    length: jax.Array,     # scalar int32 valid positions (incl. current)
+    length: jax.Array,     # scalar int32, or [B] per-row valid positions
     block_t: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
@@ -174,7 +174,12 @@ def flash_decode_stacked(
     assert t % block_t == 0, f"cache len {t} % {block_t} != 0"
     g = n_q // n_kv
     qg = q.reshape(b, n_kv, g, hd)
-    scalars = jnp.stack([layer.astype(jnp.int32), length.astype(jnp.int32)])
+    lengths = jnp.broadcast_to(
+        jnp.asarray(length, jnp.int32).reshape(-1), (b,)
+    )
+    scalars = jnp.concatenate(
+        [jnp.reshape(layer, (1,)).astype(jnp.int32), lengths]
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

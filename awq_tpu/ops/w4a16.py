@@ -220,34 +220,28 @@ def w4a16_matmul_pallas(
 
 
 def _w4a16_kernel_stacked(idx_ref, x_ref, qw_ref, s_ref, sz_ref, o_ref,
-                          acc_ref, *, bk: int, group_size: int, out_dtype):
+                          *, group_size: int, out_dtype):
+    """Full-K block, per-group unpack: the whole reduction happens in one
+    grid step (no K grid dimension, no cross-step accumulator), and only
+    one quantization group's codes are unpacked at a time so the VPU work
+    interleaves with the MXU matmuls instead of front-loading a giant
+    dequantized temporary."""
     del idx_ref  # consumed by the index maps
-    k = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    codes = _unpack_block(qw_ref[0])
-    wq = codes.astype(jnp.bfloat16)
     x = x_ref[:]
-    n_g = bk // group_size
-    acc = acc_ref[:]
-    g0 = k * n_g
+    ic = x.shape[1]
+    n_g = ic // group_size
+    rows = group_size // 8  # packed words per group
+    acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
     for g in range(n_g):
-        lo = g * group_size
-        xg = x[:, lo:lo + group_size]
-        part = jnp.dot(xg, wq[lo:lo + group_size, :],
-                       preferred_element_type=jnp.float32)
+        wq = _unpack_block(
+            qw_ref[0, g * rows:(g + 1) * rows, :]
+        ).astype(jnp.bfloat16)                          # [group, bn]
+        xg = x[:, g * group_size:(g + 1) * group_size]
+        part = jnp.dot(xg, wq, preferred_element_type=jnp.float32)
         xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-        acc = acc + part * s_ref[0, g0 + g, :][None, :] \
-            - xsum * sz_ref[0, g0 + g, :][None, :]
-    acc_ref[:] = acc
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+        acc = acc + part * s_ref[0, g, :][None, :] \
+            - xsum * sz_ref[0, g, :][None, :]
+    o_ref[:] = acc.astype(out_dtype)
 
 
 @functools.partial(
@@ -262,41 +256,43 @@ def w4a16_matmul_stacked(
     maps (scalar prefetch). Under a ``lax.scan`` over layers this reads the
     weights in place — slicing the stack outside the kernel would force XLA
     to materialize a full copy of each layer's weights per call."""
+    del block_k  # full-K blocks
     m, ic = x.shape
     _, icp, oc = qweight.shape
     bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
     bn = _pick_block(oc, (block_n, 256, 128))
-    bk = block_k or _pick_block(ic, (1024, 512, 256, 128, 64))
-    bk = max(bk, group_size)
     m_pad = -m % bm
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
-    grid = (x.shape[0] // bm, oc // bn, ic // bk)
+    grid = (x.shape[0] // bm, oc // bn)
     idx = jnp.reshape(layer_idx, (1,)).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, k)),
-            pl.BlockSpec((1, bk // 8, bn), lambda i, j, k, l: (l[0], k, j)),
+            pl.BlockSpec((bm, ic), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, icp, bn), lambda i, j, l: (l[0], 0, j)),
             pl.BlockSpec((1, ic // group_size, bn),
-                         lambda i, j, k, l: (l[0], 0, j)),
+                         lambda i, j, l: (l[0], 0, j)),
             pl.BlockSpec((1, ic // group_size, bn),
-                         lambda i, j, k, l: (l[0], 0, j)),
+                         lambda i, j, l: (l[0], 0, j)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
     )
     out = pl.pallas_call(
         functools.partial(
-            _w4a16_kernel_stacked, bk=bk, group_size=group_size,
-            out_dtype=x.dtype,
+            _w4a16_kernel_stacked, group_size=group_size, out_dtype=x.dtype,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((x.shape[0], oc), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * x.shape[0] * ic * oc,
+            bytes_accessed=ic * oc // 2,
+            transcendentals=0,
         ),
         interpret=(jax.default_backend() == "cpu"),
     )(idx, x, qweight, scales, szeros)

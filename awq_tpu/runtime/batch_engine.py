@@ -1,0 +1,168 @@
+"""Continuous-batching inference engine.
+
+NEW capability beyond the reference (its engine is strictly batch-1,
+``tinychat/utils/constants.py: max_batch_size=1``): a slot-based scheduler
+over the batch axis of one shared static KV cache. Requests are admitted
+into free slots (prefill writes that slot's cache rows), and every engine
+step runs ONE batched decode for all active slots at their own lengths
+(``models.llama.decode_step_batched`` — per-row rope positions, per-row
+flash-decode lengths). Finished slots free immediately and new requests
+join between steps — decode never drains the batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from typing import Any, Deque, Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from awq_tpu.config import GenConfig, ModelConfig
+from awq_tpu.models import forward, init_kv_cache
+from awq_tpu.models.llama import decode_step_batched
+from awq_tpu.runtime.sampling import sample_logits
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt_ids: List[int]
+    gen: GenConfig
+    stop_ids: frozenset
+    out_ids: List[int] = dataclasses.field(default_factory=list)
+    slot: Optional[int] = None
+    done: bool = False
+    submitted_at: float = dataclasses.field(default_factory=time.time)
+    first_token_at: Optional[float] = None
+    finished_at: Optional[float] = None
+
+
+class BatchEngine:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        n_slots: int = 4,
+        max_seq_len: int = 2048,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.n_slots = n_slots
+        self.cache = init_kv_cache(cfg, n_slots, max_seq_len, cache_dtype)
+        self.max_seq = self.cache.shape[4]
+        self.lengths = np.zeros(n_slots, np.int32)     # host copy
+        self.tokens = np.zeros(n_slots, np.int32)      # next input per slot
+        self.slots: List[Optional[Request]] = [None] * n_slots
+        self.waiting: Deque[Request] = deque()
+        self.finished: Dict[int, Request] = {}
+        self._next_rid = 0
+        self._key = jax.random.PRNGKey(0)
+
+    # ---- request API ------------------------------------------------------
+
+    def submit(self, prompt_ids: Sequence[int], gen: GenConfig,
+               stop_ids: Sequence[int] = ()) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self.waiting.append(Request(
+            rid=rid, prompt_ids=list(prompt_ids), gen=gen,
+            stop_ids=frozenset(int(t) for t in stop_ids),
+        ))
+        return rid
+
+    @property
+    def n_active(self) -> int:
+        return sum(r is not None for r in self.slots)
+
+    def _free_slot(self) -> Optional[int]:
+        for i, r in enumerate(self.slots):
+            if r is None:
+                return i
+        return None
+
+    # ---- scheduling -------------------------------------------------------
+
+    def _admit(self) -> None:
+        """Prefill waiting requests into free slots (continuous admission)."""
+        while self.waiting:
+            slot = self._free_slot()
+            if slot is None:
+                return
+            req = self.waiting.popleft()
+            n = len(req.prompt_ids)
+            if n + req.gen.max_new_tokens > self.max_seq:
+                req.done = True
+                req.finished_at = time.time()
+                self.finished[req.rid] = req
+                continue
+            # single-row prefill into this slot's cache rows
+            row = jax.lax.slice_in_dim(self.cache, slot, slot + 1, axis=2)
+            toks = jnp.asarray([req.prompt_ids], jnp.int32)
+            logits, row = forward(
+                self.params, self.cfg, toks, row, jnp.int32(0)
+            )
+            self.cache = jax.lax.dynamic_update_slice(
+                self.cache, row, (0, 0, slot, 0, 0, 0)
+            )
+            self._key, sub = jax.random.split(self._key)
+            first = int(sample_logits(logits[:, -1], sub, req.gen,
+                                      jnp.zeros((1, self.cfg.vocab_size),
+                                                bool))[0])
+            req.slot = slot
+            req.first_token_at = time.time()
+            self.slots[slot] = req
+            self.lengths[slot] = n
+            self.tokens[slot] = first
+            self._record(req, first)
+
+    def _finish(self, req: Request) -> None:
+        req.done = True
+        req.finished_at = time.time()
+        self.finished[req.rid] = req
+        self.slots[req.slot] = None
+
+    def _record(self, req: Request, token: int) -> None:
+        req.out_ids.append(token)
+        if (token in req.stop_ids
+                or len(req.out_ids) >= req.gen.max_new_tokens):
+            if req.out_ids and req.out_ids[-1] in req.stop_ids:
+                req.out_ids.pop()
+            self._finish(req)
+
+    def step(self) -> Dict[int, int]:
+        """Admit + one batched decode step. Returns {rid: new_token} for
+        slots that produced a token this step."""
+        self._admit()
+        active = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return {}
+        gen = self.slots[active[0]].gen  # sampling params shared per step
+        logits, self.cache = decode_step_batched(
+            self.params, self.cfg,
+            jnp.asarray(self.tokens), self.cache,
+            jnp.asarray(self.lengths),
+        )
+        self._key, sub = jax.random.split(self._key)
+        nxt = np.asarray(sample_logits(logits, sub, gen))
+        out: Dict[int, int] = {}
+        for i in active:
+            req = self.slots[i]
+            self.lengths[i] += 1
+            tok = int(nxt[i])
+            self.tokens[i] = tok
+            out[req.rid] = tok
+            self._record(req, tok)
+            if not req.done and self.lengths[i] + 1 >= self.max_seq:
+                self._finish(req)  # out of cache slots
+        return out
+
+    def run(self) -> Dict[int, Request]:
+        """Drain all submitted requests; returns {rid: Request}."""
+        while self.waiting or self.n_active:
+            self.step()
+        return self.finished
