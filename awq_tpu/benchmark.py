@@ -107,6 +107,51 @@ def bench_decode(cfg, params, cache, context: int, steps: int, runs: int):
     return {"ms_per_token": ms, "tokens_per_s": 1e3 / ms}
 
 
+def bench_batch_decode(cfg, params, batch: int, context: int, steps: int,
+                       runs: int, max_seq: int):
+    """Batched decode throughput (continuous-batching steady state): all
+    rows decode in lockstep at per-row lengths; weights stream once per
+    step for the whole batch."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from awq_tpu.models import forward, init_kv_cache
+    from awq_tpu.models.llama import decode_step_batched
+    from awq_tpu.runtime.generate import cache_bucket
+
+    bucket = cache_bucket(max_seq, context + steps + 1)
+    cache = init_kv_cache(cfg, batch, bucket, jnp.bfloat16)
+    toks = jnp.zeros((batch, context), jnp.int32)
+    logits, cache = forward(params, cfg, toks, cache, jnp.int32(0))
+    first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    lengths0 = jnp.full((batch,), context, jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def burst(tokens, cache, lengths, n):
+        def body(carry, _):
+            tok, cache, lens = carry
+            logits, cache = decode_step_batched(
+                params, cfg, tok, cache, lens
+            )
+            return (jnp.argmax(logits, -1).astype(jnp.int32), cache,
+                    lens + 1), ()
+        (tok, cache, _), _ = jax.lax.scan(
+            body, (tokens, cache, lengths), None, length=n)
+        return tok
+
+    _sync(burst(first, cache, lengths0, steps))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _sync(burst(first, cache, lengths0, steps))
+        times.append(time.perf_counter() - t0)
+    step_ms = np.mean(times) / steps * 1e3
+    return {"ms_per_step": step_ms,
+            "tokens_per_s": batch * 1e3 / step_ms}
+
+
 def bench_ttft(cfg, params, cache, seq_lens, runs: int):
     import jax
     import jax.numpy as jnp
@@ -172,7 +217,9 @@ def main(argv=None) -> int:
                    choices=["W4A16", "W3A16", "W16A16"])
     p.add_argument("--load_quant", default=None)
     p.add_argument("--mode", default="decode",
-                   choices=["decode", "ttft", "chunk_prefill", "all"])
+                   choices=["decode", "ttft", "chunk_prefill",
+                            "batch_decode", "all"])
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max_seq_len", type=int, default=4096)
     p.add_argument("--context", type=int, default=4,
                    help="decode context (reference uses 4)")
@@ -193,6 +240,12 @@ def main(argv=None) -> int:
                          args.runs)
         print(f"[{name}] decode: {r['ms_per_token']:.2f} ms/token "
               f"({r['tokens_per_s']:.1f} tok/s)")
+    if args.mode == "batch_decode":
+        r = bench_batch_decode(cfg, params, args.batch, args.context,
+                               args.steps, args.runs, args.max_seq_len)
+        print(f"[{name}] batch={args.batch} decode: "
+              f"{r['ms_per_step']:.2f} ms/step "
+              f"({r['tokens_per_s']:.1f} tok/s aggregate)")
     if args.mode in ("ttft", "all"):
         seqs = [int(s) for s in args.seq_lens.split(",")
                 if int(s) <= args.max_seq_len]

@@ -118,44 +118,26 @@ def _unpack_block(w):
     return jnp.stack(planes, axis=1).reshape(bkp * 8, bn)
 
 
-def _w4a16_kernel(x_ref, qw_ref, s_ref, sz_ref, o_ref, acc_ref, *,
-                  bk: int, group_size: int, out_dtype):
-    k = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    codes = _unpack_block(qw_ref[:])                       # [bk, bn] int32
-    wq = codes.astype(jnp.bfloat16)
-    x = x_ref[:]                                           # [bm, bk]
-    n_g = bk // group_size
-    # per-group: acc += s_g * (x_g @ q_g) - (sum x_g) * sz_g
-    # (static lane slices only — reshapes splitting the lane dim don't
-    # lower in Mosaic). scales/szeros rides along the grid with the full
-    # group axis resident (blocking it would violate the (8,128) tile
-    # minimum when a K block spans <8 groups); g0 is this block's first
-    # group index.
-    acc = acc_ref[:]
-    g0 = k * n_g
+def _w4a16_kernel(x_ref, qw_ref, s_ref, sz_ref, o_ref, *,
+                  group_size: int, out_dtype):
+    """Full-K block, per-group unpack (see ``_w4a16_kernel_stacked``):
+    per-group: out += s_g * (x_g @ q_g) - (sum x_g) * sz_g — the MXU
+    consumes raw codes, the VPU touches only [bm, bn] partials, and only
+    one group's codes are unpacked at a time."""
+    x = x_ref[:]                                           # [bm, IC]
+    ic = x.shape[1]
+    n_g = ic // group_size
+    rows = group_size // 8
+    acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
     for g in range(n_g):
-        lo = g * group_size
-        xg = x[:, lo:lo + group_size]
-        part = jnp.dot(
-            xg,
-            wq[lo:lo + group_size, :],
-            preferred_element_type=jnp.float32,
-        )                                                  # [bm, bn]
+        wq = _unpack_block(
+            qw_ref[g * rows:(g + 1) * rows, :]
+        ).astype(jnp.bfloat16)                             # [group, bn]
+        xg = x[:, g * group_size:(g + 1) * group_size]
+        part = jnp.dot(xg, wq, preferred_element_type=jnp.float32)
         xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-        s_row = s_ref[g0 + g, :][None, :]
-        sz_row = sz_ref[g0 + g, :][None, :]
-        acc = acc + part * s_row - xsum * sz_row
-    acc_ref[:] = acc
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+        acc = acc + part * s_ref[g, :][None, :] - xsum * sz_ref[g, :][None, :]
+    o_ref[:] = acc.astype(out_dtype)
 
 
 def _pick_block(dim: int, candidates) -> int:
@@ -178,40 +160,35 @@ def w4a16_matmul_pallas(
     # covering m, capped at 256 (decode m=1..8 -> bm=16, one bf16 tile).
     bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
     bn = _pick_block(oc, (block_n, 256, 128))
-    bk = block_k or _pick_block(ic, (1024, 512, 256, 128, 64))
-    bk = max(bk, group_size)
-    if bk % group_size != 0 or group_size % 64 != 0:
+    if group_size % 64 != 0 or ic % group_size != 0:
         # irregular group sizes fall back to the XLA path
         return w4a16_matmul_xla(x, qweight, scales, szeros, group_size)
 
     m_pad = -m % bm
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
-    grid = (x.shape[0] // bm, oc // bn, ic // bk)
+    grid = (x.shape[0] // bm, oc // bn)
 
     out = pl.pallas_call(
         functools.partial(
-            _w4a16_kernel, bk=bk, group_size=group_size, out_dtype=x.dtype
+            _w4a16_kernel, group_size=group_size, out_dtype=x.dtype
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bk // 8, bn), lambda i, j, k: (k, j)),
-            # full group axis resident per N block: a (bk/G, bn) block
-            # would have <8 sublanes and fail Mosaic tiling (caught on
-            # real-TPU 7B shapes); the whole scales array is tiny.
-            pl.BlockSpec((ic // group_size, bn), lambda i, j, k: (0, j)),
-            pl.BlockSpec((ic // group_size, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((bm, ic), lambda i, j: (i, 0)),
+            pl.BlockSpec((ic // 8, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((ic // group_size, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((ic // group_size, bn), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], oc), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * x.shape[0] * ic * oc,
-            bytes_accessed=ic * oc // 2 + x.shape[0] * ic * 2 + x.shape[0] * oc * 2,
+            bytes_accessed=ic * oc // 2 + x.shape[0] * ic * 2
+            + x.shape[0] * oc * 2,
             transcendentals=0,
         ),
         interpret=(jax.default_backend() == "cpu"),
@@ -305,8 +282,12 @@ def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if jax.default_backend() == "tpu":
+        from awq_tpu.utils.tune import get_block_n
+
         out = w4a16_matmul_stacked(
-            x2, ql.qweight, ql.scales, ql.szeros, layer_idx, ql.group_size
+            x2, ql.qweight, ql.scales, ql.szeros, layer_idx, ql.group_size,
+            block_n=get_block_n(ql.in_features, ql.out_features,
+                                x2.shape[0]),
         )
     else:
         qw = ql.qweight[layer_idx]
