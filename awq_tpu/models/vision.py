@@ -266,7 +266,12 @@ def import_hf_vision(model, dtype: str = "float32") -> Tuple[VisionConfig, Param
     raw = model.config.to_dict()
     cfg = VisionConfig(**{**vision_config_from_hf(raw).__dict__,
                           "dtype": dtype})
-    dt = jnp.dtype(dtype)
+    return cfg, build_vision_params(cfg, sd)
+
+
+def build_vision_params(cfg: VisionConfig, sd: Dict[str, Any]) -> Params:
+    """Params from a numpy state dict with ``vision_model.``-rooted keys."""
+    dt = jnp.dtype(cfg.dtype)
     L = cfg.num_layers
     pre = "vision_model.encoder.layers.{i}."
 
@@ -315,4 +320,4 @@ def import_hf_vision(model, dtype: str = "float32") -> Tuple[VisionConfig, Param
             sd["vision_model.pre_layrnorm.weight"], dt)
         params["pre_norm_b"] = jnp.asarray(
             sd["vision_model.pre_layrnorm.bias"], dt)
-    return cfg, params
+    return params
