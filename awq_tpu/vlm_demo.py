@@ -1,0 +1,101 @@
+"""VLM chat REPL (counterpart of ``tinychat/vila15_demo.py`` /
+``nvila_demo.py``): LLaVA-style checkpoint, optional W4A16 LLM + W8A8
+vision tower, ``<image>`` placeholders in prompts, images loaded per turn.
+
+  python -m awq_tpu.vlm_demo --model_path <llava_hf_dir> \
+      --precision W4A16 --vision_int8 --image photo.jpg
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def load_image(path: str, size: int) -> np.ndarray:
+    """[H, W, 3] float32 in CLIP normalization."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((size, size))
+    x = np.asarray(img, np.float32) / 255.0
+    mean = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+    return (x - mean) / std
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser("awq_tpu.vlm_demo")
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--precision", default="W4A16",
+                    choices=["W4A16", "W16A16"])
+    ap.add_argument("--q_group_size", type=int, default=128)
+    ap.add_argument("--vision_int8", action="store_true")
+    ap.add_argument("--image", default=None, help="default image path")
+    ap.add_argument("--max_seq_len", type=int, default=2048)
+    ap.add_argument("--max_new_tokens", type=int, default=256)
+    ap.add_argument("--greedy", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from awq_tpu.config import GenConfig, QuantConfig
+    from awq_tpu.models import init_kv_cache
+    from awq_tpu.models.vlm import IMAGE_TOKEN, vlm_generate
+    from awq_tpu.models.vlm_import import import_llava_model
+    from awq_tpu.runtime.prompts import get_stop_token_ids
+
+    quant = (QuantConfig(w_bit=4, group_size=args.q_group_size)
+             if args.precision == "W4A16" else None)
+    t0 = time.perf_counter()
+    vlm = import_llava_model(
+        args.model_path, quantize=quant, vision_int8=args.vision_int8
+    )
+    print(f"[vlm] loaded in {time.perf_counter() - t0:.1f}s "
+          f"(llm {vlm.llm_cfg.arch}, vision {vlm.vis_cfg.image_size}px"
+          f"{', int8 tower' if args.vision_int8 else ''})")
+    tok = AutoTokenizer.from_pretrained(args.model_path, use_fast=True,
+                                        trust_remote_code=True)
+    gen = GenConfig(max_new_tokens=args.max_new_tokens, greedy=args.greedy)
+    stop_ids = get_stop_token_ids(args.model_path, tok)
+    image_path = args.image
+
+    print(f"[vlm] type a prompt; include {IMAGE_TOKEN} to attach the "
+          "current image; '/image <path>' to switch images.")
+    while True:
+        try:
+            user = input("USER: ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            break
+        if user in ("exit", "quit"):
+            break
+        if user.startswith("/image "):
+            image_path = user.split(" ", 1)[1].strip()
+            print(f"[vlm] image -> {image_path}")
+            continue
+        if not user:
+            continue
+        pixels = None
+        if IMAGE_TOKEN in user:
+            if not image_path:
+                print("[vlm] no image set; use '/image <path>'")
+                continue
+            pixels = jnp.asarray(
+                load_image(image_path, vlm.vis_cfg.image_size)[None]
+            )
+        cache = init_kv_cache(vlm.llm_cfg, 1, args.max_seq_len)
+        out = vlm_generate(vlm, user, tok, pixels, cache, gen,
+                           stop_ids=stop_ids)
+        t = out["timing"]
+        print(f"ASSISTANT: {out['text']}")
+        print(f"  [TTFT {t['ttft_s'] * 1e3:.0f} ms | "
+              f"{t['ms_per_token']:.2f} ms/tok]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
