@@ -46,6 +46,95 @@ def _unpack_autoawq_linear(
     return codes, s, sz
 
 
+def _pack_autoawq_codes(codes: np.ndarray) -> np.ndarray:
+    """codes uint8 [K, N] -> AutoAWQ int32 [K, N/8] (nibble order
+    0,2,4,6,1,3,5,7 along N)."""
+    order = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+    k, n = codes.shape
+    nib = codes.reshape(k, n // 8, 8)[:, :, order].astype(np.uint32)
+    out = np.zeros((k, n // 8), np.uint32)
+    for s in range(8):
+        out |= nib[:, :, s] << (4 * s)
+    return out.view(np.int32)
+
+
+def save_autoawq_checkpoint(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    qcfg: QuantConfig,
+    out_dir: str,
+) -> None:
+    """Export packed params to an AutoAWQ-format HF directory.
+
+    Counterpart of ``examples/convert_to_hf.py`` (HF-hub export with
+    AwqConfig metadata): the result loads in AutoAWQ/transformers and
+    round-trips through :func:`load_autoawq_checkpoint`.
+    """
+    from safetensors.numpy import save_file
+
+    if qcfg.w_bit != 4:
+        raise NotImplementedError("autoawq export is 4-bit")
+    layers = params["layers"]
+    if "wqkv" in layers:
+        raise ValueError("export unfused params (before fuse_linears)")
+    L = cfg.num_layers
+    sd: Dict[str, np.ndarray] = {}
+
+    inv = {v: k for k, v in _LLAMA_MAP.items()}
+    for name in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+        ql: QLinear = layers[name]
+        fmt = _LLAMA_MAP[name]
+        for i in range(L):
+            from awq_tpu.quant.packing import unpack_int4
+
+            codes = np.asarray(unpack_int4(np.asarray(ql.qweight[i])))
+            s = np.asarray(ql.scales[i], np.float32)
+            z = np.round(np.asarray(ql.szeros[i], np.float32)
+                         / np.maximum(s, 1e-12)).astype(np.uint8)
+            p = fmt.format(i=i)
+            sd[p + ".qweight"] = _pack_autoawq_codes(codes)
+            sd[p + ".qzeros"] = _pack_autoawq_codes(z)
+            sd[p + ".scales"] = s
+            if ql.bias is not None:
+                sd[p + ".bias"] = np.asarray(ql.bias[i], np.float32)
+    for i in range(L):
+        sd[_LLAMA_MAP["ln1"].format(i=i)] = np.asarray(
+            layers["ln1"][i], np.float32)
+        sd[_LLAMA_MAP["ln2"].format(i=i)] = np.asarray(
+            layers["ln2"][i], np.float32)
+    sd["model.embed_tokens.weight"] = np.asarray(params["embed"], np.float32)
+    sd["model.norm.weight"] = np.asarray(params["norm"], np.float32)
+    if "lm_head" in params:
+        sd["lm_head.weight"] = np.ascontiguousarray(
+            np.asarray(params["lm_head"], np.float32).T)
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_file(sd, os.path.join(out_dir, "model.safetensors"))
+    hf_cfg = {
+        "model_type": cfg.arch if cfg.arch != "mistral" else "mistral",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "rms_norm_eps": cfg.rms_eps,
+        "rope_theta": cfg.rope_theta,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "torch_dtype": "float16",
+        "quantization_config": {
+            "quant_method": "awq",
+            "bits": qcfg.w_bit,
+            "group_size": qcfg.group_size,
+            "zero_point": qcfg.zero_point,
+            "version": "gemm",
+        },
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=1)
+
+
 def _unpack_tinychat_v2_linear(
     qweight: np.ndarray,       # int16 [OC/4, IC] interleaved
     scales: np.ndarray,        # [IC/G, OC] (transposed storage variants ok)

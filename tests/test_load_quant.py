@@ -173,3 +173,32 @@ def test_tinychat_v2_roundtrip(tmp_path):
                      last_only=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_autoawq_export_roundtrip(tmp_path):
+    """Our packed checkpoint -> AutoAWQ HF dir -> load -> identical logits
+    (convert_to_hf counterpart)."""
+    from awq_tpu.config import ModelConfig, QuantConfig
+    from awq_tpu.utils.load_quant import save_autoawq_checkpoint
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=32,
+        max_position_embeddings=128, dtype="float32",
+    )
+    qcfg = QuantConfig(w_bit=4, group_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(9))
+    qp = quantize_params(params, qcfg)
+
+    d = str(tmp_path / "export")
+    save_autoawq_checkpoint(qp, cfg, qcfg, d)
+    lcfg, lparams, lqcfg = load_autoawq_checkpoint(d, dtype="float32")
+    assert lqcfg.group_size == 64
+
+    tokens = jax.random.randint(jax.random.PRNGKey(10), (1, 10), 0, 256)
+    cache = init_kv_cache(cfg, 1, 16, jnp.float32)
+    a, _ = forward(qp, cfg, tokens, cache, jnp.int32(0), last_only=False)
+    b, _ = forward(lparams, lcfg, tokens, cache, jnp.int32(0),
+                   last_only=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
