@@ -74,6 +74,18 @@ def merge_features_for_s2(
     return grid_to_feats(jnp.concatenate(outs, axis=-1))
 
 
+def pixel_shuffle_downsample(grid: jax.Array, factor: int = 2) -> jax.Array:
+    """InternVL-style pixel shuffle: merge ``factor x factor`` spatial
+    patches into channels — [B, H, W, C] -> [B, H/f, W/f, C*f*f]
+    (counterpart of the pixel-shuffle in ``tinychat/models/internvl3.py:55-383``,
+    which quarters the image-token count before the projector)."""
+    b, h, w, c = grid.shape
+    assert h % factor == 0 and w % factor == 0
+    x = grid.reshape(b, h // factor, factor, w // factor, factor, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // factor, w // factor, c * factor * factor)
+
+
 def dynamic_s2_preprocess(
     image: jax.Array,                  # [H, W, 3] float
     base_size: int,

@@ -41,3 +41,16 @@ def test_dynamic_s2_preprocess():
     tiles, (nx, ny) = dynamic_s2_preprocess(img, base_size=32, max_tiles=6)
     assert nx / ny == 2.0  # matches the 2:1 aspect
     assert tiles.shape == (nx * ny + 1, 32, 32, 3)
+
+
+def test_pixel_shuffle_downsample():
+    from awq_tpu.models.s2 import pixel_shuffle_downsample
+
+    g = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 4, 8))
+    out = pixel_shuffle_downsample(g, 2)
+    assert out.shape == (1, 2, 2, 32)
+    # the 2x2 top-left patch lands in the first output cell's channels
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0, 0]).reshape(2, 2, 8),
+        np.asarray(g[0, :2, :2, :]),
+    )
