@@ -105,3 +105,48 @@ def test_batch_engine_rejects_oversized_prompt(model):
     rid = eng.submit(list(range(1, 15)), GenConfig(max_new_tokens=10))
     done = eng.run()
     assert done[rid].out_ids == []  # rejected: prompt+gen > cache
+
+
+def test_batch_worker_concurrent_streams(model):
+    """Two HTTP streams share the batch and both match single-request refs."""
+    import threading
+
+    from awq_tpu.serve.batch_worker import BatchWorker
+    from awq_tpu.serve.http import post_stream
+
+    cfg, params = model
+
+    class Tok:
+        eos_token_id = 0
+
+        def encode(self, t):
+            return [min(ord(c), 127) for c in t]
+
+        def decode(self, ids):
+            return "".join(chr(max(i, 32)) for i in ids)
+
+    eng = BatchEngine(cfg, params, n_slots=2, max_seq_len=64,
+                      cache_dtype=jnp.float32)
+    w = BatchWorker(eng, Tok(), "tiny", port=0)
+    w.start()
+    try:
+        results = {}
+
+        def req(name, prompt):
+            chunks = list(post_stream(w.url + "/worker_generate_stream", {
+                "prompt": prompt, "max_new_tokens": 6, "greedy": True,
+                "stream_interval": 1,
+            }))
+            results[name] = chunks
+
+        t1 = threading.Thread(target=req, args=("a", "hello"))
+        t2 = threading.Thread(target=req, args=("b", "worlds!"))
+        t1.start(); t2.start(); t1.join(30); t2.join(30)
+        assert set(results) == {"a", "b"}
+        for name, prompt in (("a", "hello"), ("b", "worlds!")):
+            chunks = results[name]
+            assert chunks[-1]["finished"]
+            ref = _greedy_ref(cfg, params, Tok().encode(prompt), 6)
+            assert chunks[-1]["ids"] == ref, (name, chunks[-1]["ids"], ref)
+    finally:
+        w.stop()
