@@ -346,26 +346,27 @@ def forward(
         attn_bias = (slopes[:, None, None]
                      * jnp.arange(max_t, dtype=jnp.float32)[None, None, :])
 
-    use_fused_decode = (
-        s == 1
-        and attn_bias is None
-        and max_t % 256 == 0
-        and cfg.head_dim % 128 == 0
+    use_stacked = (
+        attn_bias is None
         and jax.default_backend() == "tpu"
     )
-    if use_fused_decode:
-        # Decode: the cache rides through the scan as a carry and the
-        # fused Pallas kernel appends+attends on the FULL stacked cache —
-        # a per-layer cache[i] slice would be materialized as a full-cache
-        # copy per layer per token (custom-call operands can't alias a
-        # dynamic slice).
+    use_flash = (
+        s == 1 and use_stacked
+        and max_t % 256 == 0
+        and cfg.head_dim % 128 == 0
+    )
+    if use_stacked:
+        # The cache rides through the scan as a carry; packed weights stay
+        # stacked and are indexed INSIDE the Pallas kernels via scalar
+        # prefetch — a per-layer slice outside the kernel would be
+        # materialized as a full copy per layer per call (custom-call
+        # operands can't alias a dynamic slice). Decode (s==1) attends with
+        # the flash kernel; prefill uses the masked XLA attention on a
+        # cache slice (slices feeding XLA fusions don't materialize).
         from awq_tpu.ops.decode_attn import flash_decode_stacked
         from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked
 
         layers_all = params["layers"]
-        # only the small leaves (norms, biases, act scales) ride the scan
-        # sliced; packed weights stay stacked and are indexed INSIDE the
-        # Pallas kernels (zero-copy)
         small = {k2: v for k2, v in layers_all.items()
                  if isinstance(v, jax.Array)}
 
@@ -384,26 +385,29 @@ def forward(
             if "wqkv" in layers_all:
                 qkv = lin("wqkv", idx, x)
                 q, k, v = jnp.split(qkv, [nq * hd, (nq + nkv) * hd], axis=-1)
-                q = q.reshape(b, 1, nq, hd)
-                k = k.reshape(b, 1, nkv, hd)
-                v = v.reshape(b, 1, nkv, hd)
+                q = q.reshape(b, s, nq, hd)
+                k = k.reshape(b, s, nkv, hd)
+                v = v.reshape(b, s, nkv, hd)
             else:
-                q = lin("wq", idx, x).reshape(b, 1, nq, hd)
-                k = lin("wk", idx, x).reshape(b, 1, nkv, hd)
-                v = lin("wv", idx, x).reshape(b, 1, nkv, hd)
+                q = lin("wq", idx, x).reshape(b, s, nq, hd)
+                k = lin("wk", idx, x).reshape(b, s, nkv, hd)
+                v = lin("wv", idx, x).reshape(b, s, nkv, hd)
             if cfg.pos_embed == "rope":
                 q, k = apply_rope(q, k, cos, sin, positions)
-            # append in XLA (in-place on the scan carry), attend in Pallas
+            # append in XLA (in-place on the scan carry)
             kv_new = jnp.stack([
                 jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
-            ])[None].astype(cache.dtype)              # [1,2,B,n_kv,1,hd]
+            ])[None].astype(cache.dtype)              # [1,2,B,n_kv,S,hd]
             cache = jax.lax.dynamic_update_slice(
                 cache, kv_new, (idx, 0, 0, 0, start_pos, 0)
             )
-            attn = flash_decode_stacked(
-                q[:, 0], cache, idx, start_pos + 1
-            )
-            attn_out = lin("wo", idx, attn.reshape(b, 1, nq * hd))
+            if use_flash:
+                attn = flash_decode_stacked(
+                    q[:, 0], cache, idx, start_pos + 1
+                ).reshape(b, 1, nq * hd)
+            else:
+                attn = attention(q, cache[idx, 0], cache[idx, 1], start_pos)
+            attn_out = lin("wo", idx, attn)
             if cfg.parallel_block:
                 xm = x if cfg.single_ln else _norm(
                     cfg, h, lp["ln2"], lp.get("ln2_b"))

@@ -149,3 +149,20 @@ def test_fused_linears_match_unfused():
     b, _ = forward(qfused, cfg, tokens, cache, jnp.int32(0), last_only=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_int3_real_quant_forward():
+    """W3A16 runtime (the reference ships INT3 only as pseudo-quant;
+    qmodule.py:82 hard-asserts w_bit==4 — here the same packed container
+    runs 3-bit codes end to end)."""
+    cfg = tiny_cfg(hidden_size=256, intermediate_size=512, num_heads=4,
+                   num_kv_heads=4, head_dim=64, vocab_size=128)
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    qparams = quantize_params(params, QuantConfig(w_bit=3, group_size=64))
+    assert qparams["layers"]["wq"].w_bit == 3
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (1, 8), 0, 128)
+    cache = init_kv_cache(cfg, 1, 16, jnp.float32)
+    fp, _ = forward(params, cfg, tokens, cache, jnp.int32(0), last_only=False)
+    q, _ = forward(qparams, cfg, tokens, cache, jnp.int32(0), last_only=False)
+    agree = (np.asarray(fp.argmax(-1)) == np.asarray(q.argmax(-1))).mean()
+    assert agree >= 0.5, agree  # int3 is lossier than int4
