@@ -65,6 +65,41 @@ class VLM:
         feats = fwd(self.vis_params, self.vis_cfg, pixels)
         return self.projector(feats)
 
+    def encode_image_s2(self, image: jax.Array, max_tiles: int = 12,
+                        downsample: int = 1) -> jax.Array:
+        """NVILA-style dynamic-resolution encode of ONE image [H, W, 3]:
+        aspect-matched chessboard tiling at base resolution, tile-batched
+        tower forward, multi-scale merge (thumbnail + tiles), optional
+        pixel-shuffle downsample, projector. Returns [1, P, llm_hidden]
+        (counterpart of ``nvila/llava_arch.py:261-392`` + ``_embed``)."""
+        from awq_tpu.models.s2 import (
+            dynamic_s2_preprocess,
+            feats_to_grid,
+            grid_to_feats,
+            merge_chessboard,
+            pixel_shuffle_downsample,
+        )
+
+        tiles, (nx, ny) = dynamic_s2_preprocess(
+            image, self.vis_cfg.image_size, max_tiles
+        )
+        fwd = vision_forward_w8a8 if self.vision_int8 else vision_forward
+        feats = fwd(self.vis_params, self.vis_cfg, tiles)  # [1+nx*ny, P, C]
+        side = self.vis_cfg.image_size // self.vis_cfg.patch_size
+        thumb = feats_to_grid(feats[:1])                   # [1, s, s, C]
+        big = feats[1:].reshape(ny * nx, side, side, -1)
+        # rows of tiles -> one [1, ny*s, nx*s, C] grid
+        big = big.reshape(ny, nx, side, side, -1)
+        big = big.transpose(0, 2, 1, 3, 4).reshape(
+            1, ny * side, nx * side, -1)
+        big = jax.image.resize(
+            big, (1, side, side, big.shape[-1]), method="bilinear"
+        )
+        grid = jnp.concatenate([thumb, big], axis=-1)      # channel concat
+        if downsample > 1:
+            grid = pixel_shuffle_downsample(grid, downsample)
+        return self.projector(grid_to_feats(grid))
+
 
 def tokenizer_image_token(prompt: str, tokenizer) -> List[int]:
     """Tokenize text with ``<image>`` placeholders -> ids with

@@ -92,3 +92,29 @@ def test_vlm_generate_text_only(vlm):
                                                   max_new_tokens=4),
     )
     assert len(out["output_ids"]) >= 1
+
+
+def test_encode_image_s2(vlm):
+    """Dynamic-res S2 encode: thumbnail+tiles, channel concat, projector."""
+    from awq_tpu.models.layers import Linear
+    from awq_tpu.models.vlm import VLM
+
+    # S2 concat doubles the channel dim into the projector
+    proj = MMProjector(
+        fc1=Linear(w=jnp.ones((64, 48), jnp.float32) * 0.02),
+        fc2=Linear(w=jnp.ones((48, 64), jnp.float32) * 0.02),
+    )
+    v2 = VLM(vlm.vis_cfg, vlm.vis_params, proj, vlm.llm_cfg, vlm.llm_params)
+    img = jax.random.normal(jax.random.PRNGKey(5), (56, 56, 3), jnp.float32)
+    out = v2.encode_image_s2(img, max_tiles=4)
+    side = vlm.vis_cfg.image_size // vlm.vis_cfg.patch_size
+    assert out.shape == (1, side * side, 64)
+
+    # pixel-shuffle downsample: 4x fewer tokens, 4x channels into the proj
+    proj4 = MMProjector(
+        fc1=Linear(w=jnp.ones((256, 48), jnp.float32) * 0.02),
+        fc2=Linear(w=jnp.ones((48, 64), jnp.float32) * 0.02),
+    )
+    v3 = VLM(vlm.vis_cfg, vlm.vis_params, proj4, vlm.llm_cfg, vlm.llm_params)
+    out2 = v3.encode_image_s2(img, max_tiles=4, downsample=2)
+    assert out2.shape[1] == (side // 2) ** 2
