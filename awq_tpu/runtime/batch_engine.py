@@ -57,6 +57,11 @@ class BatchEngine:
         self.max_seq = self.cache.shape[4]
         self.lengths = np.zeros(n_slots, np.int32)     # host copy
         self.tokens = np.zeros(n_slots, np.int32)      # next input per slot
+        # per-slot sampling params (requests carry their own GenConfig)
+        self.temps = np.ones(n_slots, np.float32)
+        self.top_ks = np.zeros(n_slots, np.int32)
+        self.top_ps = np.ones(n_slots, np.float32)
+        self.greedy = np.ones(n_slots, bool)
         self.slots: List[Optional[Request]] = [None] * n_slots
         self.waiting: Deque[Request] = deque()
         self.finished: Dict[int, Request] = {}
@@ -118,6 +123,10 @@ class BatchEngine:
             self.slots[slot] = req
             self.lengths[slot] = n
             self.tokens[slot] = first
+            self.temps[slot] = req.gen.temperature
+            self.top_ks[slot] = req.gen.top_k
+            self.top_ps[slot] = req.gen.top_p
+            self.greedy[slot] = req.gen.greedy
             self._record(req, first)
 
     def _finish(self, req: Request) -> None:
@@ -141,14 +150,19 @@ class BatchEngine:
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return {}
-        gen = self.slots[active[0]].gen  # sampling params shared per step
         logits, self.cache = decode_step_batched(
             self.params, self.cfg,
             jnp.asarray(self.tokens), self.cache,
             jnp.asarray(self.lengths),
         )
         self._key, sub = jax.random.split(self._key)
-        nxt = np.asarray(sample_logits(logits, sub, gen))
+        from awq_tpu.runtime.sampling import sample_logits_batched
+
+        nxt = np.asarray(sample_logits_batched(
+            logits, sub,
+            jnp.asarray(self.temps), jnp.asarray(self.top_ks),
+            jnp.asarray(self.top_ps), jnp.asarray(self.greedy),
+        ))
         out: Dict[int, int] = {}
         for i in active:
             req = self.slots[i]

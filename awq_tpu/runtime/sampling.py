@@ -52,6 +52,44 @@ def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
     return jnp.where(logits < thresh, -jnp.inf, logits)
 
 
+def sample_logits_batched(
+    logits: jax.Array,             # [B, V] f32
+    key: jax.Array,
+    temperature: jax.Array,        # [B]
+    top_k: jax.Array,              # [B] int32 (0 = off)
+    top_p: jax.Array,              # [B] (1.0 = off)
+    greedy: jax.Array,             # [B] bool
+) -> jax.Array:
+    """Per-ROW sampling parameters (continuous batching mixes requests with
+    different GenConfigs in one step). Vectorized masking versions of the
+    top-k/top-p processors; greedy rows take the argmax."""
+    logits = logits.astype(jnp.float32)
+    v = logits.shape[-1]
+    t = jnp.maximum(temperature, 1e-5)[:, None]
+    proc = logits / t
+
+    sorted_desc = jnp.sort(proc, axis=-1)[..., ::-1]
+    # per-row top-k threshold: value at index (k-1), k=0 -> last index (off)
+    k = jnp.where(top_k > 0, jnp.clip(top_k, 1, v), v).astype(jnp.int32)
+    kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    proc = jnp.where(proc < kth, -jnp.inf, proc)
+
+    # per-row top-p on the already-top-k-masked logits
+    s2 = jnp.sort(proc, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(s2, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.concatenate(
+        [jnp.ones_like(cum[..., :1], bool), cum[..., :-1] < top_p[:, None]],
+        axis=-1,
+    )
+    thresh = jnp.min(jnp.where(keep, s2, jnp.inf), axis=-1, keepdims=True)
+    proc = jnp.where(proc < thresh, -jnp.inf, proc)
+
+    sampled = jax.random.categorical(key, proc, axis=-1).astype(jnp.int32)
+    arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(greedy | (temperature < 1e-5), arg, sampled)
+
+
 def sample_logits(
     logits: jax.Array,             # [B, V]
     key: jax.Array,

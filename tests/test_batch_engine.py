@@ -150,3 +150,36 @@ def test_batch_worker_concurrent_streams(model):
             assert chunks[-1]["ids"] == ref, (name, chunks[-1]["ids"], ref)
     finally:
         w.stop()
+
+
+def test_per_request_sampling_params(model):
+    """Greedy and sampled requests coexist in one batch; greedy rows stay
+    bit-exact with single-request greedy decoding."""
+    cfg, params = model
+    eng = BatchEngine(cfg, params, n_slots=2, max_seq_len=64,
+                      cache_dtype=jnp.float32)
+    g_greedy = GenConfig(greedy=True, max_new_tokens=6)
+    g_sample = GenConfig(greedy=False, temperature=1.5, top_k=0, top_p=1.0,
+                         max_new_tokens=6)
+    r1 = eng.submit([3, 5, 7], g_greedy)
+    r2 = eng.submit([11, 13, 17], g_sample)
+    done = eng.run()
+    assert done[r1].out_ids == _greedy_ref(cfg, params, [3, 5, 7], 6)
+    assert len(done[r2].out_ids) >= 1
+
+
+def test_sample_logits_batched_semantics():
+    from awq_tpu.runtime.sampling import sample_logits_batched
+
+    logits = jnp.asarray([[0.0, 5.0, 1.0, 2.0],
+                          [0.0, 5.0, 1.0, 2.0]], jnp.float32)
+    key = jax.random.PRNGKey(0)
+    # row 0 greedy, row 1 top_k=1 (forced to argmax through sampling)
+    out = sample_logits_batched(
+        logits, key,
+        temperature=jnp.asarray([1.0, 1.0]),
+        top_k=jnp.asarray([0, 1], jnp.int32),
+        top_p=jnp.asarray([1.0, 1.0]),
+        greedy=jnp.asarray([True, False]),
+    )
+    assert out.tolist() == [1, 1]
