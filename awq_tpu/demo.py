@@ -65,6 +65,10 @@ def main(argv=None) -> int:
         print("error: --model_path or --load_quant required", file=sys.stderr)
         return 2
 
+    from awq_tpu.models.llama import fuse_linears
+
+    params = fuse_linears(params, cfg)  # fewer kernel launches per token
+
     tok = AutoTokenizer.from_pretrained(
         args.model_path or args.load_quant, use_fast=True,
         trust_remote_code=True,

@@ -201,6 +201,8 @@ def fuse_linears(params: Params, cfg: ModelConfig) -> Params:
     from awq_tpu.ops.w4a16 import QLinear
 
     layers = dict(params["layers"])
+    if "wqkv" in layers or "wq" not in layers:
+        return params  # already fused
 
     def cat(parts):
         a = parts[0]

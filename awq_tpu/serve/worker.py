@@ -169,6 +169,9 @@ def main(argv=None) -> int:
     from awq_tpu.utils.checkpoint import load_checkpoint
 
     params, cfg, _ = load_checkpoint(args.load_quant)
+    from awq_tpu.models.llama import fuse_linears
+
+    params = fuse_linears(params, cfg)
     tok = AutoTokenizer.from_pretrained(
         args.model_path or args.load_quant, use_fast=True,
         trust_remote_code=True,
