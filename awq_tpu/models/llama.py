@@ -404,8 +404,9 @@ def forward(
                 cache, kv_new, (idx, 0, 0, 0, start_pos, 0)
             )
             if use_flash:
+                # prefix = start_pos; the current token rides in-register
                 attn = flash_decode_stacked(
-                    q[:, 0], cache, idx, start_pos + 1
+                    q[:, 0], k[:, 0], v[:, 0], cache, idx, start_pos
                 ).reshape(b, 1, nq * hd)
             else:
                 attn = attention(q, cache[idx, 0], cache[idx, 1], start_pos)
@@ -507,17 +508,24 @@ def decode_step_batched(
 
     rows = jnp.arange(b)
 
-    def xla_attn(q, kc, vc):
-        # [B,1,nq,hd] x [B,n_kv,T,hd] with per-row length masks
+    def xla_attn(q, k_new, v_new, kc, vc):
+        # [B,1,nq,hd] x cache prefix [B,n_kv,T,hd] (strict per-row masks)
+        # + the current token's k/v appended as an extra column
         groups = nq // nkv
         qf = q.reshape(b, nkv, groups, hd).astype(jnp.float32)
         scores = jnp.einsum("bkgh,bkth->bkgt", qf,
                             kc.astype(jnp.float32)) / jnp.sqrt(hd)
-        mask = jnp.arange(max_t)[None, None, None, :] <= \
+        mask = jnp.arange(max_t)[None, None, None, :] < \
             lengths[:, None, None, None]
         scores = jnp.where(mask, scores, -jnp.inf)
+        s_cur = jnp.einsum("bkgh,bkh->bkg", qf,
+                           k_new.astype(jnp.float32))[..., None] \
+            / jnp.sqrt(hd)
+        scores = jnp.concatenate([scores, s_cur], axis=-1)
         p = jax.nn.softmax(scores, axis=-1)
-        o = jnp.einsum("bkgt,bkth->bkgh", p, vc.astype(jnp.float32))
+        o = jnp.einsum("bkgt,bkth->bkgh", p[..., :-1],
+                       vc.astype(jnp.float32)) \
+            + p[..., -1:] * v_new.astype(jnp.float32)[:, :, None, :]
         return o.reshape(b, 1, nq * hd).astype(dt)
 
     def body(carry, idx):
@@ -536,18 +544,19 @@ def decode_step_batched(
             v = lin("wv", idx, x).reshape(b, 1, nkv, hd)
         if cfg.pos_embed == "rope":
             q, k = apply_rope(q, k, cos, sin, positions)
-        cache = cache.at[idx, 0, rows, :, lengths, :].set(
-            k[:, 0].astype(cache.dtype))
-        cache = cache.at[idx, 1, rows, :, lengths, :].set(
-            v[:, 0].astype(cache.dtype))
+        # cache append is DEFERRED: the flash kernel takes the current
+        # token in-register, and all layers' k/v are scattered into the
+        # cache in ONE op after the scan (32 per-row scatters inside the
+        # scan explode XLA compile time)
         if use_flash:
             from awq_tpu.ops.decode_attn import flash_decode_stacked
 
             attn = flash_decode_stacked(
-                q[:, 0], cache, idx, lengths + 1
+                q[:, 0], k[:, 0], v[:, 0], cache, idx, lengths
             ).reshape(b, 1, nq * hd)
         else:
-            attn = xla_attn(q, cache[idx, 0], cache[idx, 1])
+            attn = xla_attn(q, k[:, 0], v[:, 0], cache[idx, 0],
+                            cache[idx, 1])
         attn_out = lin("wo", idx, attn)
         if cfg.parallel_block:
             xm = x if cfg.single_ln else _norm(cfg, h, lp["ln2"],
@@ -577,10 +586,16 @@ def decode_step_batched(
                       ).astype(hm.dtype)
         m = lin("down", idx, hm)
         h = (h + attn_out + m) if cfg.parallel_block else (h + m)
-        return (h, cache), None
+        kv_new = jnp.stack([k[:, 0], v[:, 0]]).astype(cache.dtype)
+        return (h, cache), kv_new                     # ys: [2, B, n_kv, hd]
 
-    (h, cache), _ = jax.lax.scan(
+    (h, cache), kv_all = jax.lax.scan(
         body, (h, cache), jnp.arange(cfg.num_layers)
+    )
+    # ONE scatter appends every layer's k/v at the per-row positions
+    # (advanced-index result layout: batch dims come first)
+    cache = cache.at[:, :, rows, :, lengths, :].set(
+        kv_all.transpose(2, 0, 1, 3, 4)               # [B, L, 2, n_kv, hd]
     )
     h = _norm(cfg, h, params["norm"], params.get("norm_b"))
     head = params.get("lm_head")

@@ -92,10 +92,14 @@ def _flash_decode_kernel(
 
 
 def _stacked_decode_kernel(
-    scalars_ref, q_ref, cache_ref,
+    scalars_ref, q_ref, kn_ref, vn_ref, cache_ref,
     o_ref, kbuf, vbuf, ksem, vsem,
     *, block_t: int, scale: float,
 ):
+    """Flash decode over the cache prefix [0, length) PLUS the current
+    token's k/v passed in-register (kn/vn) — so the cache append can be
+    deferred to one scatter per step instead of one per layer (which
+    dominates XLA compile time for the batched step)."""
     b = pl.program_id(0)
     h = pl.program_id(1)
     layer = scalars_ref[0]
@@ -112,8 +116,10 @@ def _stacked_decode_kernel(
             sem.at[slot],
         )
 
-    dma(kbuf, 0, ksem, 0, 0).start()
-    dma(vbuf, 1, vsem, 0, 0).start()
+    @pl.when(nblk > 0)  # an unawaited warm-up DMA would leak its semaphore
+    def _():
+        dma(kbuf, 0, ksem, 0, 0).start()
+        dma(vbuf, 1, vsem, 0, 0).start()
 
     def body(i, carry):
         m, l, acc = carry
@@ -147,33 +153,51 @@ def _stacked_decode_kernel(
     m0 = jnp.full((g, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((g, 1), jnp.float32)
     acc0 = jnp.zeros((g, hd), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))
+
+    # current token (not yet in the cache), in-register
+    kn = kn_ref[0, 0].astype(jnp.float32)            # [1, hd]
+    vn = vn_ref[0, 0]                                # [1, hd]
+    s_c = jax.lax.dot_general(
+        q, kn, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                # [g, 1]
+    m_new = jnp.maximum(m, s_c)
+    alpha = jnp.exp(m - m_new)
+    p_c = jnp.exp(s_c - m_new)                       # [g, 1]
+    l = l * alpha + p_c
+    acc = acc * alpha + p_c * vn.astype(jnp.float32)
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
 def flash_decode_stacked(
     q: jax.Array,          # [B, n_q, hd] post-rope queries (one position)
+    k_new: jax.Array,      # [B, n_kv, hd] this position's key (post-rope)
+    v_new: jax.Array,      # [B, n_kv, hd]
     cache: jax.Array,      # [L, 2, B, n_kv, T, hd] FULL stacked cache
     layer: jax.Array,      # scalar int32
-    length: jax.Array,     # scalar int32, or [B] per-row valid positions
+    length: jax.Array,     # scalar int32, or [B]: CACHE prefix length
     block_t: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash decode over layer ``layer`` of the stacked cache.
+    """Flash decode over layer ``layer``: cache prefix ``[0, length)`` plus
+    the current token's k/v in-register.
 
     Taking the whole ``[L, ...]`` cache avoids the per-layer slice that XLA
     would otherwise materialize as a full-cache copy per layer per token
-    (custom-call operands can't alias a dynamic slice). The k/v append
-    happens in XLA (``dynamic_update_slice`` on the scan carry — in-place);
-    a single-position bf16 write inside the kernel would violate the (2,128)
-    HBM tile granularity.
+    (custom-call operands can't alias a dynamic slice). Keeping the current
+    token OUT of the cache lets the caller defer the append to one scatter
+    per step (single-position bf16 writes inside the kernel violate the
+    (2,128) HBM tile granularity, and per-layer XLA scatters explode the
+    batched step's compile time).
     """
     b, n_q, hd = q.shape
     n_kv, t = cache.shape[3], cache.shape[4]
     assert t % block_t == 0, f"cache len {t} % {block_t} != 0"
     g = n_q // n_kv
     qg = q.reshape(b, n_kv, g, hd)
+    cdt = cache.dtype
     lengths = jnp.broadcast_to(
         jnp.asarray(length, jnp.int32).reshape(-1), (b,)
     )
@@ -186,12 +210,14 @@ def flash_decode_stacked(
         grid=(b, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_t, hd), cache.dtype),
-            pltpu.VMEM((2, block_t, hd), cache.dtype),
+            pltpu.VMEM((2, block_t, hd), cdt),
+            pltpu.VMEM((2, block_t, hd), cdt),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -206,7 +232,8 @@ def flash_decode_stacked(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(scalars, qg, cache)
+    )(scalars, qg, k_new.astype(cdt).reshape(b, n_kv, 1, hd),
+      v_new.astype(cdt).reshape(b, n_kv, 1, hd), cache)
     return out.reshape(b, n_q, hd)
 
 

@@ -55,19 +55,52 @@ def test_flash_decode_ignores_stale_cache_suffix():
 
 
 def test_flash_decode_stacked_selects_layer():
-    """stacked-cache kernel == masked attention over the selected layer."""
+    """stacked-cache kernel == masked attention over (prefix + current
+    in-register token) of the selected layer."""
     from awq_tpu.ops.decode_attn import flash_decode_stacked
 
-    L, b, n_q, n_kv, t, hd = 3, 1, 4, 4, 256, 128
-    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    L, b, n_q, n_kv, t, hd = 3, 2, 4, 4, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
     cache = jax.random.normal(ks[0], (L, 2, b, n_kv, t, hd), jnp.float32)
     q = jax.random.normal(ks[1], (b, n_q, hd), jnp.float32)
+    k_new = jax.random.normal(ks[2], (b, n_kv, hd), jnp.float32)
+    v_new = jax.random.normal(ks[3], (b, n_kv, hd), jnp.float32)
     for layer in (0, 2):
-        out = flash_decode_stacked(
-            q, cache, jnp.int32(layer), jnp.int32(101), interpret=True
-        )
-        ref = _ref(q, cache[layer, 0], cache[layer, 1], 101)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+        for prefix in (0, 100, 256):
+            out = flash_decode_stacked(
+                q, k_new, v_new, cache, jnp.int32(layer), jnp.int32(prefix),
+                interpret=True,
+            )
+            # reference: prefix entries + current token appended
+            kc = jnp.concatenate(
+                [cache[layer, 0, :, :, :prefix], k_new[:, :, None]], axis=2)
+            vc = jnp.concatenate(
+                [cache[layer, 1, :, :, :prefix], v_new[:, :, None]], axis=2)
+            ref = _ref(q, kc, vc, prefix + 1)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+
+
+def test_flash_decode_stacked_per_row_lengths():
+    """per-row prefix lengths (continuous batching)."""
+    from awq_tpu.ops.decode_attn import flash_decode_stacked
+
+    L, b, n_q, n_kv, t, hd = 2, 2, 4, 4, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(8), 4)
+    cache = jax.random.normal(ks[0], (L, 2, b, n_kv, t, hd), jnp.float32)
+    q = jax.random.normal(ks[1], (b, n_q, hd), jnp.float32)
+    k_new = jax.random.normal(ks[2], (b, n_kv, hd), jnp.float32)
+    v_new = jax.random.normal(ks[3], (b, n_kv, hd), jnp.float32)
+    lengths = jnp.asarray([7, 200], jnp.int32)
+    out = flash_decode_stacked(q, k_new, v_new, cache, jnp.int32(1),
+                               lengths, interpret=True)
+    for i, pre in enumerate([7, 200]):
+        kc = jnp.concatenate(
+            [cache[1, 0, i:i+1, :, :pre], k_new[i:i+1, :, None]], axis=2)
+        vc = jnp.concatenate(
+            [cache[1, 1, i:i+1, :, :pre], v_new[i:i+1, :, None]], axis=2)
+        ref = _ref(q[i:i+1], kc, vc, pre + 1)
+        np.testing.assert_allclose(np.asarray(out[i:i+1]), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
 
