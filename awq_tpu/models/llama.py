@@ -21,7 +21,7 @@ modules via surgery, ``tinychat/modules/fused_attn.py:549-634``).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -230,6 +230,44 @@ def fuse_linears(params: Params, cfg: ModelConfig) -> Params:
     return out
 
 
+class KVCache8(NamedTuple):
+    """int8 KV cache: data + per-(layer, kv, row, head, position) scales.
+
+    New capability (the reference cache is fp16-only): halves cache HBM
+    traffic and memory, so double the batch slots / context at the same
+    footprint. Scales stay [.., T] here and are reshaped to the kernel's
+    [.., T//256, 256] block layout at the call site (free, contiguous).
+    """
+
+    data: jax.Array    # int8 [L, 2, B, n_kv, T, hd]
+    scales: jax.Array  # f32  [L, 2, B, n_kv, T]
+
+
+def init_kv_cache8(cfg: ModelConfig, batch: int, max_seq: int) -> KVCache8:
+    L, nkv, hd = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    return KVCache8(
+        data=jnp.zeros((L, 2, batch, nkv, max_seq, hd), jnp.int8),
+        scales=jnp.zeros((L, 2, batch, nkv, max_seq), jnp.float32),
+    )
+
+
+def cache_seq_len(cache) -> int:
+    """T of either a plain array cache or a KVCache8."""
+    return (cache.data if isinstance(cache, KVCache8) else cache).shape[4]
+
+
+def quantize_kv(k: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(row, position, head) symmetric int8 over head_dim.
+
+    ``k``: [B, S, n_kv, hd] -> (int8 same shape, scales [B, S, n_kv]).
+    """
+    kf = k.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(kf), axis=-1)
+    s = jnp.maximum(absmax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(kf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
 ) -> jax.Array:
@@ -329,7 +367,8 @@ def forward(
     else:
         h = params["embed"][tokens].astype(dt)
 
-    max_t = cache.shape[4]
+    is_q8 = isinstance(cache, KVCache8)
+    max_t = cache_seq_len(cache)
     cos, sin = rope_table(cfg, max_t)
     positions = start_pos + jnp.arange(s)
 
@@ -350,12 +389,13 @@ def forward(
 
     use_stacked = (
         attn_bias is None
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or is_q8)
     )
     use_flash = (
         s == 1 and use_stacked
         and max_t % 256 == 0
         and cfg.head_dim % 128 == 0
+        and jax.default_backend() == "tpu"
     )
     if use_stacked:
         # The cache rides through the scan as a carry; packed weights stay
@@ -397,17 +437,49 @@ def forward(
             if cfg.pos_embed == "rope":
                 q, k = apply_rope(q, k, cos, sin, positions)
             # append in XLA (in-place on the scan carry)
-            kv_new = jnp.stack([
-                jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
-            ])[None].astype(cache.dtype)              # [1,2,B,n_kv,S,hd]
-            cache = jax.lax.dynamic_update_slice(
-                cache, kv_new, (idx, 0, 0, 0, start_pos, 0)
-            )
-            if use_flash:
+            if is_q8:
+                kq, ks_ = quantize_kv(k)
+                vq, vs_ = quantize_kv(v)
+                data = jax.lax.dynamic_update_slice(
+                    cache.data,
+                    jnp.stack([jnp.swapaxes(kq, 1, 2),
+                               jnp.swapaxes(vq, 1, 2)])[None],
+                    (idx, 0, 0, 0, start_pos, 0),
+                )
+                sc = jax.lax.dynamic_update_slice(
+                    cache.scales,
+                    jnp.stack([jnp.swapaxes(ks_, 1, 2),
+                               jnp.swapaxes(vs_, 1, 2)])[None],
+                    (idx, 0, 0, 0, start_pos),
+                )
+                cache = KVCache8(data, sc)
+            else:
+                kv_new = jnp.stack([
+                    jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+                ])[None].astype(cache.dtype)          # [1,2,B,n_kv,S,hd]
+                cache = jax.lax.dynamic_update_slice(
+                    cache, kv_new, (idx, 0, 0, 0, start_pos, 0)
+                )
+            if use_flash and is_q8:
+                from awq_tpu.ops.decode_attn import flash_decode_stacked8
+
+                attn = flash_decode_stacked8(
+                    q[:, 0], k[:, 0], v[:, 0], cache.data,
+                    cache.scales.reshape(*cache.scales.shape[:4],
+                                         max_t // 256, 256),
+                    idx, start_pos,
+                ).reshape(b, 1, nq * hd)
+            elif use_flash:
                 # prefix = start_pos; the current token rides in-register
                 attn = flash_decode_stacked(
                     q[:, 0], k[:, 0], v[:, 0], cache, idx, start_pos
                 ).reshape(b, 1, nq * hd)
+            elif is_q8:
+                kc = (cache.data[idx, 0].astype(jnp.float32)
+                      * cache.scales[idx, 0][..., None]).astype(dt)
+                vc = (cache.data[idx, 1].astype(jnp.float32)
+                      * cache.scales[idx, 1][..., None]).astype(dt)
+                attn = attention(q, kc, vc, start_pos)
             else:
                 attn = attention(q, cache[idx, 0], cache[idx, 1], start_pos)
             attn_out = lin("wo", idx, attn)

@@ -170,6 +170,165 @@ def _stacked_decode_kernel(
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
+def _stacked_decode_kernel8(
+    scalars_ref, q_ref, kn_ref, vn_ref, cache_ref, kscale_ref, vscale_ref,
+    o_ref, kbuf, vbuf, ksbuf, vsbuf, ksem, vsem, kssem, vssem,
+    *, block_t: int, scale: float,
+):
+    """int8-KV flash decode. Dequantization never touches cache elements:
+    K scales multiply score COLUMNS after the q@k dot, V scales fold into
+    the probability row before p@v — per-block VPU work is O(block_t), not
+    O(block_t * hd)."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    layer = scalars_ref[0]
+    length = scalars_ref[1 + b]
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    g, hd = q.shape
+    nblk = pl.cdiv(length, block_t)
+
+    def dma(buf, kv, sem, slot, i):
+        return pltpu.make_async_copy(
+            cache_ref.at[layer, kv, b, h, pl.ds(i * block_t, block_t), :],
+            buf.at[slot], sem.at[slot],
+        )
+
+    def sdma(buf, sref, sem, slot, i):
+        return pltpu.make_async_copy(
+            sref.at[layer, b, h, i, :], buf.at[slot, 0, :], sem.at[slot],
+        )
+
+    @pl.when(nblk > 0)
+    def _():
+        dma(kbuf, 0, ksem, 0, 0).start()
+        dma(vbuf, 1, vsem, 0, 0).start()
+        sdma(ksbuf, kscale_ref, kssem, 0, 0).start()
+        sdma(vsbuf, vscale_ref, vssem, 0, 0).start()
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = i % 2
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            dma(kbuf, 0, ksem, (i + 1) % 2, i + 1).start()
+            dma(vbuf, 1, vsem, (i + 1) % 2, i + 1).start()
+            sdma(ksbuf, kscale_ref, kssem, (i + 1) % 2, i + 1).start()
+            sdma(vsbuf, vscale_ref, vssem, (i + 1) % 2, i + 1).start()
+
+        dma(kbuf, 0, ksem, slot, i).wait()
+        sdma(ksbuf, kscale_ref, kssem, slot, i).wait()
+        s = jax.lax.dot_general(
+            q, kbuf[slot].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * ksbuf[slot, 0, :][None, :]               # column dequant
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
+        s = jnp.where(col < length, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        dma(vbuf, 1, vsem, slot, i).wait()
+        sdma(vsbuf, vscale_ref, vssem, slot, i).wait()
+        pv = jax.lax.dot_general(
+            (p * vsbuf[slot, 0, :][None, :]),        # fold V scales into p
+            vbuf[slot].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha + pv
+
+    m0 = jnp.full((g, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros((g, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))
+
+    kn = kn_ref[0, 0].astype(jnp.float32)            # fp current token
+    vn = vn_ref[0, 0]
+    s_c = jax.lax.dot_general(
+        q, kn, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_new = jnp.maximum(m, s_c)
+    alpha = jnp.exp(m - m_new)
+    p_c = jnp.exp(s_c - m_new)
+    l = l * alpha + p_c
+    acc = acc * alpha + p_c * vn.astype(jnp.float32)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def flash_decode_stacked8(
+    q: jax.Array,          # [B, n_q, hd]
+    k_new: jax.Array,      # [B, n_kv, hd] fp (quantized by the caller's
+    v_new: jax.Array,      # [B, n_kv, hd]  append, AFTER this kernel)
+    cache: jax.Array,      # [L, 2, B, n_kv, T, hd] int8
+    scales: jax.Array,     # [L, 2, B, n_kv, T//block_t, block_t] f32
+    layer: jax.Array,
+    length: jax.Array,     # scalar or [B] cache prefix
+    block_t: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8-KV variant of :func:`flash_decode_stacked` (new capability —
+    the reference cache is fp16-only): halves cache bandwidth and memory.
+    ``scales[l, kv, b, h, blk, j]`` dequantizes position ``blk*block_t+j``.
+    """
+    b, n_q, hd = q.shape
+    n_kv, t = cache.shape[3], cache.shape[4]
+    assert cache.dtype == jnp.int8
+    assert t % block_t == 0
+    g = n_q // n_kv
+    qg = q.reshape(b, n_kv, g, hd)
+    # k/v scale planes are indexed separately inside the kernel
+    kscales = scales[:, 0]
+    vscales = scales[:, 1]
+    lengths = jnp.broadcast_to(
+        jnp.asarray(length, jnp.int32).reshape(-1), (b,)
+    )
+    scalars = jnp.concatenate(
+        [jnp.reshape(layer, (1,)).astype(jnp.int32), lengths]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_t, hd), jnp.int8),
+            pltpu.VMEM((2, block_t, hd), jnp.int8),
+            pltpu.VMEM((2, 1, block_t), jnp.float32),
+            pltpu.VMEM((2, 1, block_t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _stacked_decode_kernel8, block_t=block_t, scale=1.0 / (hd ** 0.5)
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_kv, g, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scalars, qg, k_new.astype(q.dtype).reshape(b, n_kv, 1, hd),
+      v_new.astype(q.dtype).reshape(b, n_kv, 1, hd),
+      cache, kscales, vscales)
+    return out.reshape(b, n_q, hd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
 def flash_decode_stacked(
     q: jax.Array,          # [B, n_q, hd] post-rope queries (one position)

@@ -33,22 +33,28 @@ class InferenceEngine:
         self.params = params
         self.rt = runtime or RuntimeConfig()
         self.tokenizer = tokenizer
-        self.cache = init_kv_cache(
-            cfg, self.rt.max_batch_size,
-            min(self.rt.max_seq_len, cfg.max_position_embeddings),
-            cache_dtype,
-        )
+        t = min(self.rt.max_seq_len, cfg.max_position_embeddings)
+        if cache_dtype in ("int8", jnp.int8):
+            from awq_tpu.models.llama import init_kv_cache8
+
+            self.cache = init_kv_cache8(cfg, self.rt.max_batch_size, t)
+        else:
+            self.cache = init_kv_cache(
+                cfg, self.rt.max_batch_size, t, cache_dtype
+            )
         self.start_pos = 0
 
     # ---- conversation state (chunked prefill across rounds) ----
 
     def reset(self):
         self.start_pos = 0
-        self.cache = jnp.zeros_like(self.cache)
+        self.cache = jax.tree_util.tree_map(jnp.zeros_like, self.cache)
 
     @property
     def max_seq_len(self) -> int:
-        return self.cache.shape[4]
+        from awq_tpu.models.llama import cache_seq_len
+
+        return cache_seq_len(self.cache)
 
     def warmup(self, seq_len: int = 64):
         """Trigger compilation of prefill + decode (reference warmup:

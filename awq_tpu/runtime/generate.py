@@ -106,11 +106,16 @@ def generate(
     b, s = tokens.shape
     vocab = cfg.vocab_size
 
-    t_total = cache.shape[4]
+    from awq_tpu.models.llama import cache_seq_len
+
+    t_total = cache_seq_len(cache)
     bucket = cache_bucket(t_total, start_pos + s + gen.max_new_tokens)
     full_cache = cache if bucket < t_total else None
     if bucket < t_total:
-        cache = jax.lax.slice_in_dim(cache, 0, bucket, axis=4)
+        # position axis is 4 for both the plain cache and KVCache8 leaves
+        cache = jax.tree_util.tree_map(
+            lambda a: jax.lax.slice_in_dim(a, 0, bucket, axis=4), cache
+        )
 
     t0 = time.perf_counter()
     logits, cache = forward(
@@ -137,8 +142,11 @@ def generate(
     decode_time = time.perf_counter() - t1
 
     if full_cache is not None:
-        cache = jax.lax.dynamic_update_slice(
-            full_cache, cache, (0, 0, 0, 0, 0, 0)
+        cache = jax.tree_util.tree_map(
+            lambda full, part: jax.lax.dynamic_update_slice(
+                full, part, (0,) * full.ndim
+            ),
+            full_cache, cache,
         )
 
     toks = jnp.concatenate([first[:, None], toks], axis=1)

@@ -62,6 +62,8 @@ def main():
                          "(reference uses 4, tinychat/README.md:93)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny geometry (CPU smoke test)")
+    ap.add_argument("--kv8", action="store_true",
+                    help="int8 KV cache (halved cache traffic)")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -74,7 +76,12 @@ def main():
 
     params = fuse_linears(params, cfg)
     jax.block_until_ready(params)
-    cache = init_kv_cache(cfg, 1, args.max_seq, jnp.bfloat16)
+    if args.kv8:
+        from awq_tpu.models.llama import init_kv_cache8
+
+        cache = init_kv_cache8(cfg, 1, args.max_seq)
+    else:
+        cache = init_kv_cache(cfg, 1, args.max_seq, jnp.bfloat16)
     gen = GenConfig(greedy=True, temperature=1.0, repetition_penalty=1.0)
     stop = jnp.asarray([-1], jnp.int32)
     seen = jnp.zeros((1, cfg.vocab_size), bool)

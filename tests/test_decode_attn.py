@@ -118,3 +118,35 @@ def test_attention_decode_path_consistency():
         np.asarray(out.reshape(b, 1, n_q * hd)), np.asarray(ref),
         atol=2e-5, rtol=2e-5,
     )
+
+
+def test_flash_decode_stacked8_matches_fp(jit_disabled=None):
+    """int8-KV kernel == fp reference within int8 tolerance."""
+    from awq_tpu.ops.decode_attn import flash_decode_stacked8
+
+    L, b, n_q, n_kv, t, hd = 2, 1, 4, 4, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    kv_fp = jax.random.normal(ks[0], (L, 2, b, n_kv, t, hd), jnp.float32)
+    # quantize the cache per (pos, head)
+    absmax = jnp.max(jnp.abs(kv_fp), axis=-1)
+    scales = jnp.maximum(absmax, 1e-6) / 127.0
+    data = jnp.clip(jnp.round(kv_fp / scales[..., None]), -127, 127
+                    ).astype(jnp.int8)
+    deq = data.astype(jnp.float32) * scales[..., None]
+
+    q = jax.random.normal(ks[1], (b, n_q, hd), jnp.float32)
+    k_new = jax.random.normal(ks[2], (b, n_kv, hd), jnp.float32)
+    v_new = jax.random.normal(ks[3], (b, n_kv, hd), jnp.float32)
+    prefix = 100
+    out = flash_decode_stacked8(
+        q, k_new, v_new, data,
+        scales.reshape(L, 2, b, n_kv, t // 256, 256),
+        jnp.int32(1), jnp.int32(prefix), interpret=True,
+    )
+    kc = jnp.concatenate([deq[1, 0, :, :, :prefix], k_new[:, :, None]],
+                         axis=2)
+    vc = jnp.concatenate([deq[1, 1, :, :, :prefix], v_new[:, :, None]],
+                         axis=2)
+    ref = _ref(q, kc, vc, prefix + 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
