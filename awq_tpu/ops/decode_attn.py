@@ -172,13 +172,14 @@ def _stacked_decode_kernel(
 
 def _stacked_decode_kernel8(
     scalars_ref, q_ref, kn_ref, vn_ref, cache_ref, kscale_ref, vscale_ref,
-    o_ref, kbuf, vbuf, ksbuf, vsbuf, ksem, vsem, kssem, vssem,
+    o_ref, kbuf, vbuf, ksem, vsem,
     *, block_t: int, scale: float,
 ):
     """int8-KV flash decode. Dequantization never touches cache elements:
     K scales multiply score COLUMNS after the q@k dot, V scales fold into
     the probability row before p@v — per-block VPU work is O(block_t), not
-    O(block_t * hd)."""
+    O(block_t * hd). Scale planes arrive as VMEM-blocked inputs (the whole
+    [T/bt, bt] row-set per (b, h) is ~KBs resident)."""
     b = pl.program_id(0)
     h = pl.program_id(1)
     layer = scalars_ref[0]
@@ -194,17 +195,10 @@ def _stacked_decode_kernel8(
             buf.at[slot], sem.at[slot],
         )
 
-    def sdma(buf, sref, sem, slot, i):
-        return pltpu.make_async_copy(
-            sref.at[layer, b, h, i, :], buf.at[slot, 0, :], sem.at[slot],
-        )
-
     @pl.when(nblk > 0)
     def _():
         dma(kbuf, 0, ksem, 0, 0).start()
         dma(vbuf, 1, vsem, 0, 0).start()
-        sdma(ksbuf, kscale_ref, kssem, 0, 0).start()
-        sdma(vsbuf, vscale_ref, vssem, 0, 0).start()
 
     def body(i, carry):
         m, l, acc = carry
@@ -214,16 +208,14 @@ def _stacked_decode_kernel8(
         def _():
             dma(kbuf, 0, ksem, (i + 1) % 2, i + 1).start()
             dma(vbuf, 1, vsem, (i + 1) % 2, i + 1).start()
-            sdma(ksbuf, kscale_ref, kssem, (i + 1) % 2, i + 1).start()
-            sdma(vsbuf, vscale_ref, vssem, (i + 1) % 2, i + 1).start()
 
         dma(kbuf, 0, ksem, slot, i).wait()
-        sdma(ksbuf, kscale_ref, kssem, slot, i).wait()
+        ks_row = kscale_ref[0, 0, 0, i, :][None, :]   # [1, bt]
         s = jax.lax.dot_general(
             q, kbuf[slot].astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * ksbuf[slot, 0, :][None, :]               # column dequant
+        ) * ks_row                                    # column dequant
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
         s = jnp.where(col < length, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -231,9 +223,9 @@ def _stacked_decode_kernel8(
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         dma(vbuf, 1, vsem, slot, i).wait()
-        sdma(vsbuf, vscale_ref, vssem, slot, i).wait()
+        vs_row = vscale_ref[0, 0, 0, i, :][None, :]
         pv = jax.lax.dot_general(
-            (p * vsbuf[slot, 0, :][None, :]),        # fold V scales into p
+            (p * vs_row),                             # fold V scales into p
             vbuf[slot].astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -290,6 +282,7 @@ def flash_decode_stacked8(
     scalars = jnp.concatenate(
         [jnp.reshape(layer, (1,)).astype(jnp.int32), lengths]
     )
+    nb = t // block_t
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_kv),
@@ -298,17 +291,15 @@ def flash_decode_stacked8(
             pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, 1, nb, block_t),
+                         lambda i, j, l: (l[0], i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, nb, block_t),
+                         lambda i, j, l: (l[0], i, j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, block_t, hd), jnp.int8),
             pltpu.VMEM((2, block_t, hd), jnp.int8),
-            pltpu.VMEM((2, 1, block_t), jnp.float32),
-            pltpu.VMEM((2, 1, block_t), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
