@@ -391,12 +391,14 @@ def forward(
         attn_bias is None
         and (jax.default_backend() == "tpu" or is_q8)
     )
-    use_flash = (
-        s == 1 and use_stacked
+    flash_ok = (
+        use_stacked
         and max_t % 256 == 0
         and cfg.head_dim % 128 == 0
         and jax.default_backend() == "tpu"
     )
+    use_flash = s == 1 and flash_ok
+    use_prefill_flash = s > 1 and flash_ok and not is_q8
     if use_stacked:
         # The cache rides through the scan as a carry; packed weights stay
         # stacked and are indexed INSIDE the Pallas kernels via scalar
@@ -474,6 +476,10 @@ def forward(
                 attn = flash_decode_stacked(
                     q[:, 0], k[:, 0], v[:, 0], cache, idx, start_pos
                 ).reshape(b, 1, nq * hd)
+            elif use_prefill_flash:
+                from awq_tpu.ops.decode_attn import flash_prefill_stacked
+
+                attn = flash_prefill_stacked(q, cache, idx, start_pos)
             elif is_q8:
                 kc = (cache.data[idx, 0].astype(jnp.float32)
                       * cache.scales[idx, 0][..., None]).astype(dt)
@@ -664,11 +670,14 @@ def decode_step_batched(
     (h, cache), kv_all = jax.lax.scan(
         body, (h, cache), jnp.arange(cfg.num_layers)
     )
-    # ONE scatter appends every layer's k/v at the per-row positions
-    # (advanced-index result layout: batch dims come first)
-    cache = cache.at[:, :, rows, :, lengths, :].set(
-        kv_all.transpose(2, 0, 1, 3, 4)               # [B, L, 2, n_kv, hd]
-    )
+    # append every layer's k/v after the scan: B static dynamic_update_slice
+    # writes (one per row at its own position) — advanced-index scatters on
+    # the multi-GB cache take XLA minutes to compile
+    for i in range(b):                                # kv_all [L,2,B,n_kv,hd]
+        row = kv_all[:, :, i][:, :, None, :, None, :]  # [L,2,1,n_kv,1,hd]
+        cache = jax.lax.dynamic_update_slice(
+            cache, row.astype(cache.dtype), (0, 0, i, 0, lengths[i], 0)
+        )
     h = _norm(cfg, h, params["norm"], params.get("norm_b"))
     head = params.get("lm_head")
     if head is None:

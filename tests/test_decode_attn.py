@@ -150,3 +150,22 @@ def test_flash_decode_stacked8_matches_fp(jit_disabled=None):
     ref = _ref(q, kc, vc, prefix + 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("start_pos,s", [(0, 256), (0, 300), (100, 156),
+                                         (5, 64)])
+def test_flash_prefill_stacked_matches_masked_attention(start_pos, s):
+    """flash prefill == chunk-offset masked attention (incl. chunked
+    prefill on reused history KV and non-multiple-of-block lengths)."""
+    from awq_tpu.ops.decode_attn import flash_prefill_stacked
+
+    L, b, n_q, n_kv, t, hd = 2, 1, 4, 2, 512, 128
+    ks = jax.random.split(jax.random.PRNGKey(11), 2)
+    cache = jax.random.normal(ks[0], (L, 2, b, n_kv, t, hd), jnp.float32)
+    q = jax.random.normal(ks[1], (b, s, n_q, hd), jnp.float32)
+
+    out = flash_prefill_stacked(q, cache, jnp.int32(1), jnp.int32(start_pos),
+                                interpret=True)
+    ref = attention(q, cache[1, 0], cache[1, 1], jnp.int32(start_pos))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
