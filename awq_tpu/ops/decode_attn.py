@@ -311,7 +311,7 @@ def flash_decode_stacked8(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_kv, g, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(scalars, qg, k_new.astype(q.dtype).reshape(b, n_kv, 1, hd),
@@ -379,7 +379,7 @@ def flash_decode_stacked(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_kv, g, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(scalars, qg, k_new.astype(cdt).reshape(b, n_kv, 1, hd),
@@ -511,7 +511,7 @@ def flash_prefill_stacked(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(scalars, qt, cache)
