@@ -8,6 +8,10 @@ and decode throughput on random weights.
 
 from __future__ import annotations
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/awq_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import argparse
 import time
 
