@@ -133,14 +133,16 @@ def bench_batch_decode(cfg, params, batch: int, context: int, steps: int,
     lengths0 = jnp.full((batch,), context, jnp.int32)
 
     @jax.jit
-    def one(tok, cache, lens):
+    def one(params, tok, cache, lens):
+        # params as an ARGUMENT: a closure would capture the multi-GB
+        # pytree as compile-time constants (hours of XLA lowering)
         logits, cache = decode_step_batched(params, cfg, tok, cache, lens)
         return jnp.argmax(logits, -1).astype(jnp.int32), cache, lens + 1
 
     def burst(n):
         tok, c, lens = first, cache, lengths0
         for _ in range(n):
-            tok, c, lens = one(tok, c, lens)  # async dispatches pipeline
+            tok, c, lens = one(params, tok, c, lens)  # dispatches pipeline
         return tok
 
     _sync(burst(2))  # compile
