@@ -51,6 +51,7 @@ class VisionConfig:
 
     @property
     def num_patches(self) -> int:
+        # floor: HF towers use a "valid" conv (siglip-384/14 -> 27x27)
         n = (self.image_size // self.patch_size) ** 2
         return n + (1 if self.use_class_token else 0)
 
@@ -109,9 +110,13 @@ def init_vision_params(cfg: VisionConfig, key: jax.Array,
 
 
 def patchify(cfg: VisionConfig, pixels: jax.Array) -> jax.Array:
-    """[B, H, W, 3] -> [B, n_patches, 3*p*p] (conv-as-matmul unfold)."""
+    """[B, H, W, 3] -> [B, n_patches, 3*p*p] (conv-as-matmul unfold;
+    edge pixels beyond a patch multiple are cropped, like a "valid"
+    stride-p convolution — e.g. siglip 384/14 -> 27x27)."""
     b, hh, ww, c = pixels.shape
     p = cfg.patch_size
+    hh, ww = (hh // p) * p, (ww // p) * p
+    pixels = pixels[:, :hh, :ww]
     x = pixels.reshape(b, hh // p, p, ww // p, p, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)                 # [B, gh, gw, p, p, C]
     # HF conv weight layout contraction order is (C, p, p); match it
