@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     # eval (awq/entry.py:40-56)
     p.add_argument("--tasks", type=str, default=None,
                    help="'wikitext' or comma-separated lm-eval tasks")
+    p.add_argument("--eval_corpus", type=str, default="wikitext2",
+                   help="'wikitext2' (HF hub) or a local .txt file for the "
+                        "ppl task (air-gapped machines)")
     p.add_argument("--eval_seqlen", type=int, default=2048)
     p.add_argument("--eval_windows", type=int, default=None)
     # placement
@@ -161,7 +164,7 @@ def main(argv=None) -> int:
         if "wikitext" in task_list:
             from awq_tpu.eval import load_text_tokens, perplexity
 
-            ids = load_text_tokens("wikitext2", tok)
+            ids = load_text_tokens(args.eval_corpus, tok)
             ppl = perplexity(
                 params, cfg, ids, seqlen=args.eval_seqlen,
                 max_windows=args.eval_windows, verbose=True,

@@ -1,0 +1,75 @@
+"""Full CLI pipeline end to end, offline: HF dir (+fast tokenizer built
+from scratch) -> awq search -> real quant -> dump -> reload -> local-corpus
+perplexity. This is the P1 driver flow (`awq/entry.py` §3.1 + §3.2) in one
+test."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+transformers = pytest.importorskip("transformers")
+import torch  # noqa: E402
+
+from awq_tpu.entry import main  # noqa: E402
+
+
+def _make_tokenizer(tmp):
+    """Char-level fast tokenizer built offline via `tokenizers`."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {chr(i): i for i in range(32, 127)}
+    vocab["<unk>"] = 127
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Split("", "isolated")
+    fast = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", eos_token="<unk>"
+    )
+    fast.save_pretrained(tmp)
+    return fast
+
+
+def test_cli_full_pipeline(tmp_path):
+    d = str(tmp_path / "hf")
+    os.makedirs(d)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    transformers.LlamaForCausalLM(cfg).save_pretrained(d)
+    _make_tokenizer(d)
+
+    awq_path = str(tmp_path / "awq.pkl")
+    ckpt = str(tmp_path / "ckpt-w4")
+    corpus = str(tmp_path / "corpus.txt")
+    with open(corpus, "w") as f:
+        f.write("the quick brown fox jumps over the lazy dog. " * 300)
+
+    # search + dump
+    assert main([
+        "--model_path", d, "--dtype", "float32",
+        "--w_bit", "4", "--q_group_size", "32",
+        "--run_awq", "--dump_awq", awq_path,
+        "--calib_data", "synthetic", "--n_samples", "2",
+        "--calib_block_size", "32",
+    ]) == 0
+    assert os.path.exists(awq_path)
+
+    # apply + real quant + dump
+    assert main([
+        "--model_path", d, "--dtype", "float32",
+        "--w_bit", "4", "--q_group_size", "32",
+        "--load_awq", awq_path, "--q_backend", "real",
+        "--dump_quant", ckpt,
+    ]) == 0
+    assert os.path.exists(ckpt + ".safetensors")
+
+    # reload + local-corpus ppl
+    assert main([
+        "--load_quant", ckpt, "--model_path", d,
+        "--tasks", "wikitext", "--eval_corpus", corpus,
+        "--eval_seqlen", "64", "--eval_windows", "2",
+    ]) == 0
