@@ -81,14 +81,15 @@ def main(argv=None) -> int:
     vfwd = vision_forward_w8a8 if args.vision_int8 else vision_forward
 
     @jax.jit
-    def encode(px):
+    def encode(vparams, px):
+        # params as ARGUMENTS: closures embed them as giant HLO constants
         return jnp.sum(vfwd(vparams, vcfg, px).astype(jnp.float32))
 
-    _sync(encode(px))
+    _sync(encode(vparams, px))
     times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
-        _sync(encode(px))
+        _sync(encode(vparams, px))
         times.append(time.perf_counter() - t0)
     n_tok = (vcfg.image_size // vcfg.patch_size) ** 2
     print(f"[{name}] vision encode: {np.mean(times) * 1e3:.1f} ms "
