@@ -225,6 +225,13 @@ def fuse_linears(params: Params, cfg: ModelConfig) -> Params:
                           layers.pop("wv")])
     if "gate" in layers:
         layers["wgateup"] = cat([layers.pop("gate"), layers.pop("up")])
+    # block-contiguous weight layout: each kernel N block becomes one
+    # contiguous HBM stream (~777 vs ~453 GB/s measured on v5e)
+    from awq_tpu.ops.w4a16 import tile_qlinear
+
+    for name, p in list(layers.items()):
+        if isinstance(p, QLinear):
+            layers[name] = tile_qlinear(p)
     out = dict(params)
     out["layers"] = layers
     return out

@@ -47,20 +47,25 @@ class QLinear:
     (``awq/quantize/qmodule.py:98-130``) minus the tensor-core interleave.
     """
 
-    qweight: jax.Array                 # int32 [IC//8, OC]
+    qweight: jax.Array                 # int32 [IC//8, OC]; tiled variant:
+    # [(L,) NB, IC//8, bn] (block-contiguous in HBM: each N block streams
+    # as one DMA at ~95% of peak bandwidth vs ~55% for the strided layout)
     scales: jax.Array                  # f32   [IC//G, OC]
     szeros: jax.Array                  # f32   [IC//G, OC]  == scales * zeros
     bias: Optional[jax.Array] = None   # [OC] or None
     w_bit: int = dataclasses.field(default=4, metadata=dict(static=True))
     group_size: int = dataclasses.field(default=128, metadata=dict(static=True))
+    tiled_bn: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def in_features(self) -> int:
-        return self.qweight.shape[0] * 8
+        return self.qweight.shape[-2] * 8
 
     @property
     def out_features(self) -> int:
-        return self.qweight.shape[1]
+        if self.tiled_bn:
+            return self.qweight.shape[-3] * self.tiled_bn
+        return self.qweight.shape[-1]
 
 
 def quantize_linear(
@@ -276,12 +281,101 @@ def w4a16_matmul_stacked(
     return out[:m] if m_pad else out
 
 
+def tile_qlinear(ql: QLinear, block_n: int = 512) -> QLinear:
+    """Repack a (stacked) QLinear to the block-contiguous layout
+    ``[L, OC/bn, IC//8, bn]``; no-op if already tiled or OC % bn != 0."""
+    if ql.tiled_bn or ql.qweight.shape[-1] % block_n != 0:
+        return ql
+    qw = ql.qweight
+    stacked = qw.ndim == 3
+    if not stacked:
+        qw = qw[None]
+    L, icp, oc = qw.shape
+    nb = oc // block_n
+    qt = qw.reshape(L, icp, nb, block_n).transpose(0, 2, 1, 3)
+    if not stacked:
+        qt = qt[0]
+    return QLinear(
+        qweight=qt.copy(), scales=ql.scales,  # materialize contiguous
+        szeros=ql.szeros, bias=ql.bias, w_bit=ql.w_bit,
+        group_size=ql.group_size, tiled_bn=block_n,
+    )
+
+
+def untile_qweight(qweight: jax.Array, block_n: int) -> jax.Array:
+    """[(L,) NB, ICp, bn] -> [(L,) ICp, OC] (XLA fallback paths)."""
+    if qweight.ndim == 4:
+        L, nb, icp, bn = qweight.shape
+        return qweight.transpose(0, 2, 1, 3).reshape(L, icp, nb * bn)
+    nb, icp, bn = qweight.shape
+    return qweight.transpose(1, 0, 2).reshape(icp, nb * bn)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "block_n", "block_m")
+)
+def w4a16_matmul_stacked_tiled(
+    x, qweight, scales, szeros, layer_idx, group_size: int, block_n: int,
+    block_m: int = 0,
+):
+    """Stacked matmul over the block-contiguous layout
+    ``qweight [L, NB, IC//8, bn]`` — each grid step's weight block is one
+    contiguous HBM stream (measured ~777 GB/s vs ~453 strided on v5e)."""
+    m, ic = x.shape
+    _, nb, icp, bn = qweight.shape
+    bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
+    m_pad = -m % bm
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    idx = jnp.reshape(layer_idx, (1,)).astype(jnp.int32)
+
+    def kern(idx_ref, x_ref, qw_ref, s_ref, sz_ref, o_ref):
+        _w4a16_kernel_stacked(
+            idx_ref, x_ref, qw_ref.at[0], s_ref, sz_ref, o_ref,
+            group_size=group_size, out_dtype=x.dtype,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(x.shape[0] // bm, nb),
+        in_specs=[
+            pl.BlockSpec((bm, ic), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, 1, icp, bn), lambda i, j, l: (l[0], j, 0, 0)),
+            pl.BlockSpec((1, ic // group_size, bn),
+                         lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, ic // group_size, bn),
+                         lambda i, j, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], nb * bn), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * x.shape[0] * ic * nb * bn,
+            bytes_accessed=ic * nb * bn // 2,
+            transcendentals=0,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(idx, x, qweight, scales, szeros)
+    return out[:m] if m_pad else out
+
+
 def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
                           x: jax.Array) -> jax.Array:
     """Apply layer ``layer_idx`` of a stacked ``QLinear [L, ...]``."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and ql.tiled_bn:
+        out = w4a16_matmul_stacked_tiled(
+            x2, ql.qweight, ql.scales, ql.szeros, layer_idx,
+            ql.group_size, ql.tiled_bn,
+        )
+    elif jax.default_backend() == "tpu":
         from awq_tpu.utils.tune import get_block_n
 
         out = w4a16_matmul_stacked(
@@ -291,10 +385,12 @@ def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
         )
     else:
         qw = ql.qweight[layer_idx]
+        if ql.tiled_bn:
+            qw = untile_qweight(qw, ql.tiled_bn)
         out = w4a16_matmul_xla(
             x2, qw, ql.scales[layer_idx], ql.szeros[layer_idx], ql.group_size
         )
-    out = out.reshape(*lead, ql.qweight.shape[-1])
+    out = out.reshape(*lead, ql.out_features)
     if ql.bias is not None:
         out = out + ql.bias[layer_idx].astype(out.dtype)
     return out
@@ -325,8 +421,11 @@ def w4a16_matmul(
 
 def qlinear_apply(ql: QLinear, x: jax.Array, impl: str = "auto") -> jax.Array:
     """Apply a quantized linear layer: ``x @ W_deq + bias``."""
+    qw = ql.qweight
+    if ql.tiled_bn:
+        qw = untile_qweight(qw, ql.tiled_bn)
     out = w4a16_matmul(
-        x, ql.qweight, ql.scales, ql.szeros, ql.group_size, impl=impl
+        x, qw, ql.scales, ql.szeros, ql.group_size, impl=impl
     )
     if ql.bias is not None:
         out = out + ql.bias.astype(out.dtype)

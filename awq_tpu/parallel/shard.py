@@ -35,6 +35,8 @@ def _spec_for(path: str, leaf, tp: int) -> P:
         return leaf.shape[axis] % tp == 0
 
     if any(f"'{n}'" in path for n in COLUMN_PARALLEL):
+        if nd == 4:  # tiled qweight [L, NB, ICp, bn]: OC blocks on axis 1
+            return P(None, "tp", None, None) if ok(1) else P()
         # [L, *, OC] / [L, OC]: shard the trailing output-channel axis
         if ok(nd - 1):
             return P(*([None] * (nd - 1) + ["tp"]))
@@ -43,6 +45,8 @@ def _spec_for(path: str, leaf, tp: int) -> P:
         # w/qweight/scales/szeros [L, IC(/pack|/G), OC]: shard the reduction
         # axis; a scales array with fewer groups than tp stays replicated
         # (its footprint is negligible).
+        if nd == 4:  # tiled qweight: reduction axis is 2
+            return P(None, None, "tp", None) if ok(2) else P()
         if nd == 3 and ok(1):
             return P(None, "tp", None)
         return P()  # bias [L, OC] replicated (added after the psum)
