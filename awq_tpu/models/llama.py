@@ -543,10 +543,14 @@ def forward(
         h = h[:, -1:, :]
     h = _norm(cfg, h, params["norm"], params.get("norm_b"))
     head = params.get("lm_head")
+    from awq_tpu.ops.w4a16 import QLinear as _QL, qlinear_apply as _qla
+
     if head is None:
         logits = jnp.matmul(
             h, params["embed"].astype(dt).T, preferred_element_type=jnp.float32
         )
+    elif isinstance(head, _QL):
+        logits = _qla(head, h).astype(jnp.float32)
     else:
         logits = jnp.matmul(h, head.astype(dt), preferred_element_type=jnp.float32)
     return logits, new_cache
@@ -687,9 +691,13 @@ def decode_step_batched(
         )
     h = _norm(cfg, h, params["norm"], params.get("norm_b"))
     head = params.get("lm_head")
+    from awq_tpu.ops.w4a16 import QLinear as _QL, qlinear_apply as _qla
+
     if head is None:
         logits = jnp.matmul(h, params["embed"].astype(dt).T,
                             preferred_element_type=jnp.float32)
+    elif isinstance(head, _QL):
+        logits = _qla(head, h).astype(jnp.float32)
     else:
         logits = jnp.matmul(h, head.astype(dt),
                             preferred_element_type=jnp.float32)
@@ -700,12 +708,22 @@ def quantize_params(
     params: Params,
     qcfg: QuantConfig,
     clips: Optional[Dict[str, jax.Array]] = None,
+    quantize_lm_head: bool = False,
 ) -> Params:
     """Real-quantize every decoder-layer linear to packed ``QLinear``
-    (embed/lm_head stay fp, as in ``real_quantize_model_weight``,
-    ``awq/quantize/quantizer.py:126-165``). AWQ scales must already be
+    (embed/lm_head stay fp by default, as in ``real_quantize_model_weight``,
+    ``awq/quantize/quantizer.py:126-165``). ``quantize_lm_head`` extends
+    quantization to the output head — worthwhile for 128k-vocab models
+    whose fp16 head alone streams >1 GB/token. AWQ scales must already be
     folded into the weights (see awq_tpu.quant.apply)."""
     out = dict(params)
+    if quantize_lm_head and "lm_head" in params:
+        from awq_tpu.ops.w4a16 import quantize_linear
+
+        out["lm_head"] = quantize_linear(
+            params["lm_head"].astype(jnp.float32),
+            n_bit=qcfg.w_bit, group_size=qcfg.group_size,
+        )
     layers = dict(params["layers"])
     L = layers["ln1"].shape[0]
     for name in LAYER_LINEARS:

@@ -155,6 +155,80 @@ def splice_image_embeds(
     return jnp.concatenate(parts, axis=0).astype(dtype)[None]
 
 
+def vlm_stream(
+    vlm: VLM,
+    prompt: str,
+    tokenizer,
+    pixels: Optional[jax.Array],
+    cache: jax.Array,
+    gen: GenConfig,
+    stop_ids: Sequence[int] = (),
+    stream_interval: int = 2,
+    key=None,
+):
+    """Streaming VLM generation (counterpart of the reference's VLM stream
+    generators, ``llava_stream_gen.py:82`` / ``NVILA_stream_gen.py:15``):
+    yields dicts with the text so far; the final dict carries timing."""
+    import time
+
+    from awq_tpu.runtime.sampling import sample_logits
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    ids = tokenizer_image_token(prompt, tokenizer)
+    dt = jnp.dtype(vlm.llm_cfg.dtype)
+
+    t0 = time.perf_counter()
+    if pixels is not None:
+        feats = vlm.encode_images(pixels)
+        embeds = splice_image_embeds(ids, vlm.llm_params["embed"], feats,
+                                     dtype=dt)
+    else:
+        embeds = vlm.llm_params["embed"][
+            jnp.asarray(ids, jnp.int32)][None].astype(dt)
+    s = embeds.shape[1]
+    logits, cache = forward(
+        vlm.llm_params, vlm.llm_cfg, jnp.zeros((1, s), jnp.int32), cache,
+        jnp.int32(0), inputs_embeds=embeds,
+    )
+    seen = jnp.zeros((1, vlm.llm_cfg.vocab_size), bool)
+    key, sub = jax.random.split(key)
+    tok = sample_logits(logits[:, -1], sub, gen, seen)
+    tok_i = int(tok[0])
+    ttft = time.perf_counter() - t0
+
+    out_ids = [tok_i]
+    token_times = []
+    pos = s
+    stops = set(int(t) for t in stop_ids)
+    for i in range(gen.max_new_tokens - 1):
+        if tok_i in stops:
+            break
+        t1 = time.perf_counter()
+        logits, cache = forward(
+            vlm.llm_params, vlm.llm_cfg, tok[:, None], cache, jnp.int32(pos)
+        )
+        key, sub = jax.random.split(key)
+        tok = sample_logits(logits[:, -1], sub, gen, seen)
+        tok_i = int(tok[0])
+        token_times.append(time.perf_counter() - t1)
+        out_ids.append(tok_i)
+        pos += 1
+        if (i + 1) % stream_interval == 0:
+            yield {"text": tokenizer.decode(out_ids), "ids": list(out_ids),
+                   "finished": False}
+    if out_ids and out_ids[-1] in stops:
+        out_ids.pop()
+    yield {
+        "text": tokenizer.decode(out_ids), "ids": list(out_ids),
+        "finished": True,
+        "timing": {
+            "ttft_s": ttft,
+            "ms_per_token": (sum(token_times)
+                             / max(len(token_times), 1) * 1e3),
+        },
+    }
+
+
 def vlm_generate(
     vlm: VLM,
     prompt: str,

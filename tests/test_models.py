@@ -166,3 +166,21 @@ def test_int3_real_quant_forward():
     q, _ = forward(qparams, cfg, tokens, cache, jnp.int32(0), last_only=False)
     agree = (np.asarray(fp.argmax(-1)) == np.asarray(q.argmax(-1))).mean()
     assert agree >= 0.5, agree  # int3 is lossier than int4
+
+
+def test_quantized_lm_head():
+    """Opt-in lm_head quantization (>1 GB/token at 128k vocab in fp16)."""
+    from awq_tpu.ops.w4a16 import QLinear
+
+    cfg = tiny_cfg(hidden_size=256, intermediate_size=512, num_heads=4,
+                   num_kv_heads=4, head_dim=64, vocab_size=256)
+    params = init_params(cfg, jax.random.PRNGKey(11))
+    qp = quantize_params(params, QuantConfig(w_bit=4, group_size=64),
+                         quantize_lm_head=True)
+    assert isinstance(qp["lm_head"], QLinear)
+    tokens = jax.random.randint(jax.random.PRNGKey(12), (1, 8), 0, 256)
+    cache = init_kv_cache(cfg, 1, 16, jnp.float32)
+    fp, _ = forward(params, cfg, tokens, cache, jnp.int32(0), last_only=False)
+    q, _ = forward(qp, cfg, tokens, cache, jnp.int32(0), last_only=False)
+    agree = (np.asarray(fp.argmax(-1)) == np.asarray(q.argmax(-1))).mean()
+    assert agree >= 0.6, agree

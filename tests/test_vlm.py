@@ -118,3 +118,22 @@ def test_encode_image_s2(vlm):
     v3 = VLM(vlm.vis_cfg, vlm.vis_params, proj4, vlm.llm_cfg, vlm.llm_params)
     out2 = v3.encode_image_s2(img, max_tiles=4, downsample=2)
     assert out2.shape[1] == (side // 2) ** 2
+
+
+def test_vlm_stream(vlm):
+    from awq_tpu.models.vlm import vlm_stream
+
+    tok = FakeTokenizer()
+    cache = init_kv_cache(vlm.llm_cfg, 1, 64, jnp.float32)
+    px = jax.random.normal(jax.random.PRNGKey(6), (1, 28, 28, 3), jnp.float32)
+    chunks = list(vlm_stream(
+        vlm, "see <image> now", tok, px, cache,
+        GenConfig(greedy=True, max_new_tokens=6), stream_interval=1,
+    ))
+    assert chunks[-1]["finished"] and "timing" in chunks[-1]
+    assert len(chunks) >= 2  # streamed intermediate chunks
+    # streaming matches non-streaming greedy output
+    cache2 = init_kv_cache(vlm.llm_cfg, 1, 64, jnp.float32)
+    ref = vlm_generate(vlm, "see <image> now", tok, px, cache2,
+                       GenConfig(greedy=True, max_new_tokens=6))
+    assert chunks[-1]["ids"] == ref["output_ids"]
