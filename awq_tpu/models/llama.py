@@ -571,7 +571,8 @@ def decode_step_batched(
     dt = _dtype(cfg)
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     h = params["embed"][tokens][:, None].astype(dt)      # [B, 1, H]
-    max_t = cache.shape[4]
+    is_q8 = isinstance(cache, KVCache8)
+    max_t = cache_seq_len(cache)
     cos, sin = rope_table(cfg, max_t)
     positions = lengths[:, None]                         # [B, 1]
 
@@ -637,12 +638,27 @@ def decode_step_batched(
         # token in-register, and all layers' k/v are scattered into the
         # cache in ONE op after the scan (32 per-row scatters inside the
         # scan explode XLA compile time)
-        if use_flash:
+        if use_flash and is_q8:
+            from awq_tpu.ops.decode_attn import flash_decode_stacked8
+
+            attn = flash_decode_stacked8(
+                q[:, 0], k[:, 0], v[:, 0], cache.data,
+                cache.scales.reshape(*cache.scales.shape[:4],
+                                     max_t // 256, 256),
+                idx, lengths,
+            ).reshape(b, 1, nq * hd)
+        elif use_flash:
             from awq_tpu.ops.decode_attn import flash_decode_stacked
 
             attn = flash_decode_stacked(
                 q[:, 0], k[:, 0], v[:, 0], cache, idx, lengths
             ).reshape(b, 1, nq * hd)
+        elif is_q8:
+            kc = (cache.data[idx, 0].astype(jnp.float32)
+                  * cache.scales[idx, 0][..., None]).astype(dt)
+            vc = (cache.data[idx, 1].astype(jnp.float32)
+                  * cache.scales[idx, 1][..., None]).astype(dt)
+            attn = xla_attn(q, k[:, 0], v[:, 0], kc, vc)
         else:
             attn = xla_attn(q, k[:, 0], v[:, 0], cache[idx, 0],
                             cache[idx, 1])
@@ -675,7 +691,13 @@ def decode_step_batched(
                       ).astype(hm.dtype)
         m = lin("down", idx, hm)
         h = (h + attn_out + m) if cfg.parallel_block else (h + m)
-        kv_new = jnp.stack([k[:, 0], v[:, 0]]).astype(cache.dtype)
+        if is_q8:
+            kq, ks_ = quantize_kv(k)                  # [B,1,n_kv,*]
+            vq, vs_ = quantize_kv(v)
+            kv_new = (jnp.stack([kq[:, 0], vq[:, 0]]),
+                      jnp.stack([ks_[:, 0], vs_[:, 0]]))
+        else:
+            kv_new = jnp.stack([k[:, 0], v[:, 0]]).astype(cache.dtype)
         return (h, cache), kv_new                     # ys: [2, B, n_kv, hd]
 
     (h, cache), kv_all = jax.lax.scan(
@@ -684,11 +706,21 @@ def decode_step_batched(
     # append every layer's k/v after the scan: B static dynamic_update_slice
     # writes (one per row at its own position) — advanced-index scatters on
     # the multi-GB cache take XLA minutes to compile
-    for i in range(b):                                # kv_all [L,2,B,n_kv,hd]
-        row = kv_all[:, :, i][:, :, None, :, None, :]  # [L,2,1,n_kv,1,hd]
-        cache = jax.lax.dynamic_update_slice(
-            cache, row.astype(cache.dtype), (0, 0, i, 0, lengths[i], 0)
-        )
+    for i in range(b):                                # kv_all [L,2,B,n_kv,..]
+        if is_q8:
+            qrow = kv_all[0][:, :, i][:, :, None, :, None, :]
+            srow = kv_all[1][:, :, i][:, :, None, :, None]
+            cache = KVCache8(
+                data=jax.lax.dynamic_update_slice(
+                    cache.data, qrow, (0, 0, i, 0, lengths[i], 0)),
+                scales=jax.lax.dynamic_update_slice(
+                    cache.scales, srow, (0, 0, i, 0, lengths[i])),
+            )
+        else:
+            row = kv_all[:, :, i][:, :, None, :, None, :]  # [L,2,1,n_kv,1,hd]
+            cache = jax.lax.dynamic_update_slice(
+                cache, row.astype(cache.dtype), (0, 0, i, 0, lengths[i], 0)
+            )
     h = _norm(cfg, h, params["norm"], params.get("norm_b"))
     head = params.get("lm_head")
     from awq_tpu.ops.w4a16 import QLinear as _QL, qlinear_apply as _qla

@@ -53,8 +53,16 @@ class BatchEngine:
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
-        self.cache = init_kv_cache(cfg, n_slots, max_seq_len, cache_dtype)
-        self.max_seq = self.cache.shape[4]
+        if cache_dtype in ("int8", jnp.int8):
+            from awq_tpu.models.llama import init_kv_cache8
+
+            self.cache = init_kv_cache8(cfg, n_slots, max_seq_len)
+        else:
+            self.cache = init_kv_cache(cfg, n_slots, max_seq_len,
+                                       cache_dtype)
+        from awq_tpu.models.llama import cache_seq_len
+
+        self.max_seq = cache_seq_len(self.cache)
         self.lengths = np.zeros(n_slots, np.int32)     # host copy
         self.tokens = np.zeros(n_slots, np.int32)      # next input per slot
         # per-slot sampling params (requests carry their own GenConfig)
@@ -106,13 +114,19 @@ class BatchEngine:
                 self.finished[req.rid] = req
                 continue
             # single-row prefill into this slot's cache rows
-            row = jax.lax.slice_in_dim(self.cache, slot, slot + 1, axis=2)
+            row = jax.tree_util.tree_map(
+                lambda a: jax.lax.slice_in_dim(a, slot, slot + 1, axis=2),
+                self.cache,
+            )
             toks = jnp.asarray([req.prompt_ids], jnp.int32)
             logits, row = forward(
                 self.params, self.cfg, toks, row, jnp.int32(0)
             )
-            self.cache = jax.lax.dynamic_update_slice(
-                self.cache, row, (0, 0, slot, 0, 0, 0)
+            self.cache = jax.tree_util.tree_map(
+                lambda full, part: jax.lax.dynamic_update_slice(
+                    full, part, (0, 0, slot) + (0,) * (full.ndim - 3)
+                ),
+                self.cache, row,
             )
             self._key, sub = jax.random.split(self._key)
             first = int(sample_logits(logits[:, -1], sub, req.gen,

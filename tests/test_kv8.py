@@ -82,3 +82,27 @@ def test_engine_with_q8_cache(model):
     assert len(out["output_ids"]) >= 1
     eng.reset()
     assert float(jnp.sum(jnp.abs(eng.cache.scales))) == 0.0
+
+
+def test_batch_engine_with_q8_cache(model):
+    """Continuous batching over the int8 cache: greedy rows match the
+    fp-cache single-request reference on the test model."""
+    from awq_tpu.runtime.batch_engine import BatchEngine
+
+    cfg, params = model
+    eng = BatchEngine(cfg, params, n_slots=2, max_seq_len=64,
+                      cache_dtype="int8")
+    assert isinstance(eng.cache, KVCache8)
+    gen = GenConfig(greedy=True, max_new_tokens=5)
+    prompts = [[3, 5, 7], [11, 13, 17, 19]]
+    rids = [eng.submit(p, gen) for p in prompts]
+    done = eng.run()
+    for rid, p in zip(rids, prompts):
+        ref = generate(
+            params, cfg, jnp.asarray([p], jnp.int32),
+            init_kv_cache(cfg, 1, 64, jnp.float32),
+            GenConfig(greedy=True, max_new_tokens=5),
+        )
+        n = int(ref["n_valid"][0])
+        assert done[rid].out_ids == \
+            [int(t) for t in ref["output_ids"][0, :n]], rid
