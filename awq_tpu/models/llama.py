@@ -750,8 +750,6 @@ def quantize_params(
     folded into the weights (see awq_tpu.quant.apply)."""
     out = dict(params)
     if quantize_lm_head and "lm_head" in params:
-        from awq_tpu.ops.w4a16 import quantize_linear
-
         out["lm_head"] = quantize_linear(
             params["lm_head"].astype(jnp.float32),
             n_bit=qcfg.w_bit, group_size=qcfg.group_size,
