@@ -145,6 +145,18 @@ def _w4a16_kernel(x_ref, qw_ref, s_ref, sz_ref, o_ref, *,
     o_ref[:] = acc.astype(out_dtype)
 
 
+
+def _cap_bm(bm: int, ic: int, bn: int, group_size: int) -> int:
+    """Shrink the M block so the kernel fits VMEM (~16 MB): double-buffered
+    x [bm, IC] bf16 + qweight [IC/8, bn] int32 + f32 acc/out [bm, bn] +
+    one unpacked group [G, bn] bf16."""
+    budget = 12 * 1024 * 1024
+    fixed = 2 * (ic // 8) * bn * 4 + group_size * bn * 2 \
+        + 2 * (ic // group_size) * bn * 4
+    while bm > 16 and fixed + 2 * bm * ic * 2 + 2 * bm * bn * 4 > budget:
+        bm //= 2
+    return max(bm, 16)
+
 def _pick_block(dim: int, candidates) -> int:
     for c in candidates:
         if dim % c == 0:
@@ -165,6 +177,7 @@ def w4a16_matmul_pallas(
     # covering m, capped at 256 (decode m=1..8 -> bm=16, one bf16 tile).
     bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
     bn = _pick_block(oc, (block_n, 256, 128))
+    bm = _cap_bm(bm, ic, bn, group_size)
     if group_size % 64 != 0 or ic % group_size != 0:
         # irregular group sizes fall back to the XLA path
         return w4a16_matmul_xla(x, qweight, scales, szeros, group_size)
@@ -243,6 +256,7 @@ def w4a16_matmul_stacked(
     _, icp, oc = qweight.shape
     bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
     bn = _pick_block(oc, (block_n, 256, 128))
+    bm = _cap_bm(bm, ic, bn, group_size)
     m_pad = -m % bm
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
@@ -324,6 +338,7 @@ def w4a16_matmul_stacked_tiled(
     m, ic = x.shape
     _, nb, icp, bn = qweight.shape
     bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
+    bm = _cap_bm(bm, ic, bn, group_size)
     m_pad = -m % bm
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
