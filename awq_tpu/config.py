@@ -78,6 +78,8 @@ class ModelConfig:
     do_layer_norm_before: bool = True  # opt pre/post-LN variant
     parallel_block: bool = False    # falcon/neox: attn+mlp share the residual
     single_ln: bool = False         # falcon-7b: one LN feeds both branches
+    grouped_qkv: bool = False       # falcon-40b/180b new_decoder_architecture:
+    # fused QKV stored per kv-group [n_kv, q_per_group+2, head_dim]
     rotary_pct: float = 1.0         # neox: rope on a prefix of head_dim
     # runtime
     dtype: str = "bfloat16"
@@ -206,6 +208,7 @@ def model_config_from_hf(hf: Mapping[str, Any]) -> ModelConfig:
             parallel_block=_get(hf, "parallel_attn", default=True),
             single_ln=_get(hf, "parallel_attn", default=True)
             and not _get(hf, "new_decoder_architecture", default=False),
+            grouped_qkv=_get(hf, "new_decoder_architecture", default=False),
             tie_word_embeddings=_get(hf, "tie_word_embeddings", default=True),
         )
     if mt == "mpt":

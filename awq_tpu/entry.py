@@ -145,13 +145,36 @@ def main(argv=None) -> int:
                   f"g{qcfg.group_size}")
         elif args.q_backend == "fake" and awq_result is not None:
             from awq_tpu.models.llama import pseudo_quantize_params
+            from awq_tpu.quant.awq import clips_by_layer
 
-            params = pseudo_quantize_params(params, qcfg)
-            print("[entry] pseudo-quantized (fake backend)")
+            # apply the searched clips too (reference clamps weights before
+            # the fake-quant eval, auto_clip.py:87-98); without them the
+            # fake backend under-reports accuracy vs the real backend
+            clips = clips_by_layer(awq_result, cfg)
+            params = pseudo_quantize_params(params, qcfg, clips=clips)
+            print("[entry] pseudo-quantized (fake backend, clips applied)")
 
         if args.dump_quant:
             save_checkpoint(args.dump_quant, params, cfg, qcfg)
             print(f"[entry] saved quantized checkpoint to {args.dump_quant}")
+
+    # ---- placement ---------------------------------------------------------
+    # Counterpart of the reference's accelerate dispatch for >1-GPU eval
+    # (awq/entry.py:166-186): shard params over a (dp, tp) mesh so models
+    # bigger than one chip are evaluable. GSPMD inserts the collectives.
+    if args.mesh:
+        from awq_tpu.parallel import MeshConfig, make_mesh, shard_params
+
+        try:
+            dp, tp = (int(x) for x in args.mesh.split(","))
+        except ValueError:
+            print(f"error: --mesh expects 'dp,tp', got {args.mesh!r}",
+                  file=sys.stderr)
+            return 2
+        mesh = make_mesh(MeshConfig(dp=dp, tp=tp))
+        params = shard_params(params, mesh)
+        print(f"[entry] sharded params over mesh dp={dp} tp={tp} "
+              f"({dp * tp} devices)")
 
     # ---- evaluation -------------------------------------------------------
     if args.tasks:

@@ -176,10 +176,33 @@ def _split_qkv(cfg: ModelConfig, fused: Linear, layout: str) -> Dict[str, Linear
     """Split a stacked fused-QKV Linear ``[L, H, qkv_out]``.
 
     layouts: "concat" (q|k|v blocks), "neox" (per-head q,k,v interleave),
-    "mqa" (q heads | 1 k | 1 v — falcon-7b / bigcode c_attn).
+    "mqa" (q heads | 1 k | 1 v — falcon-7b / bigcode c_attn),
+    "grouped" (falcon new_decoder_architecture: per-kv-group
+    [n_kv, q_per_group+2, head_dim] interleave — HF
+    FalconAttention._split_heads new-arch branch).
     """
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     w, b = fused.w, fused.b
+
+    if layout == "grouped":
+        L, H, _ = w.shape
+        g = nq // nkv
+        wg = w.reshape(L, H, nkv, g + 2, hd)
+        bg = None if b is None else b.reshape(L, nkv, g + 2, hd)
+
+        def take_group(lo, hi, nh):
+            return Linear(
+                w=wg[:, :, :, lo:hi, :].reshape(L, H, nh * hd),
+                b=None
+                if bg is None
+                else bg[:, :, lo:hi, :].reshape(L, nh * hd),
+            )
+
+        return {
+            "wq": take_group(0, g, nq),
+            "wk": take_group(g, g + 1, nkv),
+            "wv": take_group(g + 1, g + 2, nkv),
+        }
 
     def cut(lo, hi):
         return Linear(
@@ -236,17 +259,22 @@ def _build_falcon_params(cfg: ModelConfig, sd) -> Dict[str, Any]:
     dt = jnp.dtype(cfg.dtype)
     pre = "transformer.h.{i}."
     fused = _stack_lin(cfg, sd, pre + "self_attention.query_key_value")
+    # new_decoder_architecture (falcon-40b/180b): QKV is stored grouped per
+    # kv-head and the two parallel branches get their own LNs (ln_attn /
+    # ln_mlp) instead of input_layernorm (HF modeling_falcon new-arch branch).
+    ln1_key = "ln_attn" if cfg.grouped_qkv else "input_layernorm"
     layers = {
-        "ln1": _stack_vec(cfg, sd, pre + "input_layernorm.weight"),
-        "ln1_b": _stack_vec(cfg, sd, pre + "input_layernorm.bias"),
-        **_split_qkv(cfg, fused, "concat"),
+        "ln1": _stack_vec(cfg, sd, pre + ln1_key + ".weight"),
+        "ln1_b": _stack_vec(cfg, sd, pre + ln1_key + ".bias"),
+        **_split_qkv(cfg, fused, "grouped" if cfg.grouped_qkv else "concat"),
         "wo": _stack_lin(cfg, sd, pre + "self_attention.dense"),
         "up": _stack_lin(cfg, sd, pre + "mlp.dense_h_to_4h"),
         "down": _stack_lin(cfg, sd, pre + "mlp.dense_4h_to_h"),
     }
     if not cfg.single_ln:
-        layers["ln2"] = _stack_vec(cfg, sd, pre + "post_attention_layernorm.weight")
-        layers["ln2_b"] = _stack_vec(cfg, sd, pre + "post_attention_layernorm.bias")
+        ln2_key = "ln_mlp" if cfg.grouped_qkv else "post_attention_layernorm"
+        layers["ln2"] = _stack_vec(cfg, sd, pre + ln2_key + ".weight")
+        layers["ln2_b"] = _stack_vec(cfg, sd, pre + ln2_key + ".bias")
     params = {
         "embed": jnp.asarray(sd["transformer.word_embeddings.weight"], dt),
         "layers": layers,

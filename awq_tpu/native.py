@@ -47,15 +47,21 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             _tried = True
             path = _build()
             if path:
-                lib = ctypes.CDLL(path)
-                i64, u8p = ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)
-                i16p = ctypes.POINTER(ctypes.c_int16)
-                i32p = ctypes.POINTER(ctypes.c_int32)
-                lib.unpack_awq_v2.argtypes = [i16p, i64, i64, u8p]
-                lib.unpack_awq_gemm.argtypes = [i32p, i64, i64, u8p]
-                lib.pack_int4_tpu.argtypes = [u8p, i64, i64, i32p]
-                lib.unpack_int4_tpu.argtypes = [i32p, i64, i64, u8p]
-                _lib = lib
+                try:
+                    lib = ctypes.CDLL(path)
+                    i64 = ctypes.c_int64
+                    u8p = ctypes.POINTER(ctypes.c_uint8)
+                    i16p = ctypes.POINTER(ctypes.c_int16)
+                    i32p = ctypes.POINTER(ctypes.c_int32)
+                    lib.unpack_awq_v2.argtypes = [i16p, i64, i64, u8p]
+                    lib.unpack_awq_gemm.argtypes = [i32p, i64, i64, u8p]
+                    lib.pack_int4_tpu.argtypes = [u8p, i64, i64, i32p]
+                    lib.unpack_int4_tpu.argtypes = [i32p, i64, i64, u8p]
+                    _lib = lib
+                except OSError:
+                    # stale/incompatible .so (e.g. different arch/libc with
+                    # no toolchain to rebuild): use the numpy fallbacks
+                    _lib = None
     return _lib
 
 

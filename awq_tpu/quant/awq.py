@@ -397,8 +397,11 @@ def scale_groups(cfg: ModelConfig):
     groups = []
     if cfg.single_ln:
         # falcon-7b: one LN feeds qkv AND mlp-up; joint fold over the
-        # whole layer (reference falcon branch, auto_scale.py:331-371)
-        groups.append(("ln", "ln1", ("wq", "wk", "wv", "up"), "__input__",
+        # whole layer (reference falcon branch, auto_scale.py:331-371).
+        # Grid basis is the post-LN activation feeding the scaled linears
+        # (reference uses input_feat['self_attention.query_key_value']),
+        # not the raw pre-LN hidden state.
+        groups.append(("ln", "ln1", ("wq", "wk", "wv", "up"), "wq",
                        mk_layer))
     else:
         groups.append(("ln", "ln1", ("wq", "wk", "wv"), "wq", mk_attn))
@@ -465,6 +468,12 @@ def run_awq(
         lp = jax.tree_util.tree_map(lambda a: a[i], layers)
         # next layer's input computed with ORIGINAL weights (pre_quant.py:195)
         h_next, feats = capture(lp, h)
+        if not bool(jnp.all(jnp.isfinite(h_next.astype(jnp.float32)))):
+            raise FloatingPointError(
+                f"non-finite hidden state after layer {i} during AWQ "
+                "calibration — degenerate calibration batch or broken "
+                "weights (reference guard: auto_scale.py:47-51)"
+            )
 
         lp = dict(lp)
         if auto_scale:
@@ -473,6 +482,13 @@ def run_awq(
                 sc = _search_scale(
                     fn, {k: lp[k] for k in lin_names}, feats[feat_key], qcfg
                 )
+                sc_np = np.asarray(sc)
+                if not np.all(np.isfinite(sc_np)) or np.any(sc_np == 0):
+                    raise FloatingPointError(
+                        f"AWQ scale search produced degenerate scales at "
+                        f"layer {i} group {kind}:{prev} "
+                        "(reference guard: auto_scale.py:47-51,155)"
+                    )
                 _apply_one_scale(lp, kind, prev, lin_names, sc)
                 # divide captured inputs (apply_scale input_feat_dict path)
                 for nme in lin_names:
@@ -480,14 +496,20 @@ def run_awq(
                         feats[nme].astype(jnp.float32) / sc
                     ).astype(feats[nme].dtype)
                 result.scale.append(
-                    (i, kind + ":" + prev, tuple(lin_names), np.asarray(sc))
+                    (i, kind + ":" + prev, tuple(lin_names), sc_np)
                 )
         if mse_range:
             for name in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
                 if name in CLIP_SKIP or name not in lp:
                     continue
                 mv = _clip_layer(lp[name].w, feats[name], qcfg)
-                result.clip.append((i, name, np.asarray(mv)))
+                mv_np = np.asarray(mv)
+                if not np.all(np.isfinite(mv_np)):
+                    raise FloatingPointError(
+                        f"AWQ clip search produced non-finite clip range at "
+                        f"layer {i} linear {name}"
+                    )
+                result.clip.append((i, name, mv_np))
         if verbose:
             print(f"[awq] layer {i + 1}/{L} done")
         new_layer_slices.append(lp)

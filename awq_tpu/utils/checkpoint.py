@@ -42,6 +42,7 @@ def _flatten(params: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
                 "kind": "qlinear",
                 "w_bit": v.w_bit,
                 "group_size": v.group_size,
+                "tiled_bn": v.tiled_bn,
             }
             flat[name + ".qweight"] = v.qweight
             flat[name + ".scales"] = v.scales
@@ -82,6 +83,7 @@ def _unflatten(flat: Dict[str, np.ndarray], tags: Dict[str, Any]) -> Dict[str, A
                       if name + ".bias" in flat else None),
                 w_bit=tag["w_bit"],
                 group_size=tag["group_size"],
+                tiled_bn=tag.get("tiled_bn", 0),
             ))
         elif kind == "linear":
             put(name, Linear(

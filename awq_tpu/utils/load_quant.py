@@ -137,28 +137,33 @@ def save_autoawq_checkpoint(
 
 def _unpack_tinychat_v2_linear(
     qweight: np.ndarray,       # int16 [OC/4, IC] interleaved
-    scales: np.ndarray,        # [IC/G, OC] (transposed storage variants ok)
-    scaled_zeros: np.ndarray,  # [IC/G, OC]
+    scales: np.ndarray,        # [padded_groups, OC] (transposed variants ok)
+    scaled_zeros: np.ndarray,  # [padded_groups, OC]
     oc: int,
     ic: int,
+    group_size: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (codes [IC, OC], scales f32 [IC/G, OC], szeros f32).
 
     TinyChat's kernel computes ``q*s + scaled_zeros`` with
     ``scaled_zeros = -(z*s)`` (``qmodule.py:139-199``); our convention is
     ``q*s - szeros``, so ``szeros = -scaled_zeros``.
+
+    TinyChat pads the *group* (row) axis of scales/scaled_zeros up to
+    ``calculate_zeros_width(ic, G) * pack_num`` rows (``qmodule.py:11-23``,
+    e.g. llama-7b down_proj IC=11008, G=128: 86 groups stored as 88) — strip
+    that after normalizing orientation to [groups, OC].
     """
     codes_nk = native.unpack_awq_v2(qweight, oc, ic)       # [OC, IC]
     codes = np.ascontiguousarray(codes_nk.T)               # [IC, OC]
+    n_groups = ic // group_size
     s = np.asarray(scales, np.float32)
-    if s.shape[0] == oc:  # stored transposed [OC, IC/G]
+    if s.shape[0] == oc:  # stored transposed [OC, padded_groups]
         s = s.T
     sz = -np.asarray(scaled_zeros, np.float32)
     if sz.shape[0] == oc:
         sz = sz.T
-    # strip calculate_zeros_width padding if present (qmodule.py:11-23)
-    return codes, s[:, :oc] if s.shape[1] > oc else s, \
-        sz[:, :oc] if sz.shape[1] > oc else sz
+    return codes, s[:n_groups], sz[:n_groups]
 
 
 def load_tinychat_v2_checkpoint(
@@ -187,7 +192,7 @@ def load_tinychat_v2_checkpoint(
             p = prefix_fmt.format(i=i)
             codes, s, sz = _unpack_tinychat_v2_linear(
                 sd[p + ".qweight"], sd[p + ".scales"],
-                sd[p + ".scaled_zeros"], oc, ic,
+                sd[p + ".scaled_zeros"], oc, ic, qcfg.group_size,
             )
             qws.append(native.pack_int4_tpu(codes))
             ss.append(s)

@@ -139,3 +139,17 @@ def test_awq_improves_quantized_model():
     awq_params, result = run_awq(params, cfg, samples, qcfg)
     err_awq = quant_err(awq_params, clips=clips_by_layer(result, cfg))
     assert err_awq < err_plain, (err_awq, err_plain)
+
+
+def test_poisoned_calibration_fails_loudly():
+    """A NaN in the calibration stream must raise, not silently produce
+    garbage scales (reference guard: auto_scale.py:47-51,155)."""
+    import pytest
+
+    cfg = outlier_cfg()
+    params = outlier_params(cfg, jax.random.PRNGKey(5))
+    params["embed"] = params["embed"].at[0, 0].set(jnp.nan)
+    samples = np.zeros((2, 16), np.int32)  # token 0 -> NaN embedding row
+    qcfg = QuantConfig(w_bit=4, group_size=32)
+    with pytest.raises(FloatingPointError):
+        run_awq(params, cfg, jnp.asarray(samples), qcfg)

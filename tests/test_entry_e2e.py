@@ -73,3 +73,50 @@ def test_cli_full_pipeline(tmp_path):
         "--tasks", "wikitext", "--eval_corpus", corpus,
         "--eval_seqlen", "64", "--eval_windows", "2",
     ]) == 0
+
+
+def test_cli_mesh_shards_eval(tmp_path, monkeypatch):
+    """--mesh 1,8 must actually change parameter placement for the eval
+    (the TPU counterpart of the reference's accelerate dispatch,
+    awq/entry.py:166-186)."""
+    import jax
+    import awq_tpu.parallel as par
+    from awq_tpu.config import ModelConfig, QuantConfig
+    from awq_tpu.models import init_params, quantize_params
+    from awq_tpu.utils.checkpoint import save_checkpoint
+
+    d = str(tmp_path / "tok")
+    os.makedirs(d)
+    _make_tokenizer(d)
+    cfg = ModelConfig(
+        arch="llama", vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=32,
+        max_position_embeddings=256, dtype="float32",
+    )
+    qcfg = QuantConfig(w_bit=4, group_size=32)
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(0)), qcfg)
+    ckpt = str(tmp_path / "ckpt-w4")
+    save_checkpoint(ckpt, params, cfg, qcfg)
+    corpus = str(tmp_path / "corpus.txt")
+    with open(corpus, "w") as f:
+        f.write("pack my box with five dozen liquor jugs. " * 200)
+
+    seen = {}
+    real_shard = par.shard_params
+
+    def spy(p, mesh):
+        out = real_shard(p, mesh)
+        qw = out["layers"]["wq"].qweight
+        seen["n_dev"] = len(qw.sharding.device_set)
+        seen["spec"] = tuple(qw.sharding.spec)
+        return out
+
+    monkeypatch.setattr(par, "shard_params", spy)
+    assert main([
+        "--load_quant", ckpt, "--model_path", d,
+        "--tasks", "wikitext", "--eval_corpus", corpus,
+        "--eval_seqlen", "64", "--eval_windows", "1",
+        "--mesh", "1,8",
+    ]) == 0
+    assert seen["n_dev"] == 8, seen
+    assert "tp" in seen["spec"], seen  # qweight OC axis is tensor-sharded

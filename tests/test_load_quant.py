@@ -123,6 +123,14 @@ def test_tinychat_v2_roundtrip(tmp_path):
         "up": "model.layers.{i}.mlp.up_proj",
         "down": "model.layers.{i}.mlp.down_proj",
     }
+    def _pad_groups(a):
+        # TinyChat pads the group axis to calculate_zeros_width(ic, G) *
+        # pack_num rows (qmodule.py:11-23); G=64 -> multiple of 16 here.
+        rows = -(-a.shape[0] // 16) * 16
+        out = np.zeros((rows, a.shape[1]), a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
     sd = {}
     for i in range(cfg.num_layers):
         for ours, fmt in names.items():
@@ -133,10 +141,10 @@ def test_tinychat_v2_roundtrip(tmp_path):
                 _pack_v2_reference(codes_nk).copy()
             )
             sd[fmt.format(i=i) + ".scales"] = torch.from_numpy(
-                np.asarray(s, np.float32)
+                _pad_groups(np.asarray(s, np.float32))
             )
             sd[fmt.format(i=i) + ".scaled_zeros"] = torch.from_numpy(
-                -(np.asarray(s) * np.asarray(z)).astype(np.float32)
+                _pad_groups(-(np.asarray(s) * np.asarray(z)).astype(np.float32))
             )
         sd[f"model.layers.{i}.input_layernorm.weight"] = torch.from_numpy(
             np.asarray(params["layers"]["ln1"][i], np.float32))

@@ -56,6 +56,20 @@ def test_parity_falcon_7b_style():
     assert cfg.parallel_block and cfg.single_ln
 
 
+def test_parity_falcon_40b_style():
+    # new_decoder_architecture: grouped QKV [n_kv, g+2, hd] + ln_attn/ln_mlp
+    hf_cfg = transformers.FalconConfig(
+        vocab_size=256, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2, parallel_attn=True,
+        bias=False, multi_query=False, alibi=False,
+        new_decoder_architecture=True, max_position_embeddings=128,
+    )
+    torch.manual_seed(5)
+    cfg = _parity(transformers.FalconForCausalLM(hf_cfg).eval().float())
+    assert cfg.arch == "falcon" and cfg.num_kv_heads == 2
+    assert cfg.grouped_qkv and cfg.parallel_block and not cfg.single_ln
+
+
 def test_parity_mpt_alibi():
     hf_cfg = transformers.MptConfig(
         vocab_size=256, d_model=128, n_heads=4, n_layers=2,
