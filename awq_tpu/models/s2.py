@@ -109,3 +109,107 @@ def dynamic_s2_preprocess(
     tiles = big.reshape(ny, base_size, nx, base_size, 3)
     tiles = tiles.transpose(0, 2, 1, 3, 4).reshape(-1, base_size, base_size, 3)
     return jnp.concatenate([thumb[None], tiles], axis=0), (nx, ny)
+
+
+def area_resize(grid: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Adaptive-average-pool resize of ``[B, H, W, C]`` to ``(out_h, out_w)``
+    — exact counterpart of torch ``F.interpolate(mode="area")`` as used by
+    NVILA's multi-scale merge (``nvila/llava_arch.py:361-368``): output cell
+    ``i`` is the uniform mean of input cells ``[floor(i*H/out),
+    ceil((i+1)*H/out))``."""
+    b, h, w, c = grid.shape
+
+    def pool_matrix(n_in: int, n_out: int) -> jax.Array:
+        rows = []
+        for i in range(n_out):
+            lo = (i * n_in) // n_out
+            hi = -((-(i + 1) * n_in) // n_out)  # ceil
+            row = jnp.zeros((n_in,), jnp.float32)
+            row = row.at[lo:hi].set(1.0 / (hi - lo))
+            rows.append(row)
+        return jnp.stack(rows)                     # [n_out, n_in]
+
+    ah = pool_matrix(h, out_h)
+    aw = pool_matrix(w, out_w)
+    out = jnp.einsum("oh,bhwc->bowc", ah, grid.astype(jnp.float32))
+    out = jnp.einsum("ow,bhwc->bhoc", aw, out)
+    return out.astype(grid.dtype)
+
+
+def find_closest_aspect_ratio(
+    aspect: float, ratios, width: int, height: int, image_size: int
+) -> Tuple[int, int]:
+    """InternVL/NVILA tile-grid selection: closest (w_tiles, h_tiles) to the
+    image aspect ratio, preferring more coverage on ties."""
+    best_diff = float("inf")
+    best = (1, 1)
+    area = width * height
+    for r in ratios:
+        target = r[0] / r[1]
+        diff = abs(aspect - target)
+        if diff < best_diff:
+            best_diff = diff
+            best = r
+        elif diff == best_diff:
+            if area > 0.5 * image_size * image_size * r[0] * r[1]:
+                best = r
+    return best
+
+
+def _grid_tiles(img: jax.Array, ny: int, nx: int, s: int) -> jax.Array:
+    """Resize [H, W, 3] to (ny*s, nx*s) and split row-major into tiles."""
+    big = jax.image.resize(img, (ny * s, nx * s, 3), "bilinear")
+    tiles = big.reshape(ny, s, nx, s, 3)
+    return tiles.transpose(0, 2, 1, 3, 4).reshape(ny * nx, s, s, 3)
+
+
+def dynamic_s2_multiscale_preprocess(
+    image: jax.Array,                  # [H, W, 3] float
+    scales: Sequence[int],             # e.g. (448, 896, 1344)
+    base_size: int,                    # scales[0] == tower input size
+    max_tiles: int = 12,
+) -> Tuple[jax.Array, Tuple[int, int]]:
+    """NVILA dynamic-S2 tiling: every scale but the last is a square
+    chessboard of ``(scale/base)^2`` tiles; the last scale picks an
+    aspect-fit ``(w_tiles, h_tiles)`` grid with ``min_num <= w*h <=
+    max_tiles`` where ``min_num = (scales[-1]/scales[0])^2`` (the VILA
+    ``mm_utils`` dynamic_s2 recipe feeding
+    ``merge_features_for_dynamic_s2``). Returns stacked tiles
+    ``[sum_tiles, S, S, 3]`` and the last scale's block size ``(h, w)``."""
+    h, w = image.shape[:2]
+    tiles = []
+    for scale in scales[:-1]:
+        r = scale // scales[0]
+        tiles.append(_grid_tiles(image, r, r, base_size))
+    min_num = (scales[-1] // scales[0]) ** 2
+    ratios = sorted(
+        {(i, j)
+         for n in range(min_num, max_tiles + 1)
+         for i in range(1, n + 1)
+         for j in range(1, n + 1)
+         if min_num <= i * j <= max_tiles},
+        key=lambda r: r[0] * r[1],
+    )
+    wt, ht = find_closest_aspect_ratio(w / h, ratios, w, h, base_size)
+    tiles.append(_grid_tiles(image, ht, wt, base_size))
+    return jnp.concatenate(tiles, axis=0), (ht, wt)
+
+
+def merge_chessboard_hw(x: jax.Array, ny: int, nx: int) -> jax.Array:
+    """[B*ny*nx, h, w, C] row-major tiles -> [B, ny*h, nx*w, C]
+    (rectangular counterpart of :func:`merge_chessboard`, matching the
+    reference ``merge_chessboard(x, num_split_h, num_split_w)``)."""
+    bnn, h, w, c = x.shape
+    b = bnn // (ny * nx)
+    x = x.reshape(b, ny, nx, h, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, ny * h, nx * w, c)
+
+
+def split_chessboard_hw(x: jax.Array, ny: int, nx: int) -> jax.Array:
+    """Inverse of :func:`merge_chessboard_hw`."""
+    b, hh, ww, c = x.shape
+    h, w = hh // ny, ww // nx
+    x = x.reshape(b, ny, h, nx, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b * ny * nx, h, w, c)

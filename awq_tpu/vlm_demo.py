@@ -26,18 +26,44 @@ def load_image(path: str, size: int) -> np.ndarray:
     return (x - mean) / std
 
 
+def load_media(path: str, size: int) -> np.ndarray:
+    """Image file -> [H, W, 3]; directory of frames or .npy stack ->
+    [T, H, W, 3] (video; frame extraction from containers is host-side
+    preprocessing out of scope, as the reference delegates it to decord)."""
+    import os
+
+    if os.path.isdir(path):
+        frames = sorted(
+            f for f in os.listdir(path)
+            if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        )
+        return np.stack([load_image(os.path.join(path, f), size)
+                         for f in frames])
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    return load_image(path, size)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser("awq_tpu.vlm_demo")
     ap.add_argument("--model_path", required=True)
+    ap.add_argument("--arch", default="llava", choices=["llava", "nvila"],
+                    help="checkpoint layout: HF llava dir or VILA-layout "
+                         "NVILA dir (llm/ vision_tower/ mm_projector/)")
     ap.add_argument("--precision", default="W4A16",
                     choices=["W4A16", "W16A16"])
     ap.add_argument("--q_group_size", type=int, default=128)
     ap.add_argument("--vision_int8", action="store_true")
     ap.add_argument("--image", default=None, help="default image path")
+    ap.add_argument("--video", default=None,
+                    help="default video (frame dir or .npy stack)")
     ap.add_argument("--max_seq_len", type=int, default=2048)
     ap.add_argument("--max_new_tokens", type=int, default=256)
     ap.add_argument("--greedy", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.arch == "nvila":
+        return _nvila_repl(args)
 
     import jax.numpy as jnp
     from transformers import AutoTokenizer
@@ -90,6 +116,78 @@ def main(argv=None) -> int:
         cache = init_kv_cache(vlm.llm_cfg, 1, args.max_seq_len)
         out = vlm_generate(vlm, user, tok, pixels, cache, gen,
                            stop_ids=stop_ids)
+        t = out["timing"]
+        print(f"ASSISTANT: {out['text']}")
+        print(f"  [TTFT {t['ttft_s'] * 1e3:.0f} ms | "
+              f"{t['ms_per_token']:.2f} ms/tok]")
+    return 0
+
+
+def _nvila_repl(args) -> int:
+    """NVILA chat loop (counterpart of ``tinychat/nvila_demo.py:64-200``):
+    dynamic-S2 images via <image>, videos via <vila/video>."""
+    import os
+
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from awq_tpu.config import GenConfig, QuantConfig
+    from awq_tpu.models import init_kv_cache
+    from awq_tpu.models.nvila import (
+        MEDIA_TOKENS, import_nvila_model, nvila_generate,
+    )
+
+    quant = (QuantConfig(w_bit=4, group_size=args.q_group_size)
+             if args.precision == "W4A16" else None)
+    t0 = time.perf_counter()
+    model = import_nvila_model(
+        args.model_path, quantize=quant, vision_int8=args.vision_int8,
+    )
+    print(f"[nvila] loaded in {time.perf_counter() - t0:.1f}s "
+          f"(llm {model.llm_cfg.arch}, scales {model.s2_scales}"
+          f"{', int8 tower' if args.vision_int8 else ''})")
+    tok = AutoTokenizer.from_pretrained(
+        os.path.join(args.model_path, "llm"), use_fast=True,
+        trust_remote_code=True,
+    )
+    gen = GenConfig(max_new_tokens=args.max_new_tokens, greedy=args.greedy)
+    image_path, video_path = args.image, args.video
+
+    print(f"[nvila] include {MEDIA_TOKENS['image']} or "
+          f"{MEDIA_TOKENS['video']} in prompts; '/image <path>' and "
+          f"'/video <path>' switch media.")
+    while True:
+        try:
+            user = input("USER: ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            break
+        if user in ("exit", "quit"):
+            break
+        if user.startswith("/image "):
+            image_path = user.split(" ", 1)[1].strip()
+            continue
+        if user.startswith("/video "):
+            video_path = user.split(" ", 1)[1].strip()
+            continue
+        if not user:
+            continue
+        media = {"image": [], "video": []}
+        sz = model.vis_cfg.image_size
+        if MEDIA_TOKENS["image"] in user:
+            if not image_path:
+                print("[nvila] no image set; use '/image <path>'")
+                continue
+            media["image"].append(jnp.asarray(load_media(image_path, sz)))
+        if MEDIA_TOKENS["video"] in user:
+            if not video_path:
+                print("[nvila] no video set; use '/video <path>'")
+                continue
+            media["video"].append(jnp.asarray(load_media(video_path, sz)))
+        cache = init_kv_cache(model.llm_cfg, 1, args.max_seq_len)
+        out = nvila_generate(model, user, tok, media, cache, gen,
+                             stop_ids=[tok.eos_token_id]
+                             if tok.eos_token_id is not None else [])
         t = out["timing"]
         print(f"ASSISTANT: {out['text']}")
         print(f"  [TTFT {t['ttft_s'] * 1e3:.0f} ms | "
