@@ -231,7 +231,14 @@ def fuse_linears(params: Params, cfg: ModelConfig) -> Params:
 
     for name, p in list(layers.items()):
         if isinstance(p, QLinear):
-            layers[name] = tile_qlinear(p)
+            # "down" has the largest IC (the MLP intermediate); a smaller N
+            # block keeps its double-buffered VMEM window inside the
+            # megakernel's budget (ops/megakernel.py). fold_scales packs
+            # scales/szeros into the blocks: one windowed input per matmul.
+            layers[name] = tile_qlinear(
+                p, block_n=256 if name == "down" else 512,
+                fold_scales=True,
+            )
     out = dict(params)
     out["layers"] = layers
     return out
@@ -406,7 +413,48 @@ def forward(
     )
     use_flash = s == 1 and flash_ok
     use_prefill_flash = s > 1 and flash_ok and not is_q8
-    if use_stacked:
+
+    use_mega = False
+    if use_flash and not is_q8 and b == 1 and cfg.pos_embed == "rope":
+        import os as _os
+
+        from awq_tpu.ops.megakernel import megakernel_supported
+
+        use_mega = (
+            _os.environ.get("AWQ_TPU_DISABLE_MEGAKERNEL") != "1"
+            and megakernel_supported(cfg, params["layers"], cache)
+        )
+    if use_mega:
+        # whole-layer megakernel: ONE Pallas call per layer runs
+        # norm->qkv->rope->flash-attn->o->norm->gate/up->silu->down
+        # (see ops/megakernel.py for why — per-kernel overheads dominated
+        # the 5-kernel decode step). Cache append stays an XLA scatter.
+        from awq_tpu.ops.megakernel import w4a16_llama_layer_step
+
+        la = params["layers"]
+        cos_row = cos[positions[0]]
+        sin_row = sin[positions[0]]
+
+        def body(carry, idx):
+            h, cache = carry
+            hn, kn, vn = w4a16_llama_layer_step(
+                h[:, 0], la["wqkv"], la["wo"], la["wgateup"], la["down"],
+                la["ln1"], la["ln2"], cos_row, sin_row, cache,
+                idx, start_pos,
+                nq=cfg.num_heads, nkv=cfg.num_kv_heads, eps=cfg.rms_eps,
+            )
+            kv_new = jnp.stack(
+                [kn[:, :, None, :], vn[:, :, None, :]]
+            )[None].astype(cache.dtype)        # [1, 2, 1, n_kv, 1, hd]
+            cache = jax.lax.dynamic_update_slice(
+                cache, kv_new, (idx, 0, 0, 0, start_pos, 0)
+            )
+            return (hn[:, None, :], cache), None
+
+        (h, new_cache), _ = jax.lax.scan(
+            body, (h, cache), jnp.arange(cfg.num_layers)
+        )
+    elif use_stacked:
         # The cache rides through the scan as a carry; packed weights stay
         # stacked and are indexed INSIDE the Pallas kernels via scalar
         # prefetch — a per-layer slice outside the kernel would be

@@ -1,0 +1,440 @@
+"""Whole-layer W4A16 decode megakernel.
+
+One Pallas call runs an ENTIRE llama-family decoder layer for one token:
+rmsnorm -> fused-QKV matmul -> RoPE -> flash attention over the KV cache
+(current token in-register) -> o-proj -> residual -> rmsnorm -> gate/up
+matmul -> SwiGLU -> down matmul -> residual.
+
+Why: the round-1 decode step used 5 kernels/layer; the measured cost at the
+7B geometry was matmuls 6.0 ms (vs ~4.7 ms at the streaming peak) + 1.3 ms
+of attention that is almost pure per-kernel overhead at short context
+(scripts/exp_breakdown.py). Collapsing a layer into one kernel keeps ONE
+continuous weight stream through Mosaic's pipeline — the TPU analogue of
+the reference collapsing its decode into two fat kernel launches per layer
+(``csrc/quantization_new/gemv/gemv_cuda.cu:38-244`` +
+``csrc/attention/decoder_masked_multihead_attention.cu:30-101``).
+
+Design notes:
+- 1-D grid over the weight blocks of all four matmuls, phase-switched on
+  ``program_id``; each weight input's BlockSpec index map PINS the block
+  outside its phase, so Mosaic's revisiting optimization fetches each
+  block exactly once.
+- Weights use the FOLDED tiled layout (scales/szeros bitcast into each
+  block's trailing rows, ``tile_qlinear(fold_scales=True)``): measured
+  per-grid-step bookkeeping scales with the number of windowed inputs
+  (~0.7 us/step at ~12 inputs on v5e), so the kernel takes exactly ONE
+  windowed input per matmul — 7 total.
+- Activations live in head-layout ``[H/128, 128]`` f32 scratch: with
+  group_size == head_dim == 128, one quantization group == one VMEM row,
+  so the per-group matmul slices ROWS and the kernel needs no
+  lane<->sublane relayouts beyond a [1, bn] -> [bn/128, 128] store per
+  block.
+- Attention streams the cache in ``[hc, block_t, hd]`` chunks with
+  double-buffered manual DMA (same scheme as
+  :func:`awq_tpu.ops.decode_attn.flash_decode_stacked`), batched
+  per-chunk dots, online softmax, and the current token's k/v from the
+  just-computed QKV registers. The cache append stays an XLA scatter in
+  the caller (single-position HBM writes violate bf16 (2,128) tiling).
+
+Constraints (callers fall back to the 5-kernel path otherwise):
+batch 1, single token, rmsnorm+SwiGLU (llama/mistral), full-dim RoPE,
+head_dim == 128, group_size == 128, no attention/MLP biases, fp16/bf16
+cache, folded tiled stacked QLinears.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from awq_tpu.ops.w4a16 import QLinear, _unpack_block
+
+
+def _qdot_rows(x_rows, xsums, qw_ref, n_g, bn, row0=0):
+    """One [1, bn] output block of a W4A16 matmul whose LHS is a single
+    row vector stored as rows ``x_rows [IC/128, 128]`` (f32, rows
+    ``row0..row0+n_g``). ``qw_ref`` holds the CURRENT folded block: codes
+    rows then scale/szero rows. ``xsums [1, n_g]`` are the per-group input
+    sums (precomputed once per PHASE, not per block).
+
+    out = sum_g s_g * (x_g @ unpack(qw_g)) - xsums @ SZ — the zero
+    correction collapses into ONE [1, n_g] x [n_g, bn] MXU dot instead of
+    n_g vector FMAs (per-group epilogue work was a measured bottleneck).
+    """
+    icp = n_g * 16
+    acc = jnp.zeros((1, bn), jnp.float32)
+    for g in range(n_g):
+        wq = _unpack_block(qw_ref[0, 0, g * 16:(g + 1) * 16, :]).astype(
+            jnp.bfloat16)                                  # [128, bn]
+        xg = x_rows[row0 + g][None, :]                     # [1, 128]
+        part = jnp.dot(xg.astype(jnp.bfloat16), wq,
+                       preferred_element_type=jnp.float32)
+        s = pltpu.bitcast(qw_ref[0, 0, icp + g:icp + g + 1, :],
+                          jnp.float32)
+        acc = acc + part * s
+    sz = pltpu.bitcast(qw_ref[0, 0, icp + n_g:icp + 2 * n_g, :],
+                       jnp.float32)                        # [n_g, bn]
+    corr = jnp.dot(xsums, sz, preferred_element_type=jnp.float32)
+    return acc - corr                                      # [1, bn]
+
+
+def _row_sums(x_rows, n_g, row0=0):
+    """[n_g, 128] rows -> [1, n_g] per-row sums (lane-major for the
+    zero-correction dot)."""
+    s = jnp.sum(x_rows[row0:row0 + n_g, :].astype(jnp.float32), axis=1,
+                keepdims=True)                             # [n_g, 1]
+    return jnp.transpose(s, (1, 0))                        # [1, n_g]
+
+
+def _store_block(dst_rows, acc, j, bn):
+    """[1, bn] f32 -> rows [bn/128, 128] at (traced) row offset j*bn/128."""
+    r = bn // 128
+    dst_rows[pl.ds(j * r, r), :] = acc.reshape(r, 128)
+
+
+def _rms_rows(x_rows, g_rows, eps):
+    xf = x_rows[:, :].astype(jnp.float32)
+    ms = jnp.mean(xf * xf)
+    return xf * jax.lax.rsqrt(ms + eps) * g_rows.astype(jnp.float32)
+
+
+def _rope_rows(x, cos, sin):
+    """x [heads, 128] rows, cos/sin [1, 128] (HF rotate_half)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[:, :half], x[:, half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rot * sin
+
+
+def _mega_kernel(
+    scalars_ref,
+    h_ref, ln_ref, cs_ref,
+    wq_ref, wo_ref, wg_ref, wd_ref,
+    cache_ref,
+    out_ref, kn_ref, vn_ref,
+    xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
+    kbuf, vbuf, ksem, vsem,
+    *, dims,
+):
+    d = dims
+    nq, nkv, hd, eps = d["nq"], d["nkv"], d["hd"], d["eps"]
+    NBQ, NBO, NBG, NBD = d["NBQ"], d["NBO"], d["NBG"], d["NBD"]
+    bnq, bno, bng, bnd = d["bnq"], d["bno"], d["bng"], d["bnd"]
+    ngh, ngi = d["ngh"], d["ngi"]          # groups of H and I reductions
+    bt, hc = d["bt"], d["hc"]
+    grp = nq // nkv
+    g = pl.program_id(0)
+    length = scalars_ref[1]
+
+    # ---- phase 1: fused QKV matmul ------------------------------------------
+    @pl.when(g == 0)
+    def _():
+        xn = _rms_rows(h_ref, ln_ref[0, 0], eps)
+        xq_s[:, :] = xn
+        xsum_s[0:1, :ngh] = jnp.transpose(
+            jnp.sum(xn, axis=1, keepdims=True), (1, 0))
+
+    @pl.when(g < NBQ)
+    def _():
+        acc = _qdot_rows(xq_s, xsum_s[0:1, :ngh], wq_ref, ngh, bnq)
+        _store_block(qkv_s, acc, g, bnq)
+
+    # ---- phase 2: rope + flash attention over the cache ---------------------
+    @pl.when(g == NBQ)
+    def _():
+        scale = 1.0 / (hd ** 0.5)
+        cos = cs_ref[0][None, :]
+        sin = cs_ref[1][None, :]
+        q = _rope_rows(qkv_s[:nq, :], cos, sin)           # [nq, hd] f32
+        k = _rope_rows(qkv_s[nq:nq + nkv, :], cos, sin)
+        v = qkv_s[nq + nkv:nq + 2 * nkv, :]
+        kn_ref[:, :] = k.astype(kn_ref.dtype)
+        vn_ref[:, :] = v.astype(vn_ref.dtype)
+        qs = (q * scale).reshape(nkv, grp, hd)
+
+        layer = scalars_ref[0]
+        nblk = pl.cdiv(length, bt)
+        n_chunks = nkv // hc
+
+        def dma(buf, kv, sem, slot, c, i):
+            return pltpu.make_async_copy(
+                cache_ref.at[layer, kv, 0, pl.ds(c * hc, hc),
+                             pl.ds(i * bt, bt), :],
+                buf.at[slot], sem.at[slot],
+            )
+
+        def chunk_body(c):
+            # c is a static python int (the chunk loop is unrolled: Mosaic
+            # has no value-level dynamic_slice)
+            @pl.when(nblk > 0)
+            def _():
+                dma(kbuf, 0, ksem, 0, c, 0).start()
+                dma(vbuf, 1, vsem, 0, c, 0).start()
+
+            qc = qs[c * hc:(c + 1) * hc]                   # [hc, grp, hd]
+
+            def blk_body(i, carry):
+                m, l, acc = carry
+                slot = i % 2
+
+                @pl.when(i + 1 < nblk)
+                def _():
+                    dma(kbuf, 0, ksem, (i + 1) % 2, c, i + 1).start()
+                    dma(vbuf, 1, vsem, (i + 1) % 2, c, i + 1).start()
+
+                dma(kbuf, 0, ksem, slot, c, i).wait()
+                s = jax.lax.dot_general(
+                    qc, kbuf[slot].astype(jnp.float32),
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )                                          # [hc, grp, bt]
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) \
+                    + i * bt
+                s = jnp.where(col < length, s, -jnp.inf)
+                m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
+                dma(vbuf, 1, vsem, slot, c, i).wait()
+                pv = jax.lax.dot_general(
+                    p, vbuf[slot].astype(jnp.float32),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )                                          # [hc, grp, hd]
+                return m_new, l_new, acc * alpha + pv
+
+            m0 = jnp.full((hc, grp, 1), -jnp.inf, jnp.float32)
+            l0 = jnp.zeros((hc, grp, 1), jnp.float32)
+            a0 = jnp.zeros((hc, grp, hd), jnp.float32)
+            m, l, acc = jax.lax.fori_loop(0, nblk, blk_body, (m0, l0, a0))
+
+            # current token, in-register
+            kc = k[c * hc:(c + 1) * hc]
+            vc = v[c * hc:(c + 1) * hc]
+            s_c = jnp.sum(qc * kc[:, None, :], axis=2, keepdims=True)
+            m_new = jnp.maximum(m, s_c)
+            alpha = jnp.exp(m - m_new)
+            p_c = jnp.exp(s_c - m_new)
+            l = l * alpha + p_c
+            acc = acc * alpha + p_c * vc[:, None, :]
+            rows = (acc / l).reshape(hc * grp, hd)
+            xo_s[c * hc * grp:(c + 1) * hc * grp, :] = rows
+
+        for c in range(n_chunks):
+            chunk_body(c)
+        xsum_s[1:2, :ngh] = _row_sums(xo_s, ngh)
+
+    # ---- phase 3: o-proj ------------------------------------------------------
+    @pl.when((g >= NBQ) & (g < NBQ + NBO))
+    def _():
+        j = g - NBQ
+        acc = _qdot_rows(xo_s, xsum_s[1:2, :ngh], wo_ref, ngh, bno)
+        _store_block(oacc_s, acc, j, bno)
+
+    # ---- phase 4: residual + norm2 + gate/up ----------------------------------
+    @pl.when(g == NBQ + NBO)
+    def _():
+        h1_s[:, :] = h_ref[:, :].astype(jnp.float32) + oacc_s[:, :]
+        xm = _rms_rows(h1_s, ln_ref[0, 1], eps)
+        xq_s[:, :] = xm                                   # reuse xq as xm
+        xsum_s[2:3, :ngh] = jnp.transpose(
+            jnp.sum(xm, axis=1, keepdims=True), (1, 0))
+
+    @pl.when((g >= NBQ + NBO) & (g < NBQ + NBO + NBG))
+    def _():
+        j = g - NBQ - NBO
+        acc = _qdot_rows(xq_s, xsum_s[2:3, :ngh], wg_ref, ngh, bng)
+        _store_block(gu_s, acc, j, bng)
+
+    # ---- phase 5: SwiGLU + down + residual -------------------------------------
+    @pl.when(g == NBQ + NBO + NBG)
+    def _():
+        ir = ngi            # intermediate rows = I/128
+        gate = gu_s[:ir, :]
+        up = gu_s[ir:2 * ir, :]
+        hm = gate * jax.lax.logistic(gate) * up
+        hm_s[:, :] = hm
+        xsum_s[3:4, :ngi] = jnp.transpose(
+            jnp.sum(hm, axis=1, keepdims=True), (1, 0))
+
+    @pl.when(g >= NBQ + NBO + NBG)
+    def _():
+        j = g - NBQ - NBO - NBG
+        acc = _qdot_rows(hm_s, xsum_s[3:4, :ngi], wd_ref, ngi, bnd)
+        # accumulate in f32 scratch; a partial bf16 store at a dynamic row
+        # offset violates the (2,128) sublane packing (Mosaic rejects it)
+        _store_block(oacc_s, acc, j, bnd)
+
+    @pl.when(g == NBQ + NBO + NBG + NBD - 1)
+    def _():
+        out_ref[:, :] = (h1_s[:, :] + oacc_s[:, :]).astype(out_ref.dtype)
+
+
+def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
+              wdn: QLinear, cache, eps: float):
+    nq, nkv, hd = cfg_like
+    H = nq * hd
+    I2 = wgu.out_features
+    I = I2 // 2
+    t = cache.shape[4]
+    bt = 256
+    hc = max(1, min(nkv, (512 * 1024) // (bt * hd * cache.dtype.itemsize)))
+    while nkv % hc:
+        hc -= 1
+    return dict(
+        nq=nq, nkv=nkv, hd=hd, eps=eps,
+        NBQ=wqkv.out_features // wqkv.tiled_bn,
+        NBO=wo.out_features // wo.tiled_bn,
+        NBG=I2 // wgu.tiled_bn,
+        NBD=H // wdn.tiled_bn,
+        bnq=wqkv.tiled_bn, bno=wo.tiled_bn, bng=wgu.tiled_bn,
+        bnd=wdn.tiled_bn,
+        ngh=H // 128, ngi=I // 128,
+        bt=bt, hc=hc, T=t,
+    )
+
+
+def megakernel_supported(cfg, layers, cache) -> bool:
+    """Static eligibility check (see module docstring)."""
+    if cfg.head_dim != 128 or cfg.act != "silu" or cfg.norm != "rmsnorm":
+        return False
+    if cfg.parallel_block or cfg.rotary_pct != 1.0:
+        return False
+    needed = ("wqkv", "wgateup", "wo", "down")
+    if not all(n in layers for n in needed):
+        return False
+    for n in needed:
+        p = layers[n]
+        if not isinstance(p, QLinear) or not p.tiled_bn or p.bias is not None:
+            return False
+        if p.group_size != 128 or p.w_bit != 4 or not p.folded:
+            return False
+    if not isinstance(cache, jax.Array) or cache.dtype == jnp.int8:
+        return False
+    if cache.shape[2] != 1 or cache.shape[4] % 256 != 0:
+        return False
+    if (cfg.hidden_size % 128 or cfg.intermediate_size % 128):
+        return False
+    if layers.get("act_scale") is not None:
+        return False
+    return True
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nq", "nkv", "eps", "interpret"))
+def w4a16_llama_layer_step(
+    h: jax.Array,            # [1, H] bf16 residual input
+    wqkv: QLinear, wo: QLinear, wgu: QLinear, wdn: QLinear,
+    ln1: jax.Array,          # [L, H] stacked norm weights
+    ln2: jax.Array,
+    cos_row: jax.Array,      # [hd] f32 rope row at the current position
+    sin_row: jax.Array,
+    cache: jax.Array,        # [L, 2, 1, n_kv, T, hd] (append done by caller)
+    layer_idx: jax.Array,
+    length: jax.Array,       # cache prefix length (current pos)
+    nq: int = 0, nkv: int = 0,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run one decoder layer for one token. Returns
+    ``(h_new [1, H], k_new [1, n_kv, hd], v_new [1, n_kv, hd])``."""
+    H = h.shape[-1]
+    hd = cache.shape[-1]
+    nkv = nkv or cache.shape[3]
+    nq = nq or H // hd
+    assert wqkv.folded and wo.folded and wgu.folded and wdn.folded
+    dims = _dims_for((nq, nkv, hd), wqkv, wo, wgu, wdn, cache, eps)
+    NB = dims["NBQ"] + dims["NBO"] + dims["NBG"] + dims["NBD"]
+    ngh, ngi = dims["ngh"], dims["ngi"]
+    NBQ, NBO, NBG = dims["NBQ"], dims["NBO"], dims["NBG"]
+
+    h_rows = h.reshape(ngh, 128)
+    ln = jnp.stack([ln1, ln2], axis=1).reshape(-1, 2, ngh, 128)
+    cs = jnp.stack([cos_row, sin_row]).astype(jnp.float32)
+    scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
+                         jnp.asarray(length, jnp.int32)])
+
+    def wmap(lo, nb):
+        # block index for a phase starting at grid step lo: pinned to the
+        # phase's edge blocks outside it (no re-fetch, no extra traffic)
+        def f(g, l):
+            j = jnp.clip(g - lo, 0, nb - 1)
+            return (l[0], j, 0, 0)
+        return f
+
+    pinned_row = lambda g, l: (0, 0)
+    rq = wqkv.qweight.shape[2]
+    ro = wo.qweight.shape[2]
+    rg = wgu.qweight.shape[2]
+    rd = wdn.qweight.shape[2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((ngh, 128), pinned_row),                # h rows
+            pl.BlockSpec((1, 2, ngh, 128),
+                         lambda g, l: (l[0], 0, 0, 0)),          # ln1|ln2
+            pl.BlockSpec((2, hd), pinned_row),                   # cos|sin
+            pl.BlockSpec((1, 1, rq, dims["bnq"]), wmap(0, NBQ)),
+            pl.BlockSpec((1, 1, ro, dims["bno"]), wmap(NBQ, NBO)),
+            pl.BlockSpec((1, 1, rg, dims["bng"]), wmap(NBQ + NBO, NBG)),
+            pl.BlockSpec((1, 1, rd, dims["bnd"]),
+                         wmap(NBQ + NBO + NBG, dims["NBD"])),
+            pl.BlockSpec(memory_space=pl.ANY),                   # cache
+        ],
+        out_specs=[
+            pl.BlockSpec((ngh, 128), pinned_row),                # h_new rows
+            pl.BlockSpec((nkv, hd), pinned_row),                 # k_new
+            pl.BlockSpec((nkv, hd), pinned_row),                 # v_new
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ngh, 128), jnp.float32),                 # xq / xm
+            pltpu.VMEM((nq + 2 * nkv, hd), jnp.float32),         # qkv rows
+            pltpu.VMEM((ngh, 128), jnp.float32),                 # xo (attn)
+            pltpu.VMEM((ngh, 128), jnp.float32),                 # h1
+            pltpu.VMEM((2 * ngi, 128), jnp.float32),             # gate|up
+            pltpu.VMEM((ngi, 128), jnp.float32),                 # hm
+            pltpu.VMEM((ngh, 128), jnp.float32),                 # o/down acc
+            pltpu.VMEM((8, max(128, ngi)), jnp.float32),         # xsums
+            pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
+            pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out, kn, vn = pl.pallas_call(
+        functools.partial(_mega_kernel, dims=dims),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ngh, 128), h.dtype),
+            jax.ShapeDtypeStruct((nkv, hd), cache.dtype),
+            jax.ShapeDtypeStruct((nkv, hd), cache.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (wqkv.in_features * wqkv.out_features
+                       + wo.in_features * wo.out_features
+                       + wgu.in_features * wgu.out_features
+                       + wdn.in_features * wdn.out_features),
+            bytes_accessed=(wqkv.in_features * wqkv.out_features
+                            + wo.in_features * wo.out_features
+                            + wgu.in_features * wgu.out_features
+                            + wdn.in_features * wdn.out_features) // 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        scalars, h_rows, ln, cs,
+        wqkv.qweight, wo.qweight, wgu.qweight, wdn.qweight,
+        cache,
+    )
+    return out.reshape(h.shape), kn[None], vn[None]

@@ -49,17 +49,27 @@ class QLinear:
 
     qweight: jax.Array                 # int32 [IC//8, OC]; tiled variant:
     # [(L,) NB, IC//8, bn] (block-contiguous in HBM: each N block streams
-    # as one DMA at ~95% of peak bandwidth vs ~55% for the strided layout)
+    # as one DMA at ~95% of peak bandwidth vs ~55% for the strided layout).
+    # folded variant: [(L,) NB, IC//8 + 2*IC//G, bn] — each block carries
+    # its f32 scales and szeros BITCAST to int32 as trailing rows, so one
+    # windowed input (and one DMA stream) serves the whole matmul
+    # (per-grid-step bookkeeping scales with input count; measured ~0.7us
+    # per step per ~12 inputs on v5e).
     scales: jax.Array                  # f32   [IC//G, OC]
     szeros: jax.Array                  # f32   [IC//G, OC]  == scales * zeros
     bias: Optional[jax.Array] = None   # [OC] or None
     w_bit: int = dataclasses.field(default=4, metadata=dict(static=True))
     group_size: int = dataclasses.field(default=128, metadata=dict(static=True))
     tiled_bn: int = dataclasses.field(default=0, metadata=dict(static=True))
+    folded: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def in_features(self) -> int:
-        return self.qweight.shape[-2] * 8
+        rows = self.qweight.shape[-2]
+        if self.folded:
+            # rows = IC/8 + 2*IC/G
+            return rows * 8 * self.group_size // (self.group_size + 16)
+        return rows * 8
 
     @property
     def out_features(self) -> int:
@@ -295,9 +305,15 @@ def w4a16_matmul_stacked(
     return out[:m] if m_pad else out
 
 
-def tile_qlinear(ql: QLinear, block_n: int = 512) -> QLinear:
+def tile_qlinear(ql: QLinear, block_n: int = 512,
+                 fold_scales: bool = False) -> QLinear:
     """Repack a (stacked) QLinear to the block-contiguous layout
-    ``[L, OC/bn, IC//8, bn]``; no-op if already tiled or OC % bn != 0."""
+    ``[L, OC/bn, IC//8, bn]``; no-op if already tiled or OC % bn != 0.
+
+    ``fold_scales`` appends each block's scales and szeros (f32 bitcast to
+    int32) as ``2 * IC/G`` trailing rows: one array/one DMA stream per
+    matmul — the layout the decode kernels want (see QLinear docstring).
+    """
     if ql.tiled_bn or ql.qweight.shape[-1] % block_n != 0:
         return ql
     qw = ql.qweight
@@ -307,22 +323,36 @@ def tile_qlinear(ql: QLinear, block_n: int = 512) -> QLinear:
     L, icp, oc = qw.shape
     nb = oc // block_n
     qt = qw.reshape(L, icp, nb, block_n).transpose(0, 2, 1, 3)
+    if fold_scales:
+        def blkify(a):  # [L, n_g, OC] f32 -> [L, NB, n_g, bn] int32 bits
+            n_g = a.shape[-2]
+            t = a.reshape(L, n_g, nb, block_n).transpose(0, 2, 1, 3)
+            return jax.lax.bitcast_convert_type(
+                t.astype(jnp.float32), jnp.int32)
+
+        qt = jnp.concatenate(
+            [qt, blkify(ql.scales), blkify(ql.szeros)], axis=2)
     if not stacked:
         qt = qt[0]
     return QLinear(
         qweight=qt.copy(), scales=ql.scales,  # materialize contiguous
         szeros=ql.szeros, bias=ql.bias, w_bit=ql.w_bit,
-        group_size=ql.group_size, tiled_bn=block_n,
+        group_size=ql.group_size, tiled_bn=block_n, folded=fold_scales,
     )
 
 
-def untile_qweight(qweight: jax.Array, block_n: int) -> jax.Array:
-    """[(L,) NB, ICp, bn] -> [(L,) ICp, OC] (XLA fallback paths)."""
+def untile_qweight(qweight: jax.Array, block_n: int,
+                   icp: Optional[int] = None) -> jax.Array:
+    """[(L,) NB, rows, bn] -> [(L,) ICp, OC] (XLA fallback paths).
+
+    ``icp`` strips folded scale rows (rows > IC//8)."""
     if qweight.ndim == 4:
-        L, nb, icp, bn = qweight.shape
-        return qweight.transpose(0, 2, 1, 3).reshape(L, icp, nb * bn)
-    nb, icp, bn = qweight.shape
-    return qweight.transpose(1, 0, 2).reshape(icp, nb * bn)
+        L, nb, rows, bn = qweight.shape
+        qw = qweight[:, :, :icp or rows]
+        return qw.transpose(0, 2, 1, 3).reshape(L, -1, nb * bn)
+    nb, rows, bn = qweight.shape
+    qw = qweight[:, :icp or rows]
+    return qw.transpose(1, 0, 2).reshape(-1, nb * bn)
 
 
 @functools.partial(
@@ -380,12 +410,90 @@ def w4a16_matmul_stacked_tiled(
     return out[:m] if m_pad else out
 
 
+def _w4a16_kernel_folded(idx_ref, x_ref, qw_ref, o_ref, *,
+                         group_size: int, n_g: int, out_dtype):
+    """Folded-layout block matmul: ONE windowed input carries codes AND
+    scales/szeros (bitcast rows beyond IC//8) — see QLinear docstring.
+    The zero correction collapses into one [bm, n_g] x [n_g, bn] dot
+    against the contiguous szeros rows instead of n_g vector FMAs."""
+    del idx_ref
+    x = x_ref[:]
+    rows = group_size // 8
+    icp = n_g * rows
+    acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
+    for g in range(n_g):
+        wq = _unpack_block(
+            qw_ref[0, 0, g * rows:(g + 1) * rows, :]
+        ).astype(jnp.bfloat16)
+        xg = x[:, g * group_size:(g + 1) * group_size]
+        part = jnp.dot(xg, wq, preferred_element_type=jnp.float32)
+        s = pltpu.bitcast(qw_ref[0, 0, icp + g:icp + g + 1, :], jnp.float32)
+        acc = acc + part * s
+    xsums = jnp.sum(
+        x.astype(jnp.float32).reshape(x.shape[0], n_g, group_size), axis=2
+    )                                                      # [bm, n_g]
+    sz = pltpu.bitcast(qw_ref[0, 0, icp + n_g:icp + 2 * n_g, :],
+                       jnp.float32)                        # [n_g, bn]
+    acc = acc - jnp.dot(xsums, sz, preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "block_n", "block_m")
+)
+def w4a16_matmul_stacked_tiled_folded(
+    x, qweight, layer_idx, group_size: int, block_n: int, block_m: int = 0,
+):
+    """Stacked matmul over the folded block-contiguous layout
+    ``qweight [L, NB, IC//8 + 2*IC/G, bn]`` — 3 windowed inputs total."""
+    m, ic = x.shape
+    _, nb, rows, bn = qweight.shape
+    n_g = ic // group_size
+    bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
+    bm = _cap_bm(bm, ic, bn, group_size)
+    m_pad = -m % bm
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    idx = jnp.reshape(layer_idx, (1,)).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(x.shape[0] // bm, nb),
+        in_specs=[
+            pl.BlockSpec((bm, ic), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, 1, rows, bn), lambda i, j, l: (l[0], j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a16_kernel_folded, group_size=group_size, n_g=n_g,
+            out_dtype=x.dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], nb * bn), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * x.shape[0] * ic * nb * bn,
+            bytes_accessed=ic * nb * bn // 2,
+            transcendentals=0,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(idx, x, qweight)
+    return out[:m] if m_pad else out
+
+
 def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
                           x: jax.Array) -> jax.Array:
     """Apply layer ``layer_idx`` of a stacked ``QLinear [L, ...]``."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if jax.default_backend() == "tpu" and ql.tiled_bn:
+    if jax.default_backend() == "tpu" and ql.tiled_bn and ql.folded:
+        out = w4a16_matmul_stacked_tiled_folded(
+            x2, ql.qweight, layer_idx, ql.group_size, ql.tiled_bn,
+        )
+    elif jax.default_backend() == "tpu" and ql.tiled_bn:
         out = w4a16_matmul_stacked_tiled(
             x2, ql.qweight, ql.scales, ql.szeros, layer_idx,
             ql.group_size, ql.tiled_bn,
@@ -401,7 +509,9 @@ def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
     else:
         qw = ql.qweight[layer_idx]
         if ql.tiled_bn:
-            qw = untile_qweight(qw, ql.tiled_bn)
+            qw = untile_qweight(
+                qw, ql.tiled_bn,
+                icp=ql.in_features // 8 if ql.folded else None)
         out = w4a16_matmul_xla(
             x2, qw, ql.scales[layer_idx], ql.szeros[layer_idx], ql.group_size
         )
@@ -438,7 +548,8 @@ def qlinear_apply(ql: QLinear, x: jax.Array, impl: str = "auto") -> jax.Array:
     """Apply a quantized linear layer: ``x @ W_deq + bias``."""
     qw = ql.qweight
     if ql.tiled_bn:
-        qw = untile_qweight(qw, ql.tiled_bn)
+        qw = untile_qweight(
+            qw, ql.tiled_bn, icp=ql.in_features // 8 if ql.folded else None)
     out = w4a16_matmul(
         x, qw, ql.scales, ql.szeros, ql.group_size, impl=impl
     )

@@ -59,14 +59,59 @@ def _spec_for(path: str, leaf, tp: int) -> P:
     return P()  # norms, pos embeds: replicated
 
 
+def _qlinear_specs(path: str, ql, tp: int):
+    """Field-wise specs for a QLinear. A FOLDED tiled qweight carries each
+    block's scales as trailing rows, so its reduction axis must never be
+    split (row-parallel folded weights stay replicated); the OC-block axis
+    still shards fine for column-parallel."""
+    from awq_tpu.ops.w4a16 import QLinear
+
+    col = any(f"'{n}'" in path for n in COLUMN_PARALLEL)
+    row = any(f"'{n}'" in path for n in ROW_PARALLEL)
+    qw = ql.qweight
+    if col:
+        if qw.ndim == 4:
+            qspec = P(None, "tp", None, None) if qw.shape[1] % tp == 0 \
+                else P()
+        else:
+            qspec = (P(*([None] * (qw.ndim - 1) + ["tp"]))
+                     if qw.shape[-1] % tp == 0 else P())
+        sspec = (P(*([None] * (ql.scales.ndim - 1) + ["tp"]))
+                 if ql.scales.shape[-1] % tp == 0 else P())
+    elif row:
+        if qw.ndim == 4:
+            qspec = (P(None, None, "tp", None)
+                     if not ql.folded and qw.shape[2] % tp == 0 else P())
+        else:
+            qspec = (P(None, "tp", None) if qw.ndim == 3
+                     and qw.shape[1] % tp == 0 else P())
+        sspec = (P(None, "tp", None) if ql.scales.ndim == 3
+                 and ql.scales.shape[1] % tp == 0 else P())
+    else:
+        qspec, sspec = P(), P()
+    return QLinear(
+        qweight=qspec, scales=sspec, szeros=sspec,
+        bias=None if ql.bias is None else P(),
+        w_bit=ql.w_bit, group_size=ql.group_size,
+        tiled_bn=ql.tiled_bn, folded=ql.folded,
+    )
+
+
 def param_pspecs(params: Dict[str, Any], tp: int = 1) -> Dict[str, Any]:
     """PartitionSpec pytree matching ``params``' structure.
 
     ``tp`` is the tensor-axis size, used to keep non-divisible (tiny) leaves
     replicated rather than erroring.
     """
+    from awq_tpu.ops.w4a16 import QLinear
+
+    def spec(path, leaf):
+        if isinstance(leaf, QLinear):
+            return _qlinear_specs(str(path), leaf, max(tp, 1))
+        return _spec_for(str(path), leaf, max(tp, 1))
+
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _spec_for(str(path), leaf, max(tp, 1)), params
+        spec, params, is_leaf=lambda x: isinstance(x, QLinear)
     )
 
 

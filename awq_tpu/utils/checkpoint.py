@@ -43,6 +43,7 @@ def _flatten(params: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
                 "w_bit": v.w_bit,
                 "group_size": v.group_size,
                 "tiled_bn": v.tiled_bn,
+                "folded": v.folded,
             }
             flat[name + ".qweight"] = v.qweight
             flat[name + ".scales"] = v.scales
@@ -84,6 +85,7 @@ def _unflatten(flat: Dict[str, np.ndarray], tags: Dict[str, Any]) -> Dict[str, A
                 w_bit=tag["w_bit"],
                 group_size=tag["group_size"],
                 tiled_bn=tag.get("tiled_bn", 0),
+                folded=tag.get("folded", False),
             ))
         elif kind == "linear":
             put(name, Linear(

@@ -1,0 +1,137 @@
+"""Whole-layer decode megakernel vs a composed XLA reference (interpret
+mode). Geometry uses the kernel's constraints: head_dim=128, group 128."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from awq_tpu.config import ModelConfig, QuantConfig
+from awq_tpu.models.layers import rms_norm
+from awq_tpu.ops.megakernel import (
+    megakernel_supported,
+    w4a16_llama_layer_step,
+)
+from awq_tpu.ops.w4a16 import (
+    QLinear, qlinear_apply, quantize_linear, tile_qlinear, untile_qweight,
+    w4a16_matmul_xla,
+)
+
+
+def _mk_qlin(key, ic, oc, bn):
+    w = jax.random.normal(key, (ic, oc), jnp.float32) * 0.05
+    return tile_qlinear(
+        jax.tree_util.tree_map(lambda a: a[None], quantize_linear(w)),
+        block_n=bn, fold_scales=True,
+    )
+
+
+def _apply(ql: QLinear, x):
+    qw = untile_qweight(ql.qweight[0], ql.tiled_bn,
+                        icp=ql.in_features // 8)
+    return w4a16_matmul_xla(x, qw, ql.scales[0], ql.szeros[0], 128)
+
+
+@pytest.mark.parametrize("nq,nkv,length", [(2, 2, 37), (4, 2, 200),
+                                           (2, 2, 0)])
+def test_megakernel_matches_xla_reference(nq, nkv, length):
+    hd, L, T = 128, 2, 256
+    H = nq * hd
+    I = 256
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 8)
+    wqkv = _mk_qlin(ks[0], H, (nq + 2 * nkv) * hd, 128)
+    wo = _mk_qlin(ks[1], H, H, 128)
+    wgu = _mk_qlin(ks[2], H, 2 * I, 128)
+    wdn = _mk_qlin(ks[3], I, H, 128)
+    ln1 = jnp.ones((L, H), jnp.float32) * 1.1
+    ln2 = jnp.ones((L, H), jnp.float32) * 0.9
+    cache = jax.random.normal(ks[4], (L, 2, 1, nkv, T, hd),
+                              jnp.float32) * 0.2
+    h = jax.random.normal(ks[5], (1, H), jnp.float32) * 0.3
+    cos = jnp.cos(jnp.arange(hd, dtype=jnp.float32))[None] * 0.0 + 0.8
+    sin = jnp.sqrt(1 - cos * cos)
+    layer, pos = jnp.int32(1), jnp.int32(length)
+
+    got_h, got_k, got_v = w4a16_llama_layer_step(
+        h, wqkv, wo, wgu, wdn, ln1, ln2, cos[0], sin[0], cache,
+        layer, pos, nq=nq, nkv=nkv, eps=1e-5, interpret=True,
+    )
+
+    # ---- reference: composed XLA ops -------------------------------------
+    x = rms_norm(h, ln1[1], 1e-5)
+    qkv = _apply(wqkv, x)[0]
+    q = qkv[: nq * hd].reshape(nq, hd)
+    kk = qkv[nq * hd: (nq + nkv) * hd].reshape(nkv, hd)
+    v = qkv[(nq + nkv) * hd:].reshape(nkv, hd)
+
+    def rot(a):
+        half = hd // 2
+        r = jnp.concatenate([-a[:, half:], a[:, :half]], axis=-1)
+        return a * cos + r * sin
+
+    q, kk = rot(q), rot(kk)
+    # kernel dots run in bf16 (MXU); the XLA oracle is f32
+    np.testing.assert_allclose(np.asarray(got_k[0]), np.asarray(kk),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got_v[0]), np.asarray(v),
+                               rtol=1e-2, atol=1e-2)
+
+    grp = nq // nkv
+    kc = jnp.concatenate([cache[1, 0, 0, :, :length, :], kk[:, None]],
+                         axis=1)                     # [nkv, len+1, hd]
+    vc = jnp.concatenate([cache[1, 1, 0, :, :length, :], v[:, None]], axis=1)
+    qg = q.reshape(nkv, grp, hd) / jnp.sqrt(hd)
+    s = jnp.einsum("kgh,kth->kgt", qg, kc)
+    p = jax.nn.softmax(s, axis=-1)
+    attn = jnp.einsum("kgt,kth->kgh", p, vc).reshape(1, H)
+    h1 = h + _apply(wo, attn)
+    xm = rms_norm(h1, ln2[1], 1e-5)
+    gu = _apply(wgu, xm)[0]
+    gate, up = gu[:I], gu[I:]
+    hm = (jax.nn.silu(gate) * up)[None]
+    ref = h1 + _apply(wdn, hm)
+
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_megakernel_supported_gate():
+    cfg = ModelConfig(
+        arch="llama", vocab_size=64, hidden_size=256, intermediate_size=256,
+        num_layers=2, num_heads=2, num_kv_heads=2, head_dim=128,
+        max_position_embeddings=512,
+    )
+    k = jax.random.PRNGKey(1)
+    layers = {
+        "wqkv": _mk_qlin(k, 256, 768, 128),
+        "wo": _mk_qlin(k, 256, 256, 128),
+        "wgateup": _mk_qlin(k, 256, 512, 128),
+        "down": _mk_qlin(k, 256, 256, 128),
+    }
+    cache = jnp.zeros((2, 2, 1, 2, 256, 128), jnp.bfloat16)
+    assert megakernel_supported(cfg, layers, cache)
+    # int8 cache, batch>1, untiled weights, odd head_dim all disqualify
+    assert not megakernel_supported(
+        cfg, layers, jnp.zeros((2, 2, 1, 2, 256, 128), jnp.int8))
+    assert not megakernel_supported(
+        cfg, layers, jnp.zeros((2, 2, 3, 2, 256, 128), jnp.bfloat16))
+    import dataclasses
+
+    cfg64 = dataclasses.replace(cfg, head_dim=64)
+    assert not megakernel_supported(cfg64, layers, cache)
+    untiled = dict(layers)
+    untiled["down"] = QLinear(
+        qweight=untile_qweight(layers["down"].qweight, 128,
+                               icp=layers["down"].in_features // 8),
+        scales=layers["down"].scales, szeros=layers["down"].szeros,
+    )
+    assert not megakernel_supported(cfg, untiled, cache)
+    # unfolded tiled weights also disqualify (kernel reads bitcast rows)
+    import awq_tpu.ops.w4a16 as w4
+    plain = {k: w4.tile_qlinear(QLinear(
+        qweight=untile_qweight(v.qweight, v.tiled_bn,
+                               icp=v.in_features // 8),
+        scales=v.scales, szeros=v.szeros), block_n=128)
+        for k, v in layers.items()}
+    assert not megakernel_supported(cfg, plain, cache)
