@@ -231,16 +231,24 @@ def fuse_linears(params: Params, cfg: ModelConfig) -> Params:
 
     for name, p in list(layers.items()):
         if isinstance(p, QLinear):
-            # "down" has the largest IC (the MLP intermediate); a smaller N
-            # block keeps its double-buffered VMEM window inside the
-            # megakernel's budget (ops/megakernel.py). fold_scales packs
-            # scales/szeros into the blocks: one windowed input per matmul.
-            layers[name] = tile_qlinear(
-                p, block_n=256 if name == "down" else 512,
-                fold_scales=True,
-            )
+            # fold_scales packs scales/szeros into the blocks: one HBM
+            # stream per matmul — the layout the decode megakernel's
+            # manual-DMA loop wants (ops/megakernel.py).
+            layers[name] = tile_qlinear(p, block_n=512, fold_scales=True)
     out = dict(params)
     out["layers"] = layers
+    head = out.get("lm_head")
+    if isinstance(head, QLinear) and head.qweight.ndim == 2:
+        # quantized output head: store as a stacked-of-1 folded tiled
+        # QLinear so decode's logits GEMV rides the same streaming kernel
+        # (a fp16 7B head is ~260 MB/token of pure HBM reads)
+        bn = next((b for b in (1280, 1024, 640, 512, 256, 128)
+                   if head.out_features % b == 0), 0)
+        if bn:
+            out["lm_head"] = tile_qlinear(
+                jax.tree_util.tree_map(lambda a: a[None], head),
+                block_n=bn, fold_scales=True,
+            )
     return out
 
 
@@ -435,24 +443,29 @@ def forward(
         cos_row = cos[positions[0]]
         sin_row = sin[positions[0]]
 
-        def body(carry, idx):
-            h, cache = carry
+        def body(hh, idx):
             hn, kn, vn = w4a16_llama_layer_step(
-                h[:, 0], la["wqkv"], la["wo"], la["wgateup"], la["down"],
+                hh[:, 0], la["wqkv"], la["wo"], la["wgateup"], la["down"],
                 la["ln1"], la["ln2"], cos_row, sin_row, cache,
                 idx, start_pos,
                 nq=cfg.num_heads, nkv=cfg.num_kv_heads, eps=cfg.rms_eps,
             )
-            kv_new = jnp.stack(
-                [kn[:, :, None, :], vn[:, :, None, :]]
-            )[None].astype(cache.dtype)        # [1, 2, 1, n_kv, 1, hd]
-            cache = jax.lax.dynamic_update_slice(
-                cache, kv_new, (idx, 0, 0, 0, start_pos, 0)
-            )
-            return (hn[:, None, :], cache), None
+            return hn[:, None, :], (kn, vn)
 
-        (h, new_cache), _ = jax.lax.scan(
-            body, (h, cache), jnp.arange(cfg.num_layers)
+        # The cache rides through the scan READ-ONLY (layer i's attention
+        # at this token only needs previous tokens; the current token's
+        # k/v live in-register inside the kernel). All 32 appends then
+        # collapse into ONE dynamic_update_slice instead of 32 per-layer
+        # scatters (each XLA update was a separate fusion at ~60 us/token
+        # total).
+        h, (ks_new, vs_new) = jax.lax.scan(
+            body, h, jnp.arange(cfg.num_layers)
+        )
+        kv_new = jnp.stack([ks_new, vs_new], axis=1)[
+            :, :, :, :, None, :
+        ].astype(cache.dtype)                  # [L, 2, 1, n_kv, 1, hd]
+        new_cache = jax.lax.dynamic_update_slice(
+            cache, kv_new, (0, 0, 0, 0, start_pos, 0)
         )
     elif use_stacked:
         # The cache rides through the scan as a carry; packed weights stay
@@ -598,7 +611,12 @@ def forward(
             h, params["embed"].astype(dt).T, preferred_element_type=jnp.float32
         )
     elif isinstance(head, _QL):
-        logits = _qla(head, h).astype(jnp.float32)
+        if head.qweight.ndim == 4:      # stacked-of-1 tiled (fuse_linears)
+            from awq_tpu.ops.w4a16 import qlinear_apply_stacked as _qlas
+
+            logits = _qlas(head, jnp.int32(0), h).astype(jnp.float32)
+        else:
+            logits = _qla(head, h).astype(jnp.float32)
     else:
         logits = jnp.matmul(h, head.astype(dt), preferred_element_type=jnp.float32)
     return logits, new_cache
@@ -777,7 +795,12 @@ def decode_step_batched(
         logits = jnp.matmul(h, params["embed"].astype(dt).T,
                             preferred_element_type=jnp.float32)
     elif isinstance(head, _QL):
-        logits = _qla(head, h).astype(jnp.float32)
+        if head.qweight.ndim == 4:      # stacked-of-1 tiled (fuse_linears)
+            from awq_tpu.ops.w4a16 import qlinear_apply_stacked as _qlas
+
+            logits = _qlas(head, jnp.int32(0), h).astype(jnp.float32)
+        else:
+            logits = _qla(head, h).astype(jnp.float32)
     else:
         logits = jnp.matmul(h, head.astype(dt),
                             preferred_element_type=jnp.float32)

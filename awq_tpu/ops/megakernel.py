@@ -7,23 +7,31 @@ matmul -> SwiGLU -> down matmul -> residual.
 
 Why: the round-1 decode step used 5 kernels/layer; the measured cost at the
 7B geometry was matmuls 6.0 ms (vs ~4.7 ms at the streaming peak) + 1.3 ms
-of attention that is almost pure per-kernel overhead at short context
-(scripts/exp_breakdown.py). Collapsing a layer into one kernel keeps ONE
-continuous weight stream through Mosaic's pipeline — the TPU analogue of
-the reference collapsing its decode into two fat kernel launches per layer
+of attention that is almost pure per-kernel overhead at short context.
+Collapsing a layer into one kernel keeps ONE continuous weight stream
+through the DMA engine — the TPU analogue of the reference collapsing its
+decode into two fat kernel launches per layer
 (``csrc/quantization_new/gemv/gemv_cuda.cu:38-244`` +
 ``csrc/attention/decoder_masked_multihead_attention.cu:30-101``).
 
 Design notes:
-- 1-D grid over the weight blocks of all four matmuls, phase-switched on
-  ``program_id``; each weight input's BlockSpec index map PINS the block
-  outside its phase, so Mosaic's revisiting optimization fetches each
-  block exactly once.
+- Weights live in ``memory_space=ANY`` (HBM) and are streamed by MANUAL
+  double-buffered DMA into ONE shared VMEM buffer reused by all four
+  matmul phases. A first version used Mosaic-managed windows (one
+  BlockSpec per matmul, phase-switched on ``program_id``); its measured
+  per-grid-step bookkeeping (~0.5-0.7 us x 91 steps/layer x 32 layers
+  ~= 1.3 ms) dominated the gap to the streaming floor. With grid=(1,)
+  there are no per-step window updates at all, and the buffer is sized
+  once for the largest phase instead of once per input.
 - Weights use the FOLDED tiled layout (scales/szeros bitcast into each
-  block's trailing rows, ``tile_qlinear(fold_scales=True)``): measured
-  per-grid-step bookkeeping scales with the number of windowed inputs
-  (~0.7 us/step at ~12 inputs on v5e), so the kernel takes exactly ONE
-  windowed input per matmul — 7 total.
+  block's trailing rows, ``tile_qlinear(fold_scales=True)``), so each
+  phase is exactly ONE HBM stream.
+- Cross-phase prefetch: each phase's last iteration issues the NEXT
+  phase's block-0 DMA (the attention phase between QKV and o-proj then
+  hides o's first transfer entirely).
+- The per-group zero correction collapses into one [1, n_g] x [n_g, bn]
+  MXU dot against the contiguous szeros rows (per-group vector FMAs were
+  a measured bottleneck); per-phase input sums are computed once.
 - Activations live in head-layout ``[H/128, 128]`` f32 scratch: with
   group_size == head_dim == 128, one quantization group == one VMEM row,
   so the per-group matmul slices ROWS and the kernel needs no
@@ -52,42 +60,51 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from awq_tpu.ops.w4a16 import QLinear, _unpack_block
+from awq_tpu.ops.w4a16 import QLinear, _unpack_block, _unpack_block_bf16
 
 
-def _qdot_rows(x_rows, xsums, qw_ref, n_g, bn, row0=0):
+def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
+               unpack="bf16"):
     """One [1, bn] output block of a W4A16 matmul whose LHS is a single
     row vector stored as rows ``x_rows [IC/128, 128]`` (f32, rows
-    ``row0..row0+n_g``). ``qw_ref`` holds the CURRENT folded block: codes
-    rows then scale/szero rows. ``xsums [1, n_g]`` are the per-group input
-    sums (precomputed once per PHASE, not per block).
+    ``row0..row0+n_g``). ``wbuf[slot]`` holds the CURRENT folded block:
+    codes rows then scale/szero rows. ``xsums [1, n_g]`` are the
+    per-group input sums (precomputed once per PHASE, not per block).
 
-    out = sum_g s_g * (x_g @ unpack(qw_g)) - xsums @ SZ — the zero
-    correction collapses into ONE [1, n_g] x [n_g, bn] MXU dot instead of
-    n_g vector FMAs (per-group epilogue work was a measured bottleneck).
+    out = sum_g s_g * (x_g @ (unpack(qw_g) - 128)) - xsum_g * sz_g. The
+    -128 centering happens in bf16 (exact for values 128..143) BEFORE
+    the dot: relying on the correction to cancel the unpack bias breaks
+    on real TPU, where the [1, N] dot may consume x at a different
+    precision than the separately-computed xsums (~0.1 abs error,
+    measured). The correction is a per-group [1, bn] f32 VPU FMA on the
+    exact stored f32 rows (sz' = s*(z+128) minus 128*s recovers s*z).
     """
     icp = n_g * 16
     acc = jnp.zeros((1, bn), jnp.float32)
     for g in range(n_g):
-        wq = _unpack_block(qw_ref[0, 0, g * 16:(g + 1) * 16, :]).astype(
-            jnp.bfloat16)                                  # [128, bn]
+        if unpack == "bf16":
+            wq = _unpack_block_bf16(
+                wbuf[slot, g * 16:(g + 1) * 16, :bn]) - jnp.bfloat16(128)
+        else:   # "legacy": round-1 shift/stack/convert (A/B speed probe;
+                # WRONG results on the permuted folded layout)
+            wq = _unpack_block(
+                wbuf[slot, g * 16:(g + 1) * 16, :bn]).astype(jnp.bfloat16)
         xg = x_rows[row0 + g][None, :]                     # [1, 128]
         part = jnp.dot(xg.astype(jnp.bfloat16), wq,
                        preferred_element_type=jnp.float32)
-        s = pltpu.bitcast(qw_ref[0, 0, icp + g:icp + g + 1, :],
+        s = pltpu.bitcast(wbuf[slot, icp + g:icp + g + 1, :bn],
                           jnp.float32)
-        acc = acc + part * s
-    sz = pltpu.bitcast(qw_ref[0, 0, icp + n_g:icp + 2 * n_g, :],
-                       jnp.float32)                        # [n_g, bn]
-    corr = jnp.dot(xsums, sz, preferred_element_type=jnp.float32)
-    return acc - corr                                      # [1, bn]
+        szb = pltpu.bitcast(
+            wbuf[slot, icp + n_g + g:icp + n_g + g + 1, :bn], jnp.float32)
+        acc = acc + part * s - xsums[0, g] * (szb - 128.0 * s)
+    return acc                                             # [1, bn]
 
 
 def _row_sums(x_rows, n_g, row0=0):
     """[n_g, 128] rows -> [1, n_g] per-row sums (lane-major for the
-    zero-correction dot)."""
-    s = jnp.sum(x_rows[row0:row0 + n_g, :].astype(jnp.float32), axis=1,
-                keepdims=True)                             # [n_g, 1]
+    zero-correction FMAs)."""
+    xr = x_rows[row0:row0 + n_g, :].astype(jnp.float32)
+    s = jnp.sum(xr, axis=1, keepdims=True)                 # [n_g, 1]
     return jnp.transpose(s, (1, 0))                        # [1, n_g]
 
 
@@ -114,165 +131,182 @@ def _rope_rows(x, cos, sin):
 def _mega_kernel(
     scalars_ref,
     h_ref, ln_ref, cs_ref,
-    wq_ref, wo_ref, wg_ref, wd_ref,
+    wq_hbm, wo_hbm, wg_hbm, wd_hbm,
     cache_ref,
     out_ref, kn_ref, vn_ref,
     xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
-    kbuf, vbuf, ksem, vsem,
-    *, dims,
+    wbuf, kbuf, vbuf, wsem, ksem, vsem,
+    *, dims, unpack="bf16",
 ):
     d = dims
     nq, nkv, hd, eps = d["nq"], d["nkv"], d["hd"], d["eps"]
-    NBQ, NBO, NBG, NBD = d["NBQ"], d["NBO"], d["NBG"], d["NBD"]
-    bnq, bno, bng, bnd = d["bnq"], d["bno"], d["bng"], d["bnd"]
     ngh, ngi = d["ngh"], d["ngi"]          # groups of H and I reductions
     bt, hc = d["bt"], d["hc"]
     grp = nq // nkv
-    g = pl.program_id(0)
+    layer = scalars_ref[0]
     length = scalars_ref[1]
 
-    # ---- phase 1: fused QKV matmul ------------------------------------------
-    @pl.when(g == 0)
-    def _():
-        xn = _rms_rows(h_ref, ln_ref[0, 0], eps)
-        xq_s[:, :] = xn
-        xsum_s[0:1, :ngh] = jnp.transpose(
-            jnp.sum(xn, axis=1, keepdims=True), (1, 0))
+    # static phase table: (hbm ref, out blocks, folded rows, n_g, bn)
+    phases = [
+        (wq_hbm, d["NBQ"], d["rq"], ngh, d["bnq"]),
+        (wo_hbm, d["NBO"], d["ro"], ngh, d["bno"]),
+        (wg_hbm, d["NBG"], d["rg"], ngh, d["bng"]),
+        (wd_hbm, d["NBD"], d["rd"], ngi, d["bnd"]),
+    ]
+    # wbuf slot parity at the start of each phase (blocks stream
+    # continuously through the shared buffer across phases)
+    parity = [0]
+    for _, nb, _, _, _ in phases:
+        parity.append((parity[-1] + nb) % 2)
 
-    @pl.when(g < NBQ)
-    def _():
-        acc = _qdot_rows(xq_s, xsum_s[0:1, :ngh], wq_ref, ngh, bnq)
-        _store_block(qkv_s, acc, g, bnq)
+    def wdma(ph, j, slot):
+        hbm, _, rows, _, bn = phases[ph]
+        return pltpu.make_async_copy(
+            hbm.at[layer, j], wbuf.at[slot, 0:rows, 0:bn], wsem.at[slot],
+        )
+
+    def run_phase(ph, x_rows, xsums, store):
+        """Stream phase ``ph``'s blocks through wbuf; ``store(acc, j)``
+        consumes each [1, bn] output block. Block 0's DMA was issued by
+        the previous phase's last iteration (or the kernel prologue)."""
+        _, nb, _, n_g, bn = phases[ph]
+        p0 = parity[ph]
+
+        def body(j, _):
+            slot = jax.lax.rem(j + p0, 2)
+            nxt = jax.lax.rem(j + p0 + 1, 2)
+
+            @pl.when(j + 1 < nb)
+            def _():
+                wdma(ph, j + 1, nxt).start()
+
+            if ph + 1 < len(phases):
+                @pl.when(j + 1 == nb)
+                def _():
+                    wdma(ph + 1, 0, nxt).start()
+
+            wdma(ph, j, slot).wait()
+            acc = _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn,
+                             unpack=unpack)
+            store(acc, j)
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0, unroll=False)
+
+    # ---- prologue + phase 1: rmsnorm, fused QKV matmul ----------------------
+    wdma(0, 0, 0).start()
+    xn = _rms_rows(h_ref, ln_ref[0, 0], eps)
+    xq_s[:, :] = xn
+    xsum_s[0:1, :ngh] = _row_sums(xn, ngh)
+    run_phase(0, xq_s, xsum_s[0:1, :ngh],
+              lambda acc, j: _store_block(qkv_s, acc, j, d["bnq"]))
 
     # ---- phase 2: rope + flash attention over the cache ---------------------
-    @pl.when(g == NBQ)
-    def _():
-        scale = 1.0 / (hd ** 0.5)
-        cos = cs_ref[0][None, :]
-        sin = cs_ref[1][None, :]
-        q = _rope_rows(qkv_s[:nq, :], cos, sin)           # [nq, hd] f32
-        k = _rope_rows(qkv_s[nq:nq + nkv, :], cos, sin)
-        v = qkv_s[nq + nkv:nq + 2 * nkv, :]
-        kn_ref[:, :] = k.astype(kn_ref.dtype)
-        vn_ref[:, :] = v.astype(vn_ref.dtype)
-        qs = (q * scale).reshape(nkv, grp, hd)
+    scale = 1.0 / (hd ** 0.5)
+    cos = cs_ref[0][None, :]
+    sin = cs_ref[1][None, :]
+    q = _rope_rows(qkv_s[:nq, :], cos, sin)           # [nq, hd] f32
+    k = _rope_rows(qkv_s[nq:nq + nkv, :], cos, sin)
+    v = qkv_s[nq + nkv:nq + 2 * nkv, :]
+    kn_ref[:, :] = k.astype(kn_ref.dtype)
+    vn_ref[:, :] = v.astype(vn_ref.dtype)
+    qs = (q * scale).reshape(nkv, grp, hd)
 
-        layer = scalars_ref[0]
-        nblk = pl.cdiv(length, bt)
-        n_chunks = nkv // hc
+    nblk = pl.cdiv(length, bt)
+    n_chunks = nkv // hc
 
-        def dma(buf, kv, sem, slot, c, i):
-            return pltpu.make_async_copy(
-                cache_ref.at[layer, kv, 0, pl.ds(c * hc, hc),
-                             pl.ds(i * bt, bt), :],
-                buf.at[slot], sem.at[slot],
-            )
+    def dma(buf, kv, sem, slot, c, i):
+        return pltpu.make_async_copy(
+            cache_ref.at[layer, kv, 0, pl.ds(c * hc, hc),
+                         pl.ds(i * bt, bt), :],
+            buf.at[slot], sem.at[slot],
+        )
 
-        def chunk_body(c):
-            # c is a static python int (the chunk loop is unrolled: Mosaic
-            # has no value-level dynamic_slice)
-            @pl.when(nblk > 0)
+    def chunk_body(c):
+        # c is a static python int (the chunk loop is unrolled: Mosaic
+        # has no value-level dynamic_slice)
+        @pl.when(nblk > 0)
+        def _():
+            dma(kbuf, 0, ksem, 0, c, 0).start()
+            dma(vbuf, 1, vsem, 0, c, 0).start()
+
+        qc = qs[c * hc:(c + 1) * hc]                   # [hc, grp, hd]
+
+        def blk_body(i, carry):
+            m, l, acc = carry
+            slot = i % 2
+
+            @pl.when(i + 1 < nblk)
             def _():
-                dma(kbuf, 0, ksem, 0, c, 0).start()
-                dma(vbuf, 1, vsem, 0, c, 0).start()
+                dma(kbuf, 0, ksem, (i + 1) % 2, c, i + 1).start()
+                dma(vbuf, 1, vsem, (i + 1) % 2, c, i + 1).start()
 
-            qc = qs[c * hc:(c + 1) * hc]                   # [hc, grp, hd]
-
-            def blk_body(i, carry):
-                m, l, acc = carry
-                slot = i % 2
-
-                @pl.when(i + 1 < nblk)
-                def _():
-                    dma(kbuf, 0, ksem, (i + 1) % 2, c, i + 1).start()
-                    dma(vbuf, 1, vsem, (i + 1) % 2, c, i + 1).start()
-
-                dma(kbuf, 0, ksem, slot, c, i).wait()
-                s = jax.lax.dot_general(
-                    qc, kbuf[slot].astype(jnp.float32),
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )                                          # [hc, grp, bt]
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) \
-                    + i * bt
-                s = jnp.where(col < length, s, -jnp.inf)
-                m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
-                alpha = jnp.exp(m - m_new)
-                p = jnp.exp(s - m_new)
-                l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
-                dma(vbuf, 1, vsem, slot, c, i).wait()
-                pv = jax.lax.dot_general(
-                    p, vbuf[slot].astype(jnp.float32),
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )                                          # [hc, grp, hd]
-                return m_new, l_new, acc * alpha + pv
-
-            m0 = jnp.full((hc, grp, 1), -jnp.inf, jnp.float32)
-            l0 = jnp.zeros((hc, grp, 1), jnp.float32)
-            a0 = jnp.zeros((hc, grp, hd), jnp.float32)
-            m, l, acc = jax.lax.fori_loop(0, nblk, blk_body, (m0, l0, a0))
-
-            # current token, in-register
-            kc = k[c * hc:(c + 1) * hc]
-            vc = v[c * hc:(c + 1) * hc]
-            s_c = jnp.sum(qc * kc[:, None, :], axis=2, keepdims=True)
-            m_new = jnp.maximum(m, s_c)
+            dma(kbuf, 0, ksem, slot, c, i).wait()
+            s = jax.lax.dot_general(
+                qc, kbuf[slot].astype(jnp.float32),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                          # [hc, grp, bt]
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) \
+                + i * bt
+            s = jnp.where(col < length, s, -jnp.inf)
+            m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
             alpha = jnp.exp(m - m_new)
-            p_c = jnp.exp(s_c - m_new)
-            l = l * alpha + p_c
-            acc = acc * alpha + p_c * vc[:, None, :]
-            rows = (acc / l).reshape(hc * grp, hd)
-            xo_s[c * hc * grp:(c + 1) * hc * grp, :] = rows
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
+            dma(vbuf, 1, vsem, slot, c, i).wait()
+            pv = jax.lax.dot_general(
+                p, vbuf[slot].astype(jnp.float32),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                          # [hc, grp, hd]
+            return m_new, l_new, acc * alpha + pv
 
-        for c in range(n_chunks):
-            chunk_body(c)
-        xsum_s[1:2, :ngh] = _row_sums(xo_s, ngh)
+        m0 = jnp.full((hc, grp, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((hc, grp, 1), jnp.float32)
+        a0 = jnp.zeros((hc, grp, hd), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nblk, blk_body, (m0, l0, a0))
 
-    # ---- phase 3: o-proj ------------------------------------------------------
-    @pl.when((g >= NBQ) & (g < NBQ + NBO))
-    def _():
-        j = g - NBQ
-        acc = _qdot_rows(xo_s, xsum_s[1:2, :ngh], wo_ref, ngh, bno)
-        _store_block(oacc_s, acc, j, bno)
+        # current token, in-register
+        kc = k[c * hc:(c + 1) * hc]
+        vc = v[c * hc:(c + 1) * hc]
+        s_c = jnp.sum(qc * kc[:, None, :], axis=2, keepdims=True)
+        m_new = jnp.maximum(m, s_c)
+        alpha = jnp.exp(m - m_new)
+        p_c = jnp.exp(s_c - m_new)
+        l = l * alpha + p_c
+        acc = acc * alpha + p_c * vc[:, None, :]
+        rows = (acc / l).reshape(hc * grp, hd)
+        xo_s[c * hc * grp:(c + 1) * hc * grp, :] = rows
 
-    # ---- phase 4: residual + norm2 + gate/up ----------------------------------
-    @pl.when(g == NBQ + NBO)
-    def _():
-        h1_s[:, :] = h_ref[:, :].astype(jnp.float32) + oacc_s[:, :]
-        xm = _rms_rows(h1_s, ln_ref[0, 1], eps)
-        xq_s[:, :] = xm                                   # reuse xq as xm
-        xsum_s[2:3, :ngh] = jnp.transpose(
-            jnp.sum(xm, axis=1, keepdims=True), (1, 0))
+    for c in range(n_chunks):
+        chunk_body(c)
+    xsum_s[1:2, :ngh] = _row_sums(xo_s, ngh)
 
-    @pl.when((g >= NBQ + NBO) & (g < NBQ + NBO + NBG))
-    def _():
-        j = g - NBQ - NBO
-        acc = _qdot_rows(xq_s, xsum_s[2:3, :ngh], wg_ref, ngh, bng)
-        _store_block(gu_s, acc, j, bng)
+    # ---- phase 3: o-proj ----------------------------------------------------
+    run_phase(1, xo_s, xsum_s[1:2, :ngh],
+              lambda acc, j: _store_block(oacc_s, acc, j, d["bno"]))
 
-    # ---- phase 5: SwiGLU + down + residual -------------------------------------
-    @pl.when(g == NBQ + NBO + NBG)
-    def _():
-        ir = ngi            # intermediate rows = I/128
-        gate = gu_s[:ir, :]
-        up = gu_s[ir:2 * ir, :]
-        hm = gate * jax.lax.logistic(gate) * up
-        hm_s[:, :] = hm
-        xsum_s[3:4, :ngi] = jnp.transpose(
-            jnp.sum(hm, axis=1, keepdims=True), (1, 0))
+    # ---- phase 4: residual + norm2 + gate/up --------------------------------
+    h1_s[:, :] = h_ref[:, :].astype(jnp.float32) + oacc_s[:, :]
+    xm = _rms_rows(h1_s, ln_ref[0, 1], eps)
+    xq_s[:, :] = xm                                   # reuse xq as xm
+    xsum_s[2:3, :ngh] = _row_sums(xm, ngh)
+    run_phase(2, xq_s, xsum_s[2:3, :ngh],
+              lambda acc, j: _store_block(gu_s, acc, j, d["bng"]))
 
-    @pl.when(g >= NBQ + NBO + NBG)
-    def _():
-        j = g - NBQ - NBO - NBG
-        acc = _qdot_rows(hm_s, xsum_s[3:4, :ngi], wd_ref, ngi, bnd)
-        # accumulate in f32 scratch; a partial bf16 store at a dynamic row
-        # offset violates the (2,128) sublane packing (Mosaic rejects it)
-        _store_block(oacc_s, acc, j, bnd)
-
-    @pl.when(g == NBQ + NBO + NBG + NBD - 1)
-    def _():
-        out_ref[:, :] = (h1_s[:, :] + oacc_s[:, :]).astype(out_ref.dtype)
+    # ---- phase 5: SwiGLU + down + residual ----------------------------------
+    ir = ngi            # intermediate rows = I/128
+    gate = gu_s[:ir, :]
+    up = gu_s[ir:2 * ir, :]
+    hm = gate * jax.lax.logistic(gate) * up
+    hm_s[:, :] = hm
+    xsum_s[3:4, :ngi] = _row_sums(hm, ngi)
+    # accumulate in f32 scratch; a partial bf16 store at a dynamic row
+    # offset violates the (2,128) sublane packing (Mosaic rejects it)
+    run_phase(3, hm_s, xsum_s[3:4, :ngi],
+              lambda acc, j: _store_block(oacc_s, acc, j, d["bnd"]))
+    out_ref[:, :] = (h1_s[:, :] + oacc_s[:, :]).astype(out_ref.dtype)
 
 
 def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
@@ -294,6 +328,8 @@ def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
         NBD=H // wdn.tiled_bn,
         bnq=wqkv.tiled_bn, bno=wo.tiled_bn, bng=wgu.tiled_bn,
         bnd=wdn.tiled_bn,
+        rq=wqkv.qweight.shape[2], ro=wo.qweight.shape[2],
+        rg=wgu.qweight.shape[2], rd=wdn.qweight.shape[2],
         ngh=H // 128, ngi=I // 128,
         bt=bt, hc=hc, T=t,
     )
@@ -326,7 +362,7 @@ def megakernel_supported(cfg, layers, cache) -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nq", "nkv", "eps", "interpret"))
+                   static_argnames=("nq", "nkv", "eps", "interpret", "unpack"))
 def w4a16_llama_layer_step(
     h: jax.Array,            # [1, H] bf16 residual input
     wqkv: QLinear, wo: QLinear, wgu: QLinear, wdn: QLinear,
@@ -340,6 +376,7 @@ def w4a16_llama_layer_step(
     nq: int = 0, nkv: int = 0,
     eps: float = 1e-5,
     interpret: bool = False,
+    unpack: str = "bf16",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run one decoder layer for one token. Returns
     ``(h_new [1, H], k_new [1, n_kv, hd], v_new [1, n_kv, hd])``."""
@@ -349,9 +386,9 @@ def w4a16_llama_layer_step(
     nq = nq or H // hd
     assert wqkv.folded and wo.folded and wgu.folded and wdn.folded
     dims = _dims_for((nq, nkv, hd), wqkv, wo, wgu, wdn, cache, eps)
-    NB = dims["NBQ"] + dims["NBO"] + dims["NBG"] + dims["NBD"]
     ngh, ngi = dims["ngh"], dims["ngi"]
-    NBQ, NBO, NBG = dims["NBQ"], dims["NBO"], dims["NBG"]
+    wrows = max(dims["rq"], dims["ro"], dims["rg"], dims["rd"])
+    wcols = max(dims["bnq"], dims["bno"], dims["bng"], dims["bnd"])
 
     h_rows = h.reshape(ngh, 128)
     ln = jnp.stack([ln1, ln2], axis=1).reshape(-1, 2, ngh, 128)
@@ -359,33 +396,19 @@ def w4a16_llama_layer_step(
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(length, jnp.int32)])
 
-    def wmap(lo, nb):
-        # block index for a phase starting at grid step lo: pinned to the
-        # phase's edge blocks outside it (no re-fetch, no extra traffic)
-        def f(g, l):
-            j = jnp.clip(g - lo, 0, nb - 1)
-            return (l[0], j, 0, 0)
-        return f
-
     pinned_row = lambda g, l: (0, 0)
-    rq = wqkv.qweight.shape[2]
-    ro = wo.qweight.shape[2]
-    rg = wgu.qweight.shape[2]
-    rd = wdn.qweight.shape[2]
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(NB,),
+        grid=(1,),
         in_specs=[
             pl.BlockSpec((ngh, 128), pinned_row),                # h rows
             pl.BlockSpec((1, 2, ngh, 128),
                          lambda g, l: (l[0], 0, 0, 0)),          # ln1|ln2
             pl.BlockSpec((2, hd), pinned_row),                   # cos|sin
-            pl.BlockSpec((1, 1, rq, dims["bnq"]), wmap(0, NBQ)),
-            pl.BlockSpec((1, 1, ro, dims["bno"]), wmap(NBQ, NBO)),
-            pl.BlockSpec((1, 1, rg, dims["bng"]), wmap(NBQ + NBO, NBG)),
-            pl.BlockSpec((1, 1, rd, dims["bnd"]),
-                         wmap(NBQ + NBO + NBG, dims["NBD"])),
+            pl.BlockSpec(memory_space=pl.ANY),                   # wqkv
+            pl.BlockSpec(memory_space=pl.ANY),                   # wo
+            pl.BlockSpec(memory_space=pl.ANY),                   # wgu
+            pl.BlockSpec(memory_space=pl.ANY),                   # wdn
             pl.BlockSpec(memory_space=pl.ANY),                   # cache
         ],
         out_specs=[
@@ -402,15 +425,17 @@ def w4a16_llama_layer_step(
             pltpu.VMEM((ngi, 128), jnp.float32),                 # hm
             pltpu.VMEM((ngh, 128), jnp.float32),                 # o/down acc
             pltpu.VMEM((8, max(128, ngi)), jnp.float32),         # xsums
+            pltpu.VMEM((2, wrows, wcols), jnp.int32),            # weight dbuf
             pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
             pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     out, kn, vn = pl.pallas_call(
-        functools.partial(_mega_kernel, dims=dims),
+        functools.partial(_mega_kernel, dims=dims, unpack=unpack),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ngh, 128), h.dtype),

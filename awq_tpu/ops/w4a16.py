@@ -67,8 +67,9 @@ class QLinear:
     def in_features(self) -> int:
         rows = self.qweight.shape[-2]
         if self.folded:
-            # rows = IC/8 + 2*IC/G
-            return rows * 8 * self.group_size // (self.group_size + 16)
+            # rows = IC/8 + 2*IC/G (+ <8 alignment pad rows); each group
+            # of G inputs occupies G/8 code rows + 2 scale rows
+            return (rows // (self.group_size // 8 + 2)) * self.group_size
         return rows * 8
 
     @property
@@ -305,15 +306,91 @@ def w4a16_matmul_stacked(
     return out[:m] if m_pad else out
 
 
+def _fold_nibble_maps():
+    """Index tables for the bf16-bitpack nibble order (see
+    ``_unpack_block_bf16``). The folded layout stores, in word ``q`` nibble
+    ``k`` of each 16-word / 128-row window, the TRUE row
+    ``32*(k&3) + 2*q + (k>>2)`` — chosen so the kernel's cheap unpack
+    (4x shift/mask/or + one aligned concat + bitcast) emits rows in
+    natural order. Returns (src_word, src_shift) [16, 8] tables mapping
+    each (q, k) to its position in the STANDARD packing (packing.py: row
+    ``r`` at word ``8*(r>>6) + (r&7)``, nibble ``(r>>3)&7``)."""
+    import numpy as np
+
+    q = np.arange(16)[:, None]
+    k = np.arange(8)[None, :]
+    r = 32 * (k & 3) + 2 * q + (k >> 2)       # true row held at (q, k)
+    return ((8 * (r >> 6) + (r & 7)).astype(np.int32),
+            (4 * ((r >> 3) & 7)).astype(np.int32))
+
+
+def _fold_nibble_maps_inv():
+    """Inverse tables: standard word ``q`` nibble ``s`` (true row
+    ``r = 64*(q>>3) + 8*s + (q&7)``) lives in folded word ``(r>>1)&15``,
+    nibble ``(r>>5) + 4*(r&1)``."""
+    import numpy as np
+
+    q = np.arange(16)[:, None]
+    s = np.arange(8)[None, :]
+    r = 64 * (q >> 3) + 8 * s + (q & 7)
+    return (((r >> 1) & 15).astype(np.int32),
+            (4 * ((r >> 5) + 4 * (r & 1))).astype(np.int32))
+
+
+def _remap_nibbles(qw: jax.Array, maps) -> jax.Array:
+    """Apply a word/nibble permutation (per 16-word window along the
+    second-to-last axis) given (src_word, src_shift) [16, 8] tables."""
+    src_word, src_shift = maps
+    shape = qw.shape
+    icp = shape[-2]
+    w = qw.reshape(shape[:-2] + (icp // 16, 16, shape[-1]))
+    out = jnp.zeros_like(w)
+    for k in range(8):
+        nib = (jnp.take(w, src_word[:, k], axis=-2)
+               >> jnp.asarray(src_shift[:, k])[:, None]) & 0xF
+        out = out | (nib << (4 * k))
+    return out.reshape(shape)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _remap_nibbles_fwd(qw: jax.Array) -> jax.Array:
+    """Jitted, input-donating forward remap — the eager gather chain
+    holds several array-sized temporaries live at once, which OOMs HBM
+    when repacking a full 7B model's stacked weights."""
+    return _remap_nibbles(qw, _fold_nibble_maps())
+
+
+def _unpack_block_bf16(w):
+    """Folded-layout packed block ``[16, bn]`` int32 -> ``[128, bn]``
+    bfloat16 holding ``128 + code`` (code in 0..15).
+
+    Nibbles are placed (by ``tile_qlinear(fold_scales=True)``) so each
+    plane's low/high half-words are already a (even, odd) bf16 row pair:
+    ``0x4300 | code`` is the bf16 bit pattern of ``128 + code`` exactly,
+    so unpacking is 3 VPU ops per 2 output rows with NO sublane
+    interleave and NO int->float convert (the convert + interleave stack
+    of the generic ``_unpack_block`` was the measured compute bound that
+    held the streaming kernels at ~550 of 820 GB/s). The +128 bias folds
+    into the szeros correction rows (``sz + 128*s``)."""
+    planes = [((w >> (4 * j)) & 0x000F000F) | 0x43004300 for j in range(4)]
+    u32 = jnp.concatenate(planes, axis=0)      # [64, bn]
+    return pltpu.bitcast(u32, jnp.bfloat16)    # [128, bn]
+
+
 def tile_qlinear(ql: QLinear, block_n: int = 512,
                  fold_scales: bool = False) -> QLinear:
     """Repack a (stacked) QLinear to the block-contiguous layout
     ``[L, OC/bn, IC//8, bn]``; no-op if already tiled or OC % bn != 0.
 
     ``fold_scales`` appends each block's scales and szeros (f32 bitcast to
-    int32) as ``2 * IC/G`` trailing rows: one array/one DMA stream per
-    matmul — the layout the decode kernels want (see QLinear docstring).
+    int32) as ``2 * IC/G`` trailing rows and switches the code words to
+    the bf16-bitpack nibble order (``_unpack_block_bf16``): one array/one
+    DMA stream per matmul — the layout the decode kernels want (see
+    QLinear docstring). Only supported for group_size == 128 (the nibble
+    permutation works on 128-row windows); other group sizes tile plain.
     """
+    if fold_scales and ql.group_size != 128:
+        fold_scales = False
     if ql.tiled_bn or ql.qweight.shape[-1] % block_n != 0:
         return ql
     qw = ql.qweight
@@ -330,8 +407,15 @@ def tile_qlinear(ql: QLinear, block_n: int = 512,
             return jax.lax.bitcast_convert_type(
                 t.astype(jnp.float32), jnp.int32)
 
+        qt = _remap_nibbles_fwd(qt)
+        # +128 bias of the bf16-bitpack unpack folds into the correction
         qt = jnp.concatenate(
-            [qt, blkify(ql.scales), blkify(ql.szeros)], axis=2)
+            [qt, blkify(ql.scales),
+             blkify(ql.szeros + 128.0 * ql.scales)], axis=2)
+        # HBM DMA slices need the row dim 8-aligned (Mosaic (8,128) tiling)
+        pad = -qt.shape[2] % 8
+        if pad:
+            qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad), (0, 0)))
     if not stacked:
         qt = qt[0]
     return QLinear(
@@ -345,13 +429,18 @@ def untile_qweight(qweight: jax.Array, block_n: int,
                    icp: Optional[int] = None) -> jax.Array:
     """[(L,) NB, rows, bn] -> [(L,) ICp, OC] (XLA fallback paths).
 
-    ``icp`` strips folded scale rows (rows > IC//8)."""
+    ``icp`` strips folded scale rows (rows > IC//8) AND undoes the
+    bf16-bitpack nibble order back to the standard packing."""
     if qweight.ndim == 4:
         L, nb, rows, bn = qweight.shape
         qw = qweight[:, :, :icp or rows]
+        if icp:
+            qw = _remap_nibbles(qw, _fold_nibble_maps_inv())
         return qw.transpose(0, 2, 1, 3).reshape(L, -1, nb * bn)
     nb, rows, bn = qweight.shape
     qw = qweight[:, :icp or rows]
+    if icp:
+        qw = _remap_nibbles(qw, _fold_nibble_maps_inv())
     return qw.transpose(1, 0, 2).reshape(-1, nb * bn)
 
 
@@ -422,9 +511,13 @@ def _w4a16_kernel_folded(idx_ref, x_ref, qw_ref, o_ref, *,
     icp = n_g * rows
     acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
     for g in range(n_g):
-        wq = _unpack_block(
+        # center by -128 here (exact in bf16) so the correction operands
+        # keep their small s*z magnitude — an MXU dot on the biased
+        # sz' = s*(z+128) rows would round them to bf16 and lose the
+        # bias cancellation
+        wq = _unpack_block_bf16(
             qw_ref[0, 0, g * rows:(g + 1) * rows, :]
-        ).astype(jnp.bfloat16)
+        ) - jnp.bfloat16(128)
         xg = x[:, g * group_size:(g + 1) * group_size]
         part = jnp.dot(xg, wq, preferred_element_type=jnp.float32)
         s = pltpu.bitcast(qw_ref[0, 0, icp + g:icp + g + 1, :], jnp.float32)
@@ -432,8 +525,10 @@ def _w4a16_kernel_folded(idx_ref, x_ref, qw_ref, o_ref, *,
     xsums = jnp.sum(
         x.astype(jnp.float32).reshape(x.shape[0], n_g, group_size), axis=2
     )                                                      # [bm, n_g]
-    sz = pltpu.bitcast(qw_ref[0, 0, icp + n_g:icp + 2 * n_g, :],
-                       jnp.float32)                        # [n_g, bn]
+    s_rows = pltpu.bitcast(qw_ref[0, 0, icp:icp + n_g, :], jnp.float32)
+    szb = pltpu.bitcast(qw_ref[0, 0, icp + n_g:icp + 2 * n_g, :],
+                        jnp.float32)                       # s*(z+128)
+    sz = szb - 128.0 * s_rows                              # [n_g, bn]
     acc = acc - jnp.dot(xsums, sz, preferred_element_type=jnp.float32)
     o_ref[:] = acc.astype(out_dtype)
 

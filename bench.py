@@ -77,7 +77,14 @@ def main():
 
     params = init_qparams(cfg, qcfg, jax.random.PRNGKey(0))
     from awq_tpu.models.llama import fuse_linears
+    from awq_tpu.ops.w4a16 import quantize_linear
 
+    # quantized output head (the deploy default, quantize_params
+    # quantize_lm_head=True): a fp16 7B head is ~260 MB/token of reads
+    params["lm_head"] = quantize_linear(
+        params["lm_head"].astype(jnp.float32), n_bit=qcfg.w_bit,
+        group_size=qcfg.group_size,
+    )
     params = fuse_linears(params, cfg)
     jax.block_until_ready(params)
     if args.kv8:

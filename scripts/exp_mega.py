@@ -51,10 +51,16 @@ def smoke():
     got = [np.asarray(x) for x in got]
     print("smoke TPU run OK", [g.shape for g in got], flush=True)
     ref = w4a16_llama_layer_step(*args, **kw, interpret=True)
+    bad = False
     for name, a, b in zip("h k v".split(), got, ref):
-        np.testing.assert_allclose(
-            np.asarray(a, np.float32), np.asarray(b, np.float32),
-            rtol=3e-2, atol=3e-2)
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        d = np.abs(a - b)
+        print(f"  {name}: max|diff|={d.max():.5f} "
+              f"n>3e-2={(d > 3e-2).sum()}/{d.size}", flush=True)
+        bad = bad or d.max() > 3e-2
+    if bad:
+        raise SystemExit("smoke parity FAILED")
     print("smoke parity vs interpret OK", flush=True)
 
 
@@ -66,7 +72,7 @@ def bench7b(ctx):
     wqkv = mk(ks[0], H, (nq + 2 * nkv) * hd, 512, L)
     wo = mk(ks[1], H, H, 512, L)
     wgu = mk(ks[2], H, 2 * I, 512, L)
-    wdn = mk(ks[3], I, H, 256, L)
+    wdn = mk(ks[3], I, H, 512, L)
     ln = jnp.ones((L, H), jnp.float32)
     cache = jnp.zeros((L, 2, 1, nkv, T, hd), jnp.bfloat16)
     h0 = (jax.random.normal(ks[5], (1, H), jnp.float32) * 0.3
@@ -75,30 +81,30 @@ def bench7b(ctx):
     sin = jnp.sqrt(1 - cos * cos)
     jax.block_until_ready((wqkv, wo, wgu, wdn, cache))
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def steps(r, h0, wqkv, wo, wgu, wdn, cache):
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def steps(r, unpack, h0, wqkv, wo, wgu, wdn, cache):
         def tok(h, _):
             def layer(hh, idx):
                 hn, kn, vn = w4a16_llama_layer_step(
                     hh, wqkv, wo, wgu, wdn, ln, ln, cos, sin, cache,
-                    idx, jnp.int32(ctx), nq=nq, nkv=nkv, eps=1e-5)
+                    idx, jnp.int32(ctx), nq=nq, nkv=nkv, eps=1e-5,
+                    unpack=unpack)
                 return hn + 1e-6 * (jnp.sum(kn) + jnp.sum(vn)), None
             h, _ = jax.lax.scan(layer, h, jnp.arange(L))
             return h, None
         h, _ = jax.lax.scan(tok, h0, None, length=r)
         return h[:, :8]
 
-    ts = {}
-    for r in (4, 12):
-        t0 = time.perf_counter()
-        np.asarray(steps(r, h0, wqkv, wo, wgu, wdn, cache))
-        print(f"  compile+run r={r}: {time.perf_counter()-t0:.1f}s",
+    for unpack in ("bf16", "legacy", "bf16"):
+        ts = {}
+        for r in (4, 12):
+            np.asarray(steps(r, unpack, h0, wqkv, wo, wgu, wdn, cache))
+            t0 = time.perf_counter()
+            np.asarray(steps(r, unpack, h0, wqkv, wo, wgu, wdn, cache))
+            ts[r] = time.perf_counter() - t0
+        ms = (ts[12] - ts[4]) / 8 * 1e3
+        print(f"7B mega step @ctx{ctx} unpack={unpack}: {ms:.3f} ms",
               flush=True)
-        t0 = time.perf_counter()
-        np.asarray(steps(r, h0, wqkv, wo, wgu, wdn, cache))
-        ts[r] = time.perf_counter() - t0
-    ms = (ts[12] - ts[4]) / 8 * 1e3
-    print(f"7B megakernel 32-layer step @ctx{ctx}: {ms:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
