@@ -433,36 +433,28 @@ def forward(
             and megakernel_supported(cfg, params["layers"], cache)
         )
     if use_mega:
-        # whole-layer megakernel: ONE Pallas call per layer runs
-        # norm->qkv->rope->flash-attn->o->norm->gate/up->silu->down
-        # (see ops/megakernel.py for why — per-kernel overheads dominated
-        # the 5-kernel decode step). Cache append stays an XLA scatter.
-        from awq_tpu.ops.megakernel import w4a16_llama_layer_step
+        # whole-token megakernel: ONE Pallas call runs ALL layers
+        # (norm->qkv->rope->flash-attn->o->norm->gate/up->silu->down per
+        # layer, residual stream in VMEM) — see ops/megakernel.py for why
+        # (per-kernel launch overheads dominated the 5-kernel/layer decode
+        # step). The kernel reads the cache; layer i's attention at this
+        # token only needs previous tokens (the current token's k/v live
+        # in-register), so all appends collapse into ONE batched
+        # dynamic_update_slice afterwards.
+        from awq_tpu.ops.megakernel import w4a16_llama_token_step
 
         la = params["layers"]
         cos_row = cos[positions[0]]
         sin_row = sin[positions[0]]
 
-        def body(hh, idx):
-            hn, kn, vn = w4a16_llama_layer_step(
-                hh[:, 0], la["wqkv"], la["wo"], la["wgateup"], la["down"],
-                la["ln1"], la["ln2"], cos_row, sin_row, cache,
-                idx, start_pos,
-                nq=cfg.num_heads, nkv=cfg.num_kv_heads, eps=cfg.rms_eps,
-            )
-            return hn[:, None, :], (kn, vn)
-
-        # The cache rides through the scan READ-ONLY (layer i's attention
-        # at this token only needs previous tokens; the current token's
-        # k/v live in-register inside the kernel). All 32 appends then
-        # collapse into ONE dynamic_update_slice instead of 32 per-layer
-        # scatters (each XLA update was a separate fusion at ~60 us/token
-        # total).
-        h, (ks_new, vs_new) = jax.lax.scan(
-            body, h, jnp.arange(cfg.num_layers)
+        hn, ks_new, vs_new = w4a16_llama_token_step(
+            h[:, 0], la["wqkv"], la["wo"], la["wgateup"], la["down"],
+            la["ln1"], la["ln2"], cos_row, sin_row, cache, start_pos,
+            nq=cfg.num_heads, nkv=cfg.num_kv_heads, eps=cfg.rms_eps,
         )
+        h = hn[:, None, :]
         kv_new = jnp.stack([ks_new, vs_new], axis=1)[
-            :, :, :, :, None, :
+            :, :, None, :, None, :
         ].astype(cache.dtype)                  # [L, 2, 1, n_kv, 1, hd]
         new_cache = jax.lax.dynamic_update_slice(
             cache, kv_new, (0, 0, 0, 0, start_pos, 0)

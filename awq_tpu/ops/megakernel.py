@@ -1,37 +1,38 @@
-"""Whole-layer W4A16 decode megakernel.
+"""Whole-layer / whole-token W4A16 decode megakernels.
 
-One Pallas call runs an ENTIRE llama-family decoder layer for one token:
-rmsnorm -> fused-QKV matmul -> RoPE -> flash attention over the KV cache
-(current token in-register) -> o-proj -> residual -> rmsnorm -> gate/up
-matmul -> SwiGLU -> down matmul -> residual.
+``w4a16_llama_token_step`` runs ALL decoder layers for one token in ONE
+Pallas call: per layer, rmsnorm -> fused-QKV matmul -> RoPE -> flash
+attention over the KV cache (current token in-register) -> o-proj ->
+residual -> rmsnorm -> gate/up matmul -> SwiGLU -> down matmul ->
+residual; the residual stream stays in VMEM between layers.
+``w4a16_llama_layer_step`` is the single-layer building block (same body,
+used by the parity tests and as the reference for the token kernel).
 
-Why: the round-1 decode step used 5 kernels/layer; the measured cost at the
-7B geometry was matmuls 6.0 ms (vs ~4.7 ms at the streaming peak) + 1.3 ms
-of attention that is almost pure per-kernel overhead at short context.
-Collapsing a layer into one kernel keeps ONE continuous weight stream
-through the DMA engine — the TPU analogue of the reference collapsing its
-decode into two fat kernel launches per layer
+Why: the round-1 decode step used 5 kernels/layer (160 launches/token);
+the measured cost at the 7B geometry was matmuls 6.0 ms (vs ~4.7 ms at
+the streaming peak) + 1.3 ms of attention that is almost pure per-kernel
+overhead at short context. One kernel per token keeps ONE continuous
+weight stream through the DMA engine with zero launch/dispatch cost
+between layers — the TPU analogue (and extension) of the reference
+collapsing its decode into two fat kernel launches per layer
 (``csrc/quantization_new/gemv/gemv_cuda.cu:38-244`` +
 ``csrc/attention/decoder_masked_multihead_attention.cu:30-101``).
 
 Design notes:
 - Weights live in ``memory_space=ANY`` (HBM) and are streamed by MANUAL
   double-buffered DMA into ONE shared VMEM buffer reused by all four
-  matmul phases. A first version used Mosaic-managed windows (one
-  BlockSpec per matmul, phase-switched on ``program_id``); its measured
-  per-grid-step bookkeeping (~0.5-0.7 us x 91 steps/layer x 32 layers
-  ~= 1.3 ms) dominated the gap to the streaming floor. With grid=(1,)
-  there are no per-step window updates at all, and the buffer is sized
-  once for the largest phase instead of once per input.
-- Weights use the FOLDED tiled layout (scales/szeros bitcast into each
-  block's trailing rows, ``tile_qlinear(fold_scales=True)``), so each
-  phase is exactly ONE HBM stream.
-- Cross-phase prefetch: each phase's last iteration issues the NEXT
-  phase's block-0 DMA (the attention phase between QKV and o-proj then
-  hides o's first transfer entirely).
-- The per-group zero correction collapses into one [1, n_g] x [n_g, bn]
-  MXU dot against the contiguous szeros rows (per-group vector FMAs were
-  a measured bottleneck); per-phase input sums are computed once.
+  matmul phases of every layer. A first version used Mosaic-managed
+  windows (one BlockSpec per matmul, phase-switched on ``program_id``);
+  grid-step bookkeeping and per-input window buffers made it both slower
+  and more VMEM-hungry. With grid=(1,) there are no per-step window
+  updates at all.
+- Weights use the FOLDED tiled layout (``tile_qlinear(fold_scales=True)``):
+  bf16-bitpack permuted nibbles + one packed qparam row per group
+  (bf16 scale | bf16 szero), so each phase is exactly ONE HBM stream at
+  ~106% of the code bytes.
+- Cross-phase AND cross-layer prefetch: each phase's last iteration
+  issues the next phase's (or next layer's first) block-0 DMA; the
+  attention phase between QKV and o-proj hides o's first transfer.
 - Activations live in head-layout ``[H/128, 128]`` f32 scratch: with
   group_size == head_dim == 128, one quantization group == one VMEM row,
   so the per-group matmul slices ROWS and the kernel needs no
@@ -42,7 +43,8 @@ Design notes:
   :func:`awq_tpu.ops.decode_attn.flash_decode_stacked`), batched
   per-chunk dots, online softmax, and the current token's k/v from the
   just-computed QKV registers. The cache append stays an XLA scatter in
-  the caller (single-position HBM writes violate bf16 (2,128) tiling).
+  the caller (single-position bf16 HBM writes violate (2,128) tiling);
+  with the token kernel it is ONE batched scatter for all layers.
 
 Constraints (callers fall back to the 5-kernel path otherwise):
 batch 1, single token, rmsnorm+SwiGLU (llama/mistral), full-dim RoPE,
@@ -68,7 +70,7 @@ def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
     """One [1, bn] output block of a W4A16 matmul whose LHS is a single
     row vector stored as rows ``x_rows [IC/128, 128]`` (f32, rows
     ``row0..row0+n_g``). ``wbuf[slot]`` holds the CURRENT folded block:
-    codes rows then scale/szero rows. ``xsums [1, n_g]`` are the
+    codes rows then packed qparam rows. ``xsums [1, n_g]`` are the
     per-group input sums (precomputed once per PHASE, not per block).
 
     out = sum_g s_g * (x_g @ (unpack(qw_g) - 128)) - xsum_g * sz_g. The
@@ -77,7 +79,8 @@ def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
     on real TPU, where the [1, N] dot may consume x at a different
     precision than the separately-computed xsums (~0.1 abs error,
     measured). The correction is a per-group [1, bn] f32 VPU FMA on the
-    exact stored f32 rows (sz' = s*(z+128) minus 128*s recovers s*z).
+    packed bf16 qparam row (bf16 scale | bf16 szero in one int32 row —
+    halves the non-code stream bytes vs two f32 rows).
     """
     icp = n_g * 16
     acc = jnp.zeros((1, bn), jnp.float32)
@@ -92,11 +95,11 @@ def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
         xg = x_rows[row0 + g][None, :]                     # [1, 128]
         part = jnp.dot(xg.astype(jnp.bfloat16), wq,
                        preferred_element_type=jnp.float32)
-        s = pltpu.bitcast(wbuf[slot, icp + g:icp + g + 1, :bn],
-                          jnp.float32)
-        szb = pltpu.bitcast(
-            wbuf[slot, icp + n_g + g:icp + n_g + g + 1, :bn], jnp.float32)
-        acc = acc + part * s - xsums[0, g] * (szb - 128.0 * s)
+        qp = pltpu.bitcast(wbuf[slot, icp + g:icp + g + 1, :bn],
+                           jnp.bfloat16)                   # [2, bn]: s, sz
+        s = qp[0:1].astype(jnp.float32)
+        sz = qp[1:2].astype(jnp.float32)
+        acc = acc + part * s - xsums[0, g] * sz
     return acc                                             # [1, bn]
 
 
@@ -128,49 +131,51 @@ def _rope_rows(x, cos, sin):
     return x * cos + rot * sin
 
 
-def _mega_kernel(
-    scalars_ref,
-    h_ref, ln_ref, cs_ref,
-    wq_hbm, wo_hbm, wg_hbm, wd_hbm,
-    cache_ref,
-    out_ref, kn_ref, vn_ref,
+def _layer_phases(
+    layer, base2, h_rows, ln1_row, ln2_row, length, cs_ref,
+    weights, cache_ref, kv_store,
     xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
     wbuf, kbuf, vbuf, wsem, ksem, vsem,
-    *, dims, unpack="bf16",
+    *, dims, unpack="bf16", tail_dma=None,
 ):
+    """Phases 1-5 of one decoder layer. ``h_rows``/``ln*_row`` are
+    ``[ngh, 128]``-shaped values; ``base2`` is the (traced) wbuf slot
+    parity at the start of this layer's block stream; ``kv_store(k, v)``
+    consumes the new cache row; ``tail_dma(nxt_slot)`` (if given) is
+    invoked on the LAST block's iteration to prefetch the next layer's
+    first block. Returns the new residual rows [ngh, 128] f32.
+
+    ``layer`` indexes the stacked weight/cache arrays; block 0 of phase 0
+    must already be in flight (kernel prologue or previous tail_dma)."""
     d = dims
     nq, nkv, hd, eps = d["nq"], d["nkv"], d["hd"], d["eps"]
     ngh, ngi = d["ngh"], d["ngi"]          # groups of H and I reductions
     bt, hc = d["bt"], d["hc"]
     grp = nq // nkv
-    layer = scalars_ref[0]
-    length = scalars_ref[1]
 
     # static phase table: (hbm ref, out blocks, folded rows, n_g, bn)
     phases = [
-        (wq_hbm, d["NBQ"], d["rq"], ngh, d["bnq"]),
-        (wo_hbm, d["NBO"], d["ro"], ngh, d["bno"]),
-        (wg_hbm, d["NBG"], d["rg"], ngh, d["bng"]),
-        (wd_hbm, d["NBD"], d["rd"], ngi, d["bnd"]),
+        (weights[0], d["NBQ"], d["rq"], ngh, d["bnq"]),
+        (weights[1], d["NBO"], d["ro"], ngh, d["bno"]),
+        (weights[2], d["NBG"], d["rg"], ngh, d["bng"]),
+        (weights[3], d["NBD"], d["rd"], ngi, d["bnd"]),
     ]
-    # wbuf slot parity at the start of each phase (blocks stream
-    # continuously through the shared buffer across phases)
-    parity = [0]
+    # static block-count offset of each phase within the layer's stream
+    offs = [0]
     for _, nb, _, _, _ in phases:
-        parity.append((parity[-1] + nb) % 2)
+        offs.append(offs[-1] + nb)
 
-    def wdma(ph, j, slot):
+    def wdma(ph, lyr, j, slot):
         hbm, _, rows, _, bn = phases[ph]
         return pltpu.make_async_copy(
-            hbm.at[layer, j], wbuf.at[slot, 0:rows, 0:bn], wsem.at[slot],
+            hbm.at[lyr, j], wbuf.at[slot, 0:rows, 0:bn], wsem.at[slot],
         )
 
     def run_phase(ph, x_rows, xsums, store):
         """Stream phase ``ph``'s blocks through wbuf; ``store(acc, j)``
-        consumes each [1, bn] output block. Block 0's DMA was issued by
-        the previous phase's last iteration (or the kernel prologue)."""
+        consumes each [1, bn] output block."""
         _, nb, _, n_g, bn = phases[ph]
-        p0 = parity[ph]
+        p0 = base2 + offs[ph]
 
         def body(j, _):
             slot = jax.lax.rem(j + p0, 2)
@@ -178,14 +183,18 @@ def _mega_kernel(
 
             @pl.when(j + 1 < nb)
             def _():
-                wdma(ph, j + 1, nxt).start()
+                wdma(ph, layer, j + 1, nxt).start()
 
             if ph + 1 < len(phases):
                 @pl.when(j + 1 == nb)
                 def _():
-                    wdma(ph + 1, 0, nxt).start()
+                    wdma(ph + 1, layer, 0, nxt).start()
+            elif tail_dma is not None:
+                @pl.when(j + 1 == nb)
+                def _():
+                    tail_dma(nxt)
 
-            wdma(ph, j, slot).wait()
+            wdma(ph, layer, j, slot).wait()
             acc = _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn,
                              unpack=unpack)
             store(acc, j)
@@ -193,9 +202,8 @@ def _mega_kernel(
 
         jax.lax.fori_loop(0, nb, body, 0, unroll=False)
 
-    # ---- prologue + phase 1: rmsnorm, fused QKV matmul ----------------------
-    wdma(0, 0, 0).start()
-    xn = _rms_rows(h_ref, ln_ref[0, 0], eps)
+    # ---- phase 1: rmsnorm + fused QKV matmul --------------------------------
+    xn = _rms_rows(h_rows, ln1_row, eps)
     xq_s[:, :] = xn
     xsum_s[0:1, :ngh] = _row_sums(xn, ngh)
     run_phase(0, xq_s, xsum_s[0:1, :ngh],
@@ -208,8 +216,7 @@ def _mega_kernel(
     q = _rope_rows(qkv_s[:nq, :], cos, sin)           # [nq, hd] f32
     k = _rope_rows(qkv_s[nq:nq + nkv, :], cos, sin)
     v = qkv_s[nq + nkv:nq + 2 * nkv, :]
-    kn_ref[:, :] = k.astype(kn_ref.dtype)
-    vn_ref[:, :] = v.astype(vn_ref.dtype)
+    kv_store(k, v)
     qs = (q * scale).reshape(nkv, grp, hd)
 
     nblk = pl.cdiv(length, bt)
@@ -288,8 +295,8 @@ def _mega_kernel(
               lambda acc, j: _store_block(oacc_s, acc, j, d["bno"]))
 
     # ---- phase 4: residual + norm2 + gate/up --------------------------------
-    h1_s[:, :] = h_ref[:, :].astype(jnp.float32) + oacc_s[:, :]
-    xm = _rms_rows(h1_s, ln_ref[0, 1], eps)
+    h1_s[:, :] = h_rows.astype(jnp.float32) + oacc_s[:, :]
+    xm = _rms_rows(h1_s, ln2_row, eps)
     xq_s[:, :] = xm                                   # reuse xq as xm
     xsum_s[2:3, :ngh] = _row_sums(xm, ngh)
     run_phase(2, xq_s, xsum_s[2:3, :ngh],
@@ -306,7 +313,97 @@ def _mega_kernel(
     # offset violates the (2,128) sublane packing (Mosaic rejects it)
     run_phase(3, hm_s, xsum_s[3:4, :ngi],
               lambda acc, j: _store_block(oacc_s, acc, j, d["bnd"]))
-    out_ref[:, :] = (h1_s[:, :] + oacc_s[:, :]).astype(out_ref.dtype)
+    return h1_s[:, :] + oacc_s[:, :]
+
+
+def _mega_kernel(
+    scalars_ref,
+    h_ref, ln_ref, cs_ref,
+    wq_hbm, wo_hbm, wg_hbm, wd_hbm,
+    cache_ref,
+    out_ref, kn_ref, vn_ref,
+    xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
+    wbuf, kbuf, vbuf, wsem, ksem, vsem,
+    *, dims, unpack="bf16",
+):
+    """Single-layer kernel: one call = one decoder layer, one token."""
+    layer = scalars_ref[0]
+    length = scalars_ref[1]
+
+    def kv_store(k, v):
+        kn_ref[:, :] = k.astype(kn_ref.dtype)
+        vn_ref[:, :] = v.astype(vn_ref.dtype)
+
+    # prologue: start phase-0 block-0 while rmsnorm computes
+    pltpu.make_async_copy(
+        wq_hbm.at[layer, 0], wbuf.at[0, 0:dims["rq"], 0:dims["bnq"]],
+        wsem.at[0],
+    ).start()
+    h_new = _layer_phases(
+        layer, jnp.int32(0), h_ref[:, :], ln_ref[0, 0], ln_ref[0, 1],
+        length, cs_ref, (wq_hbm, wo_hbm, wg_hbm, wd_hbm), cache_ref,
+        kv_store,
+        xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
+        wbuf, kbuf, vbuf, wsem, ksem, vsem,
+        dims=dims, unpack=unpack,
+    )
+    out_ref[:, :] = h_new.astype(out_ref.dtype)
+
+
+def _token_kernel(
+    scalars_ref,
+    h_ref, ln_ref, cs_ref,
+    wq_hbm, wo_hbm, wg_hbm, wd_hbm,
+    cache_ref,
+    out_ref, kn_ref, vn_ref,
+    hbuf, xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
+    wbuf, kbuf, vbuf, wsem, ksem, vsem,
+    *, dims, n_layers, unpack="bf16",
+):
+    """Whole-token kernel: one call runs ALL ``n_layers`` decoder layers;
+    the residual stream rides through VMEM (``hbuf``) and each layer's
+    last block prefetches the next layer's first."""
+    d = dims
+    length = scalars_ref[0]
+    # blocks per layer (for the wbuf slot parity across layers)
+    tot = d["NBQ"] + d["NBO"] + d["NBG"] + d["NBD"]
+    weights = (wq_hbm, wo_hbm, wg_hbm, wd_hbm)
+
+    # prologue: start layer-0 phase-0 block-0 while rmsnorm computes
+    pltpu.make_async_copy(
+        wq_hbm.at[0, 0], wbuf.at[0, 0:d["rq"], 0:d["bnq"]], wsem.at[0],
+    ).start()
+    hbuf[:, :] = h_ref[:, :].astype(jnp.float32)
+
+    def layer_body(l, _):
+        base2 = jax.lax.rem(l * tot, 2)
+
+        def kv_store(k, v):
+            kn_ref[l, :, :] = k.astype(kn_ref.dtype)
+            vn_ref[l, :, :] = v.astype(vn_ref.dtype)
+
+        def tail_dma(nxt):
+            @pl.when(l + 1 < n_layers)
+            def _():
+                pltpu.make_async_copy(
+                    wq_hbm.at[l + 1, 0],
+                    wbuf.at[nxt, 0:d["rq"], 0:d["bnq"]], wsem.at[nxt],
+                ).start()
+
+        h_new = _layer_phases(
+            l, base2, hbuf[:, :], ln_ref[l, 0], ln_ref[l, 1],
+            length, cs_ref, weights, cache_ref, kv_store,
+            xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
+            wbuf, kbuf, vbuf, wsem, ksem, vsem,
+            dims=d, unpack=unpack, tail_dma=tail_dma,
+        )
+        # the residual stream is bf16 between layers in the composed
+        # model (parity with the per-layer path)
+        hbuf[:, :] = h_new.astype(jnp.bfloat16).astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_layers, layer_body, 0, unroll=False)
+    out_ref[:, :] = hbuf[:, :].astype(out_ref.dtype)
 
 
 def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
@@ -333,6 +430,34 @@ def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
         ngh=H // 128, ngi=I // 128,
         bt=bt, hc=hc, T=t,
     )
+
+
+def _scratches(dims, cache_dtype, nq, nkv, hd):
+    ngh, ngi = dims["ngh"], dims["ngi"]
+    wrows = max(dims["rq"], dims["ro"], dims["rg"], dims["rd"])
+    wcols = max(dims["bnq"], dims["bno"], dims["bng"], dims["bnd"])
+    return [
+        pltpu.VMEM((ngh, 128), jnp.float32),                 # xq / xm
+        pltpu.VMEM((nq + 2 * nkv, hd), jnp.float32),         # qkv rows
+        pltpu.VMEM((ngh, 128), jnp.float32),                 # xo (attn)
+        pltpu.VMEM((ngh, 128), jnp.float32),                 # h1
+        pltpu.VMEM((2 * ngi, 128), jnp.float32),             # gate|up
+        pltpu.VMEM((ngi, 128), jnp.float32),                 # hm
+        pltpu.VMEM((ngh, 128), jnp.float32),                 # o/down acc
+        pltpu.VMEM((8, max(128, ngi)), jnp.float32),         # xsums
+        pltpu.VMEM((2, wrows, wcols), jnp.int32),            # weight dbuf
+        pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache_dtype),
+        pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache_dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+
+def _cost(ws):
+    by = sum(w.in_features * w.out_features for w in ws) // 2
+    return pl.CostEstimate(flops=4 * by, bytes_accessed=by,
+                           transcendentals=0)
 
 
 def megakernel_supported(cfg, layers, cache) -> bool:
@@ -386,9 +511,7 @@ def w4a16_llama_layer_step(
     nq = nq or H // hd
     assert wqkv.folded and wo.folded and wgu.folded and wdn.folded
     dims = _dims_for((nq, nkv, hd), wqkv, wo, wgu, wdn, cache, eps)
-    ngh, ngi = dims["ngh"], dims["ngi"]
-    wrows = max(dims["rq"], dims["ro"], dims["rg"], dims["rd"])
-    wcols = max(dims["bnq"], dims["bno"], dims["bng"], dims["bnd"])
+    ngh = dims["ngh"]
 
     h_rows = h.reshape(ngh, 128)
     ln = jnp.stack([ln1, ln2], axis=1).reshape(-1, 2, ngh, 128)
@@ -416,22 +539,7 @@ def w4a16_llama_layer_step(
             pl.BlockSpec((nkv, hd), pinned_row),                 # k_new
             pl.BlockSpec((nkv, hd), pinned_row),                 # v_new
         ],
-        scratch_shapes=[
-            pltpu.VMEM((ngh, 128), jnp.float32),                 # xq / xm
-            pltpu.VMEM((nq + 2 * nkv, hd), jnp.float32),         # qkv rows
-            pltpu.VMEM((ngh, 128), jnp.float32),                 # xo (attn)
-            pltpu.VMEM((ngh, 128), jnp.float32),                 # h1
-            pltpu.VMEM((2 * ngi, 128), jnp.float32),             # gate|up
-            pltpu.VMEM((ngi, 128), jnp.float32),                 # hm
-            pltpu.VMEM((ngh, 128), jnp.float32),                 # o/down acc
-            pltpu.VMEM((8, max(128, ngi)), jnp.float32),         # xsums
-            pltpu.VMEM((2, wrows, wcols), jnp.int32),            # weight dbuf
-            pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
-            pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=_scratches(dims, cache.dtype, nq, nkv, hd),
     )
 
     out, kn, vn = pl.pallas_call(
@@ -445,17 +553,7 @@ def w4a16_llama_layer_step(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * (wqkv.in_features * wqkv.out_features
-                       + wo.in_features * wo.out_features
-                       + wgu.in_features * wgu.out_features
-                       + wdn.in_features * wdn.out_features),
-            bytes_accessed=(wqkv.in_features * wqkv.out_features
-                            + wo.in_features * wo.out_features
-                            + wgu.in_features * wgu.out_features
-                            + wdn.in_features * wdn.out_features) // 2,
-            transcendentals=0,
-        ),
+        cost_estimate=_cost((wqkv, wo, wgu, wdn)),
         interpret=interpret,
     )(
         scalars, h_rows, ln, cs,
@@ -463,3 +561,84 @@ def w4a16_llama_layer_step(
         cache,
     )
     return out.reshape(h.shape), kn[None], vn[None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nq", "nkv", "eps", "interpret", "unpack"))
+def w4a16_llama_token_step(
+    h: jax.Array,            # [1, H] bf16 residual input (post-embed)
+    wqkv: QLinear, wo: QLinear, wgu: QLinear, wdn: QLinear,
+    ln1: jax.Array,          # [L, H] stacked norm weights
+    ln2: jax.Array,
+    cos_row: jax.Array,      # [hd] f32 rope row at the current position
+    sin_row: jax.Array,
+    cache: jax.Array,        # [L, 2, 1, n_kv, T, hd] (append done by caller)
+    length: jax.Array,       # cache prefix length (current pos)
+    nq: int = 0, nkv: int = 0,
+    eps: float = 1e-5,
+    interpret: bool = False,
+    unpack: str = "bf16",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run ALL decoder layers for one token in one Pallas call. Returns
+    ``(h_new [1, H], k_new [L, n_kv, hd], v_new [L, n_kv, hd])`` — the
+    caller appends k/v to the cache with ONE batched scatter."""
+    H = h.shape[-1]
+    hd = cache.shape[-1]
+    L = cache.shape[0]
+    nkv = nkv or cache.shape[3]
+    nq = nq or H // hd
+    assert wqkv.folded and wo.folded and wgu.folded and wdn.folded
+    dims = _dims_for((nq, nkv, hd), wqkv, wo, wgu, wdn, cache, eps)
+    ngh = dims["ngh"]
+
+    h_rows = h.reshape(ngh, 128)
+    ln = jnp.stack([ln1, ln2], axis=1).reshape(L, 2, ngh, 128)
+    cs = jnp.stack([cos_row, sin_row]).astype(jnp.float32)
+    scalars = jnp.reshape(jnp.asarray(length, jnp.int32), (1,))
+
+    pinned_row = lambda g, l: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((ngh, 128), pinned_row),                # h rows
+            pl.BlockSpec((L, 2, ngh, 128),
+                         lambda g, l: (0, 0, 0, 0)),             # all norms
+            pl.BlockSpec((2, hd), pinned_row),                   # cos|sin
+            pl.BlockSpec(memory_space=pl.ANY),                   # wqkv
+            pl.BlockSpec(memory_space=pl.ANY),                   # wo
+            pl.BlockSpec(memory_space=pl.ANY),                   # wgu
+            pl.BlockSpec(memory_space=pl.ANY),                   # wdn
+            pl.BlockSpec(memory_space=pl.ANY),                   # cache
+        ],
+        out_specs=[
+            pl.BlockSpec((ngh, 128), pinned_row),                # h_new rows
+            pl.BlockSpec((L, nkv, hd), lambda g, l: (0, 0, 0)),  # k_new
+            pl.BlockSpec((L, nkv, hd), lambda g, l: (0, 0, 0)),  # v_new
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((ngh, 128), jnp.float32)]                # hbuf
+            + _scratches(dims, cache.dtype, nq, nkv, hd)
+        ),
+    )
+
+    out, kn, vn = pl.pallas_call(
+        functools.partial(_token_kernel, dims=dims, n_layers=L,
+                          unpack=unpack),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ngh, 128), h.dtype),
+            jax.ShapeDtypeStruct((L, nkv, hd), cache.dtype),
+            jax.ShapeDtypeStruct((L, nkv, hd), cache.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=_cost((wqkv, wo, wgu, wdn)),
+        interpret=interpret,
+    )(
+        scalars, h_rows, ln, cs,
+        wqkv.qweight, wo.qweight, wgu.qweight, wdn.qweight,
+        cache,
+    )
+    return out.reshape(h.shape), kn, vn

@@ -67,9 +67,10 @@ class QLinear:
     def in_features(self) -> int:
         rows = self.qweight.shape[-2]
         if self.folded:
-            # rows = IC/8 + 2*IC/G (+ <8 alignment pad rows); each group
-            # of G inputs occupies G/8 code rows + 2 scale rows
-            return (rows // (self.group_size // 8 + 2)) * self.group_size
+            # rows = IC/8 + IC/G (+ <8 alignment pad rows); each group of
+            # G inputs occupies G/8 code rows + 1 packed qparam row
+            # (bf16 scale | bf16 szero)
+            return (rows // (self.group_size // 8 + 1)) * self.group_size
         return rows * 8
 
     @property
@@ -401,17 +402,19 @@ def tile_qlinear(ql: QLinear, block_n: int = 512,
     nb = oc // block_n
     qt = qw.reshape(L, icp, nb, block_n).transpose(0, 2, 1, 3)
     if fold_scales:
-        def blkify(a):  # [L, n_g, OC] f32 -> [L, NB, n_g, bn] int32 bits
+        def blkify(a):  # [L, n_g, OC] -> [L, NB, n_g, bn] uint32 bf16 bits
             n_g = a.shape[-2]
             t = a.reshape(L, n_g, nb, block_n).transpose(0, 2, 1, 3)
             return jax.lax.bitcast_convert_type(
-                t.astype(jnp.float32), jnp.int32)
+                t.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
 
         qt = _remap_nibbles_fwd(qt)
-        # +128 bias of the bf16-bitpack unpack folds into the correction
-        qt = jnp.concatenate(
-            [qt, blkify(ql.scales),
-             blkify(ql.szeros + 128.0 * ql.scales)], axis=2)
+        # one packed qparam row per group: bf16(scale) in the low
+        # half-word, bf16(szero) in the high — the kernel's bitcast to
+        # bf16 yields rows (scale, szero) directly (low half -> even row)
+        qparam = (blkify(ql.scales)
+                  | (blkify(ql.szeros) << 16)).astype(jnp.int32)
+        qt = jnp.concatenate([qt, qparam], axis=2)
         # HBM DMA slices need the row dim 8-aligned (Mosaic (8,128) tiling)
         pad = -qt.shape[2] % 8
         if pad:
@@ -510,25 +513,24 @@ def _w4a16_kernel_folded(idx_ref, x_ref, qw_ref, o_ref, *,
     rows = group_size // 8
     icp = n_g * rows
     acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
+    sz_rows = []
     for g in range(n_g):
-        # center by -128 here (exact in bf16) so the correction operands
-        # keep their small s*z magnitude — an MXU dot on the biased
-        # sz' = s*(z+128) rows would round them to bf16 and lose the
-        # bias cancellation
+        # center by -128 here (exact in bf16): the unpack emits 128+code,
+        # and keeping the bias out of the correction operands preserves
+        # their small s*z magnitude for the bf16 correction dot below
         wq = _unpack_block_bf16(
             qw_ref[0, 0, g * rows:(g + 1) * rows, :]
         ) - jnp.bfloat16(128)
         xg = x[:, g * group_size:(g + 1) * group_size]
         part = jnp.dot(xg, wq, preferred_element_type=jnp.float32)
-        s = pltpu.bitcast(qw_ref[0, 0, icp + g:icp + g + 1, :], jnp.float32)
-        acc = acc + part * s
+        qp = pltpu.bitcast(qw_ref[0, 0, icp + g:icp + g + 1, :],
+                           jnp.bfloat16)                   # [2, bn]: s, sz
+        acc = acc + part * qp[0:1].astype(jnp.float32)
+        sz_rows.append(qp[1:2].astype(jnp.float32))
     xsums = jnp.sum(
         x.astype(jnp.float32).reshape(x.shape[0], n_g, group_size), axis=2
     )                                                      # [bm, n_g]
-    s_rows = pltpu.bitcast(qw_ref[0, 0, icp:icp + n_g, :], jnp.float32)
-    szb = pltpu.bitcast(qw_ref[0, 0, icp + n_g:icp + 2 * n_g, :],
-                        jnp.float32)                       # s*(z+128)
-    sz = szb - 128.0 * s_rows                              # [n_g, bn]
+    sz = jnp.concatenate(sz_rows, axis=0)                  # [n_g, bn]
     acc = acc - jnp.dot(xsums, sz, preferred_element_type=jnp.float32)
     o_ref[:] = acc.astype(out_dtype)
 

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from awq_tpu.ops.megakernel import w4a16_llama_layer_step
+from awq_tpu.ops.megakernel import (w4a16_llama_layer_step,
+                                    w4a16_llama_token_step)
 from awq_tpu.ops.w4a16 import quantize_linear, tile_qlinear
 
 
@@ -82,28 +83,33 @@ def bench7b(ctx):
     jax.block_until_ready((wqkv, wo, wgu, wdn, cache))
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
-    def steps(r, unpack, h0, wqkv, wo, wgu, wdn, cache):
+    def steps(r, mode, h0, wqkv, wo, wgu, wdn, cache):
         def tok(h, _):
-            def layer(hh, idx):
-                hn, kn, vn = w4a16_llama_layer_step(
-                    hh, wqkv, wo, wgu, wdn, ln, ln, cos, sin, cache,
-                    idx, jnp.int32(ctx), nq=nq, nkv=nkv, eps=1e-5,
-                    unpack=unpack)
-                return hn + 1e-6 * (jnp.sum(kn) + jnp.sum(vn)), None
-            h, _ = jax.lax.scan(layer, h, jnp.arange(L))
-            return h, None
+            if mode == "token":
+                hn, kn, vn = w4a16_llama_token_step(
+                    h, wqkv, wo, wgu, wdn, ln, ln, cos, sin, cache,
+                    jnp.int32(ctx), nq=nq, nkv=nkv, eps=1e-5)
+            else:
+                def layer(hh, idx):
+                    hn, kn, vn = w4a16_llama_layer_step(
+                        hh, wqkv, wo, wgu, wdn, ln, ln, cos, sin, cache,
+                        idx, jnp.int32(ctx), nq=nq, nkv=nkv, eps=1e-5)
+                    return hn + 1e-6 * (jnp.sum(kn) + jnp.sum(vn)), None
+                hn, _ = jax.lax.scan(layer, h, jnp.arange(L))
+                kn = vn = jnp.zeros((), h.dtype)
+            return hn + 1e-6 * (jnp.sum(kn) + jnp.sum(vn)).astype(h.dtype), None
         h, _ = jax.lax.scan(tok, h0, None, length=r)
         return h[:, :8]
 
-    for unpack in ("bf16", "legacy", "bf16"):
+    for mode in ("token", "scan", "token"):
         ts = {}
         for r in (4, 12):
-            np.asarray(steps(r, unpack, h0, wqkv, wo, wgu, wdn, cache))
+            np.asarray(steps(r, mode, h0, wqkv, wo, wgu, wdn, cache))
             t0 = time.perf_counter()
-            np.asarray(steps(r, unpack, h0, wqkv, wo, wgu, wdn, cache))
+            np.asarray(steps(r, mode, h0, wqkv, wo, wgu, wdn, cache))
             ts[r] = time.perf_counter() - t0
         ms = (ts[12] - ts[4]) / 8 * 1e3
-        print(f"7B mega step @ctx{ctx} unpack={unpack}: {ms:.3f} ms",
+        print(f"7B mega step @ctx{ctx} mode={mode}: {ms:.3f} ms",
               flush=True)
 
 

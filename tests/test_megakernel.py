@@ -11,6 +11,7 @@ from awq_tpu.models.layers import rms_norm
 from awq_tpu.ops.megakernel import (
     megakernel_supported,
     w4a16_llama_layer_step,
+    w4a16_llama_token_step,
 )
 from awq_tpu.ops.w4a16 import (
     QLinear, qlinear_apply, quantize_linear, tile_qlinear, untile_qweight,
@@ -29,7 +30,10 @@ def _mk_qlin(key, ic, oc, bn):
 def _apply(ql: QLinear, x):
     qw = untile_qweight(ql.qweight[0], ql.tiled_bn,
                         icp=ql.in_features // 8)
-    return w4a16_matmul_xla(x, qw, ql.scales[0], ql.szeros[0], 128)
+    # the folded layout stores bf16 scales/szeros — round the oracle's
+    # the same way so tolerances stay tight
+    rnd = lambda a: a[0].astype(jnp.bfloat16).astype(jnp.float32)
+    return w4a16_matmul_xla(x, qw, rnd(ql.scales), rnd(ql.szeros), 128)
 
 
 @pytest.mark.parametrize("nq,nkv,length", [(2, 2, 37), (4, 2, 200),
@@ -71,11 +75,12 @@ def test_megakernel_matches_xla_reference(nq, nkv, length):
         return a * cos + r * sin
 
     q, kk = rot(q), rot(kk)
-    # kernel dots run in bf16 (MXU); the XLA oracle is f32
+    # kernel dots run in bf16 (MXU) and the folded layout stores bf16
+    # scales/szeros; the XLA oracle is all-f32
     np.testing.assert_allclose(np.asarray(got_k[0]), np.asarray(kk),
-                               rtol=1e-2, atol=1e-2)
+                               rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(got_v[0]), np.asarray(v),
-                               rtol=1e-2, atol=1e-2)
+                               rtol=2e-2, atol=2e-2)
 
     grp = nq // nkv
     kc = jnp.concatenate([cache[1, 0, 0, :, :length, :], kk[:, None]],
@@ -94,6 +99,64 @@ def test_megakernel_matches_xla_reference(nq, nkv, length):
 
     np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_token_step_matches_sequential_layer_steps():
+    """The whole-token kernel == composing the per-layer kernel over all
+    layers with per-layer cache appends (both interpret mode)."""
+    nq = nkv = 2
+    hd, L, T, I = 128, 3, 256, 256
+    H = nq * hd
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    wqkv = _mk_qlin_l(ks[0], H, (nq + 2 * nkv) * hd, 128, L)
+    wo = _mk_qlin_l(ks[1], H, H, 128, L)
+    wgu = _mk_qlin_l(ks[2], H, 2 * I, 128, L)
+    wdn = _mk_qlin_l(ks[3], I, H, 128, L)
+    ln1 = jax.random.uniform(ks[6], (L, H), jnp.float32, 0.8, 1.2)
+    ln2 = jax.random.uniform(ks[7], (L, H), jnp.float32, 0.8, 1.2)
+    length = 65
+    cache = (jax.random.normal(ks[4], (L, 2, 1, nkv, T, hd), jnp.float32)
+             * 0.2).astype(jnp.bfloat16)
+    h = (jax.random.normal(ks[5], (1, H), jnp.float32) * 0.3
+         ).astype(jnp.bfloat16)
+    cos = jnp.full((hd,), 0.6, jnp.float32)
+    sin = jnp.sqrt(1 - cos * cos)
+
+    got_h, got_k, got_v = w4a16_llama_token_step(
+        h, wqkv, wo, wgu, wdn, ln1, ln2, cos, sin, cache,
+        jnp.int32(length), nq=nq, nkv=nkv, eps=1e-5, interpret=True,
+    )
+
+    hh = h
+    ref_k, ref_v = [], []
+    for l in range(L):
+        hh, kn, vn = w4a16_llama_layer_step(
+            hh, wqkv, wo, wgu, wdn, ln1, ln2, cos, sin, cache,
+            jnp.int32(l), jnp.int32(length), nq=nq, nkv=nkv, eps=1e-5,
+            interpret=True,
+        )
+        hh = hh.astype(jnp.bfloat16)
+        ref_k.append(kn[0])
+        ref_v.append(vn[0])
+
+    np.testing.assert_allclose(np.asarray(got_h, np.float32),
+                               np.asarray(hh, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got_k, np.float32),
+                               np.asarray(jnp.stack(ref_k), np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got_v, np.float32),
+                               np.asarray(jnp.stack(ref_v), np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def _mk_qlin_l(key, ic, oc, bn, L):
+    # distinct weights per layer — catches cross-layer indexing bugs
+    qls = [quantize_linear(
+        jax.random.normal(k, (ic, oc), jnp.float32) * 0.05)
+        for k in jax.random.split(key, L)]
+    ql = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *qls)
+    return tile_qlinear(ql, block_n=bn, fold_scales=True)
 
 
 def test_megakernel_supported_gate():
