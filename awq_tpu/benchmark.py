@@ -125,7 +125,10 @@ def bench_batch_decode(cfg, params, batch: int, context: int, steps: int,
     from awq_tpu.models.llama import decode_step_batched
     from awq_tpu.runtime.generate import cache_bucket
 
-    bucket = cache_bucket(max_seq, context + steps + 1)
+    # cache is threaded CONTINUOUSLY through all bursts (the decode step
+    # donates its cache argument, so a kept-around "initial" cache would
+    # be a deleted buffer); size the bucket for the full run
+    bucket = cache_bucket(max_seq, context + steps * (runs + 1) + 4)
     cache = init_kv_cache(cfg, batch, bucket, jnp.bfloat16)
     toks = jnp.zeros((batch, context), jnp.int32)
     logits, cache = forward(params, cfg, toks, cache, jnp.int32(0))
@@ -139,10 +142,12 @@ def bench_batch_decode(cfg, params, batch: int, context: int, steps: int,
         logits, cache = decode_step_batched(params, cfg, tok, cache, lens)
         return jnp.argmax(logits, -1).astype(jnp.int32), cache, lens + 1
 
+    tok, lens = first, lengths0
+
     def burst(n):
-        tok, c, lens = first, cache, lengths0
+        nonlocal tok, cache, lens
         for _ in range(n):
-            tok, c, lens = one(params, tok, c, lens)  # dispatches pipeline
+            tok, cache, lens = one(params, tok, cache, lens)  # pipelines
         return tok
 
     _sync(burst(2))  # compile

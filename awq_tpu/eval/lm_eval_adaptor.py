@@ -110,26 +110,34 @@ class LMEvalAdaptor:
         return out
 
     def generate_until(self, requests) -> List[str]:
-        from awq_tpu.runtime.generate import generate
+        """Generative requests run through the continuous-batching engine
+        (``batch_size`` slots decode in lockstep) — a sequential
+        batch-1 burst per request made generative acceptance suites
+        (AIME / Math-500, ``tinychat/README.md``) impractically slow."""
+        from awq_tpu.runtime.batch_engine import BatchEngine
 
-        out = []
+        parsed = []
         for req in requests:
             context, kwargs = req.args if hasattr(req, "args") else req
-            until = kwargs.get("until", [])
-            max_new = kwargs.get("max_gen_toks", 128)
+            parsed.append((context, kwargs.get("until", []),
+                           kwargs.get("max_gen_toks", 128)))
+        engine = BatchEngine(
+            self.cfg, self.params, n_slots=max(1, self.batch_size),
+            max_seq_len=self.max_length,
+        )
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        rids = []
+        for context, _until, max_new in parsed:
             ids = self.tokenizer.encode(context)[-self.max_length // 2:]
-            cache = init_kv_cache(self.cfg, 1, self.max_length, jnp.bfloat16)
-            res = generate(
-                self.params, self.cfg, jnp.asarray([ids], jnp.int32), cache,
-                GenConfig(greedy=True, max_new_tokens=max_new),
-                stop_ids=[self.tokenizer.eos_token_id]
-                if getattr(self.tokenizer, "eos_token_id", None) is not None
-                else [],
-            )
-            n = int(res["n_valid"][0])
+            rids.append(engine.submit(
+                ids, GenConfig(greedy=True, max_new_tokens=max_new),
+                stop_ids=[eos] if eos is not None else [],
+            ))
+        finished = engine.run()
+        out = []
+        for rid, (_context, until, _max_new) in zip(rids, parsed):
             text = self.tokenizer.decode(
-                [int(t) for t in res["output_ids"][0][:n]]
-            )
+                [int(t) for t in finished[rid].out_ids])
             for stop in until:
                 idx = text.find(stop)
                 if idx >= 0:

@@ -614,7 +614,7 @@ def forward(
     return logits, new_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
 def decode_step_batched(
     params: Params,
     cfg: ModelConfig,
@@ -761,11 +761,12 @@ def decode_step_batched(
     (h, cache), kv_all = jax.lax.scan(
         body, (h, cache), jnp.arange(cfg.num_layers)
     )
-    # append every layer's k/v after the scan: B static dynamic_update_slice
-    # writes (one per row at its own position) — advanced-index scatters on
-    # the multi-GB cache take XLA minutes to compile
-    for i in range(b):                                # kv_all [L,2,B,n_kv,..]
-        if is_q8:
+    # append every layer's k/v after the scan
+    if is_q8:
+        # B static dynamic_update_slice writes (one per row at its own
+        # position) — advanced-index scatters on the multi-GB cache take
+        # XLA minutes to compile
+        for i in range(b):                            # kv_all [L,2,B,n_kv,..]
             qrow = kv_all[0][:, :, i][:, :, None, :, None, :]
             srow = kv_all[1][:, :, i][:, :, None, :, None]
             cache = KVCache8(
@@ -774,7 +775,15 @@ def decode_step_batched(
                 scales=jax.lax.dynamic_update_slice(
                     cache.scales, srow, (0, 0, i, 0, lengths[i])),
             )
-        else:
+    elif jax.default_backend() == "tpu":
+        # ONE Pallas scatter for all rows/layers (ops/cache_append.py) —
+        # the O(B) slice loop re-emits B separate fusions over the
+        # multi-GB cache every step
+        from awq_tpu.ops.cache_append import batched_cache_append
+
+        cache = batched_cache_append(cache, kv_all, lengths)
+    else:
+        for i in range(b):
             row = kv_all[:, :, i][:, :, None, :, None, :]  # [L,2,1,n_kv,1,hd]
             cache = jax.lax.dynamic_update_slice(
                 cache, row.astype(cache.dtype), (0, 0, i, 0, lengths[i], 0)

@@ -78,3 +78,29 @@ def test_lm_eval_adaptor_rolling_and_generate(tiny):
 
     (text,) = lm.generate_until([Req()])
     assert isinstance(text, str)
+
+
+def test_lm_eval_generate_until_batched_matches_batch1(tiny):
+    """Requests batched through the engine == one-at-a-time results
+    (greedy decode is order/batch invariant)."""
+    cfg, params = tiny
+    tok = FakeTokenizer(cfg.vocab_size)
+
+    def reqs():
+        class A:
+            args = ("hello there", {"until": [], "max_gen_toks": 6})
+
+        class B:
+            args = ("general kenobi you are", {"until": [],
+                                               "max_gen_toks": 6})
+
+        class C:
+            args = ("short", {"until": [], "max_gen_toks": 4})
+
+        return [A(), B(), C()]
+
+    lm1 = LMEvalAdaptor(params, cfg, tok, max_length=64, batch_size=1)
+    one_by_one = [lm1.generate_until([r])[0] for r in reqs()]
+    lm3 = LMEvalAdaptor(params, cfg, tok, max_length=64, batch_size=3)
+    batched = lm3.generate_until(reqs())
+    assert batched == one_by_one
