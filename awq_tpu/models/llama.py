@@ -409,15 +409,20 @@ def forward(
         attn_bias = (slopes[:, None, None]
                      * jnp.arange(max_t, dtype=jnp.float32)[None, None, :])
 
+    import os as _os
+
+    # test hook: exercises the flash/deferred-append decode path on the
+    # CPU backend via kernel interpret mode
+    _force_flash = _os.environ.get("AWQ_TPU_FORCE_FLASH") == "1"
     use_stacked = (
         attn_bias is None
-        and (jax.default_backend() == "tpu" or is_q8)
+        and (jax.default_backend() == "tpu" or is_q8 or _force_flash)
     )
     flash_ok = (
         use_stacked
         and max_t % 256 == 0
         and cfg.head_dim % 128 == 0
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or _force_flash)
     )
     use_flash = s == 1 and flash_ok
     use_prefill_flash = s > 1 and flash_ok and not is_q8
@@ -481,6 +486,13 @@ def forward(
             lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
             return linear_apply(lp1, xx)
 
+        # flash decode takes the current token's k/v in-register, so the
+        # append can be DEFERRED out of the scan: one batched update for
+        # all layers instead of 32 per-layer scatters (for int8 this also
+        # batches the quantize — the per-layer quantize+append was a
+        # measured ~2 ms/token overhead at batch 1)
+        defer_append = s == 1 and use_flash
+
         def body(carry, idx):
             h, cache = carry
             lp = {k2: v[idx] for k2, v in small.items() if v is not None}
@@ -499,7 +511,9 @@ def forward(
             if cfg.pos_embed == "rope":
                 q, k = apply_rope(q, k, cos, sin, positions)
             # append in XLA (in-place on the scan carry)
-            if is_q8:
+            if defer_append:
+                pass
+            elif is_q8:
                 kq, ks_ = quantize_kv(k)
                 vq, vs_ = quantize_kv(v)
                 data = jax.lax.dynamic_update_slice(
@@ -530,11 +544,13 @@ def forward(
                     cache.scales.reshape(*cache.scales.shape[:4],
                                          max_t // 256, 256),
                     idx, start_pos,
+                    interpret=jax.default_backend() != "tpu",
                 ).reshape(b, 1, nq * hd)
             elif use_flash:
                 # prefix = start_pos; the current token rides in-register
                 attn = flash_decode_stacked(
-                    q[:, 0], k[:, 0], v[:, 0], cache, idx, start_pos
+                    q[:, 0], k[:, 0], v[:, 0], cache, idx, start_pos,
+                    interpret=jax.default_backend() != "tpu",
                 ).reshape(b, 1, nq * hd)
             elif use_prefill_flash:
                 from awq_tpu.ops.decode_attn import flash_prefill_stacked
@@ -577,11 +593,30 @@ def forward(
                           / lp["act_scale"]).astype(hm.dtype)
             m = lin("down", idx, hm)
             h = (h + attn_out + m) if cfg.parallel_block else (h + m)
-            return (h, cache), None
+            ys = (k[:, 0], v[:, 0]) if defer_append else None
+            return (h, cache), ys
 
-        (h, new_cache), _ = jax.lax.scan(
+        (h, new_cache), kv_all = jax.lax.scan(
             body, (h, cache), jnp.arange(cfg.num_layers)
         )
+        if defer_append:
+            ks_new, vs_new = kv_all            # [L, b, n_kv, hd] each
+            kv = jnp.stack([ks_new, vs_new], axis=1)  # [L, 2, b, n_kv, hd]
+            if is_q8:
+                kvq, kvs = quantize_kv(kv)
+                new_cache = KVCache8(
+                    data=jax.lax.dynamic_update_slice(
+                        new_cache.data, kvq[..., None, :],
+                        (0, 0, 0, 0, start_pos, 0)),
+                    scales=jax.lax.dynamic_update_slice(
+                        new_cache.scales, kvs[..., None],
+                        (0, 0, 0, 0, start_pos)),
+                )
+            else:
+                new_cache = jax.lax.dynamic_update_slice(
+                    new_cache, kv[..., None, :].astype(new_cache.dtype),
+                    (0, 0, 0, 0, start_pos, 0),
+                )
     else:
         def body(h, lp_kv):
             lp, kv = lp_kv

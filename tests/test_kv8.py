@@ -106,3 +106,38 @@ def test_batch_engine_with_q8_cache(model):
         n = int(ref["n_valid"][0])
         assert done[rid].out_ids == \
             [int(t) for t in ref["output_ids"][0, :n]], rid
+
+
+def test_deferred_flash_append_matches_xla_paths(monkeypatch):
+    """Forced-flash decode (interpret kernels + DEFERRED single append)
+    == the default XLA attention path, for fp16 and int8 caches."""
+    cfg = ModelConfig(
+        arch="llama", vocab_size=64, hidden_size=256, intermediate_size=256,
+        num_layers=2, num_heads=2, num_kv_heads=2, head_dim=128,
+        max_position_embeddings=512, dtype="float32",
+    )
+    from awq_tpu.models import init_params
+
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (1, 5), 0, 64)
+    tok = jnp.asarray([[7]], jnp.int32)
+
+    def run(cache):
+        logits, cache = forward(params, cfg, prompt, cache, jnp.int32(0))
+        logits, cache = forward(params, cfg, tok, cache, jnp.int32(5))
+        return np.asarray(logits), cache
+
+    for mk in (lambda: init_kv_cache(cfg, 1, 256, jnp.float32),
+               lambda: init_kv_cache8(cfg, 1, 256)):
+        monkeypatch.delenv("AWQ_TPU_FORCE_FLASH", raising=False)
+        ref_logits, ref_cache = run(mk())
+        monkeypatch.setenv("AWQ_TPU_FORCE_FLASH", "1")
+        got_logits, got_cache = run(mk())
+        np.testing.assert_allclose(got_logits, ref_logits,
+                                   rtol=2e-2, atol=2e-2)
+        ref_leaves = jax.tree_util.tree_leaves(ref_cache)
+        got_leaves = jax.tree_util.tree_leaves(got_cache)
+        for a, b in zip(got_leaves, ref_leaves):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=2e-2, atol=2e-2)
