@@ -83,6 +83,8 @@ class ModelConfig:
     rotary_pct: float = 1.0         # neox: rope on a prefix of head_dim
     # runtime
     dtype: str = "bfloat16"
+    prefill_a8: bool = False        # int8-activation prefill matmuls
+    # (W4A8: per-token act quant + per-column weight requant; 2x MXU)
 
     @property
     def num_kv_groups(self) -> int:

@@ -478,11 +478,15 @@ def forward(
         layers_all = params["layers"]
         small = {k2: v for k2, v in layers_all.items()
                  if isinstance(v, jax.Array)}
+        # W4A8 prefill: int8-activation matmuls at 2x MXU rate (opt-in
+        # via cfg.prefill_a8 — a cfg field so the jit cache keys on it);
+        # decode stays W4A16
+        a8 = s > 1 and cfg.prefill_a8
 
         def lin(name, idx, xx):
             p = layers_all[name]
             if isinstance(p, QLinear):
-                return qlinear_apply_stacked(p, idx, xx)
+                return qlinear_apply_stacked(p, idx, xx, a8=a8)
             lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
             return linear_apply(lp1, xx)
 

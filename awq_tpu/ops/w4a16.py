@@ -581,15 +581,141 @@ def w4a16_matmul_stacked_tiled_folded(
     return out[:m] if m_pad else out
 
 
+def _cap_bm_a8(ic: int, rows: int, bn: int) -> int:
+    """M block for the W4A8 prefill kernel: double-buffered int8 x
+    [bm, IC] + folded weight window [rows, bn] i32 + persistent requanted
+    w8 [IC, bn] scratch + f32 out, within ~13 MB."""
+    budget = 13 * 1024 * 1024
+    fixed = 2 * rows * bn * 4 + ic * bn + bn * 4
+    bm = 512
+    while bm > 32 and fixed + 2 * bm * ic + 2 * bm * bn * 4 > budget:
+        bm //= 2
+    return bm
+
+
+def _w4a8_kernel_folded(idx_ref, xq_ref, qw_ref, o_ref, w8_s, scol_s, *,
+                        group_size: int, n_g: int, bn: int, out_dtype):
+    """W4A8 prefill block matmul over the folded layout.
+
+    At prefill the weight unpack cost amortizes over all M blocks, so the
+    kernel REQUANTIZES each W4 block to per-COLUMN int8 once (at the
+    first M step of each N block; the M grid axis is innermost) and then
+    every M step is ONE [bm, IC] x [IC, bn] int8 MXU dot — 2x the bf16
+    MXU rate with no per-group epilogue at all. The per-column scale
+    ``s_col = (15/127) * max_g s_g`` bounds |code - z| <= 15, so the
+    extra requant error is <= s_col/2 ~ 6% of the largest group's W4
+    step. Counterpart: the reference's W8A8 path
+    (``csrc/w8a8/w8a8_gemm_cuda.cu``) and the QServe-style W4A8 recipe.
+    """
+    del idx_ref
+    i = pl.program_id(1)                   # M block index (innermost)
+    rows = group_size // 8
+    icp = n_g * rows
+
+    @pl.when(i == 0)
+    def _():
+        smax = jnp.zeros((1, bn), jnp.float32)
+        for g in range(n_g):
+            qp = pltpu.bitcast(qw_ref[0, 0, icp + g:icp + g + 1, :],
+                               jnp.bfloat16)
+            smax = jnp.maximum(smax, qp[0:1].astype(jnp.float32))
+        scol = jnp.maximum(smax * (15.0 / 127.0), 1e-12)
+        scol_s[0:1, :] = scol
+        inv = 1.0 / scol
+        for g in range(n_g):
+            u = _unpack_block_bf16(
+                qw_ref[0, 0, g * rows:(g + 1) * rows, :]
+            ).astype(jnp.float32)                      # 128 + code
+            qp = pltpu.bitcast(qw_ref[0, 0, icp + g:icp + g + 1, :],
+                               jnp.bfloat16)
+            s = qp[0:1].astype(jnp.float32)
+            z = qp[1:2].astype(jnp.float32) / s
+            wf = (u - (128.0 + z)) * (s * inv)
+            w8_s[g * group_size:(g + 1) * group_size, :] = jnp.clip(
+                jnp.round(wf), -127, 127).astype(jnp.int8)
+
+    d = jax.lax.dot_general(
+        xq_ref[:], w8_s[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = (d.astype(jnp.float32) * scol_s[0:1, :]).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "block_n", "block_m")
+)
+def w4a8_matmul_stacked_tiled_folded(
+    x, qweight, layer_idx, group_size: int, block_n: int, block_m: int = 0,
+):
+    """Int8-activation prefill matmul over the folded W4 layout: x is
+    quantized per token (symmetric int8), weights requant to per-column
+    int8 in VMEM once per N block (see ``_w4a8_kernel_folded``). The N
+    grid axis is OUTERMOST so weights stream exactly once; the small x
+    re-reads per N block ride under the dot."""
+    from awq_tpu.ops.w8a8 import quant_per_token
+
+    m, ic = x.shape
+    _, nb, rows, bn = qweight.shape
+    n_g = ic // group_size
+    bm = min(block_m or 512, _cap_bm_a8(ic, rows, bn))
+    m_pad = -m % bm
+    xq, sx = quant_per_token(x)
+    if m_pad:
+        xq = jnp.pad(xq, ((0, m_pad), (0, 0)))
+    idx = jnp.reshape(layer_idx, (1,)).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, xq.shape[0] // bm),
+        in_specs=[
+            pl.BlockSpec((bm, ic), lambda j, i, l: (i, 0)),
+            pl.BlockSpec((1, 1, rows, bn), lambda j, i, l: (l[0], j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i, l: (i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((ic, bn), jnp.int8),            # requanted weights
+            pltpu.VMEM((1, bn), jnp.float32),          # per-column scale
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a8_kernel_folded, group_size=group_size, n_g=n_g, bn=bn,
+            out_dtype=x.dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((xq.shape[0], nb * bn), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * xq.shape[0] * ic * nb * bn,
+            bytes_accessed=ic * nb * bn // 2,
+            transcendentals=0,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(idx, xq, qweight)
+    out = out[:m] if m_pad else out
+    return out * sx.astype(out.dtype)
+
+
 def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
-                          x: jax.Array) -> jax.Array:
-    """Apply layer ``layer_idx`` of a stacked ``QLinear [L, ...]``."""
+                          x: jax.Array, a8: bool = False) -> jax.Array:
+    """Apply layer ``layer_idx`` of a stacked ``QLinear [L, ...]``.
+
+    ``a8``: route through the int8-activation W4A8 kernel (prefill-sized
+    inputs on folded weights only — see ``w4a8_matmul_stacked_tiled_folded``).
+    """
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if jax.default_backend() == "tpu" and ql.tiled_bn and ql.folded:
-        out = w4a16_matmul_stacked_tiled_folded(
-            x2, ql.qweight, layer_idx, ql.group_size, ql.tiled_bn,
-        )
+        if a8 and x2.shape[0] >= 64 and ql.group_size == 128:
+            out = w4a8_matmul_stacked_tiled_folded(
+                x2, ql.qweight, layer_idx, ql.group_size, ql.tiled_bn,
+            )
+        else:
+            out = w4a16_matmul_stacked_tiled_folded(
+                x2, ql.qweight, layer_idx, ql.group_size, ql.tiled_bn,
+            )
     elif jax.default_backend() == "tpu" and ql.tiled_bn:
         out = w4a16_matmul_stacked_tiled(
             x2, ql.qweight, ql.scales, ql.szeros, layer_idx,

@@ -76,3 +76,33 @@ def test_jit_under_vmap_batch_dims():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(x @ w_deq), rtol=2e-2, atol=2e-2
     )
+
+
+def test_w4a8_prefill_matmul_close_to_w4a16():
+    """Int8-activation folded kernel == bf16 folded kernel within the
+    int8 quantization budget (per-token act quant + per-column weight
+    requant, each ~1/127 relative)."""
+    import jax
+
+    from awq_tpu.ops.w4a16 import (
+        qlinear_apply_stacked, quantize_linear, tile_qlinear,
+        w4a8_matmul_stacked_tiled_folded,
+    )
+
+    ic, oc, L = 256, 512, 2
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    qls = [quantize_linear(
+        jax.random.normal(k, (ic, oc), jnp.float32) * 0.05)
+        for k in jax.random.split(ks[0], L)]
+    ql = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *qls)
+    ql = tile_qlinear(ql, block_n=256, fold_scales=True)
+    x = (jax.random.normal(ks[1], (96, ic), jnp.float32) * 0.3
+         ).astype(jnp.bfloat16)
+
+    got = w4a8_matmul_stacked_tiled_folded(
+        x, ql.qweight, jnp.int32(1), 128, 256)
+    ref = qlinear_apply_stacked(ql, jnp.int32(1), x)
+    g = np.asarray(got, np.float32)
+    r = np.asarray(ref, np.float32)
+    scale = np.abs(r).max()
+    np.testing.assert_allclose(g / scale, r / scale, atol=0.04)
