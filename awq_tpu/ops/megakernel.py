@@ -132,7 +132,7 @@ def _rope_rows(x, cos, sin):
 
 
 def _layer_phases(
-    layer, base2, h_rows, ln1_row, ln2_row, length, cs_ref,
+    layer, base2, h_rows, ln1_row, ln2_row, bq_row, length, cs_ref,
     weights, cache_ref, kv_store,
     xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
     wbuf, kbuf, vbuf, wsem, ksem, vsem,
@@ -208,6 +208,8 @@ def _layer_phases(
     xsum_s[0:1, :ngh] = _row_sums(xn, ngh)
     run_phase(0, xq_s, xsum_s[0:1, :ngh],
               lambda acc, j: _store_block(qkv_s, acc, j, d["bnq"]))
+    # QKV bias (qwen2-family; zeros otherwise) — before rope, as HF does
+    qkv_s[:, :] = qkv_s[:, :] + bq_row
 
     # ---- phase 2: rope + flash attention over the cache ---------------------
     scale = 1.0 / (hd ** 0.5)
@@ -318,7 +320,7 @@ def _layer_phases(
 
 def _mega_kernel(
     scalars_ref,
-    h_ref, ln_ref, cs_ref,
+    h_ref, ln_ref, bq_ref, cs_ref,
     wq_hbm, wo_hbm, wg_hbm, wd_hbm,
     cache_ref,
     out_ref, kn_ref, vn_ref,
@@ -341,7 +343,8 @@ def _mega_kernel(
     ).start()
     h_new = _layer_phases(
         layer, jnp.int32(0), h_ref[:, :], ln_ref[0, 0], ln_ref[0, 1],
-        length, cs_ref, (wq_hbm, wo_hbm, wg_hbm, wd_hbm), cache_ref,
+        bq_ref[0].astype(jnp.float32), length, cs_ref,
+        (wq_hbm, wo_hbm, wg_hbm, wd_hbm), cache_ref,
         kv_store,
         xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
         wbuf, kbuf, vbuf, wsem, ksem, vsem,
@@ -352,7 +355,7 @@ def _mega_kernel(
 
 def _token_kernel(
     scalars_ref,
-    h_ref, ln_ref, cs_ref,
+    h_ref, ln_ref, bq_ref, cs_ref,
     wq_hbm, wo_hbm, wg_hbm, wd_hbm,
     cache_ref,
     out_ref, kn_ref, vn_ref,
@@ -392,7 +395,8 @@ def _token_kernel(
 
         h_new = _layer_phases(
             l, base2, hbuf[:, :], ln_ref[l, 0], ln_ref[l, 1],
-            length, cs_ref, weights, cache_ref, kv_store,
+            bq_ref[l].astype(jnp.float32), length, cs_ref, weights,
+            cache_ref, kv_store,
             xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
             wbuf, kbuf, vbuf, wsem, ksem, vsem,
             dims=d, unpack=unpack, tail_dma=tail_dma,
@@ -471,7 +475,9 @@ def megakernel_supported(cfg, layers, cache) -> bool:
         return False
     for n in needed:
         p = layers[n]
-        if not isinstance(p, QLinear) or not p.tiled_bn or p.bias is not None:
+        if not isinstance(p, QLinear) or not p.tiled_bn:
+            return False
+        if p.bias is not None and n != "wqkv":   # qwen2: QKV bias only
             return False
         if p.group_size != 128 or p.w_bit != 4 or not p.folded:
             return False
@@ -515,6 +521,10 @@ def w4a16_llama_layer_step(
 
     h_rows = h.reshape(ngh, 128)
     ln = jnp.stack([ln1, ln2], axis=1).reshape(-1, 2, ngh, 128)
+    nr = nq + 2 * nkv
+    L = cache.shape[0]
+    bq = (jnp.zeros((L, nr, hd), jnp.float32) if wqkv.bias is None
+          else wqkv.bias.astype(jnp.float32).reshape(L, nr, hd))
     cs = jnp.stack([cos_row, sin_row]).astype(jnp.float32)
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(length, jnp.int32)])
@@ -527,6 +537,8 @@ def w4a16_llama_layer_step(
             pl.BlockSpec((ngh, 128), pinned_row),                # h rows
             pl.BlockSpec((1, 2, ngh, 128),
                          lambda g, l: (l[0], 0, 0, 0)),          # ln1|ln2
+            pl.BlockSpec((1, nr, hd),
+                         lambda g, l: (l[0], 0, 0)),             # qkv bias
             pl.BlockSpec((2, hd), pinned_row),                   # cos|sin
             pl.BlockSpec(memory_space=pl.ANY),                   # wqkv
             pl.BlockSpec(memory_space=pl.ANY),                   # wo
@@ -556,7 +568,7 @@ def w4a16_llama_layer_step(
         cost_estimate=_cost((wqkv, wo, wgu, wdn)),
         interpret=interpret,
     )(
-        scalars, h_rows, ln, cs,
+        scalars, h_rows, ln, bq, cs,
         wqkv.qweight, wo.qweight, wgu.qweight, wdn.qweight,
         cache,
     )
@@ -593,6 +605,9 @@ def w4a16_llama_token_step(
 
     h_rows = h.reshape(ngh, 128)
     ln = jnp.stack([ln1, ln2], axis=1).reshape(L, 2, ngh, 128)
+    nr = nq + 2 * nkv
+    bq = (jnp.zeros((L, nr, hd), jnp.float32) if wqkv.bias is None
+          else wqkv.bias.astype(jnp.float32).reshape(L, nr, hd))
     cs = jnp.stack([cos_row, sin_row]).astype(jnp.float32)
     scalars = jnp.reshape(jnp.asarray(length, jnp.int32), (1,))
 
@@ -604,6 +619,8 @@ def w4a16_llama_token_step(
             pl.BlockSpec((ngh, 128), pinned_row),                # h rows
             pl.BlockSpec((L, 2, ngh, 128),
                          lambda g, l: (0, 0, 0, 0)),             # all norms
+            pl.BlockSpec((L, nr, hd),
+                         lambda g, l: (0, 0, 0)),                # qkv bias
             pl.BlockSpec((2, hd), pinned_row),                   # cos|sin
             pl.BlockSpec(memory_space=pl.ANY),                   # wqkv
             pl.BlockSpec(memory_space=pl.ANY),                   # wo
@@ -637,7 +654,7 @@ def w4a16_llama_token_step(
         cost_estimate=_cost((wqkv, wo, wgu, wdn)),
         interpret=interpret,
     )(
-        scalars, h_rows, ln, cs,
+        scalars, h_rows, ln, bq, cs,
         wqkv.qweight, wo.qweight, wgu.qweight, wdn.qweight,
         cache,
     )

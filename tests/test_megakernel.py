@@ -198,3 +198,47 @@ def test_megakernel_supported_gate():
         scales=v.scales, szeros=v.szeros), block_n=128)
         for k, v in layers.items()}
     assert not megakernel_supported(cfg, plain, cache)
+
+
+def test_token_step_with_qkv_bias():
+    """qwen2-style QKV bias flows through the token kernel (added before
+    rope, HF order)."""
+    nq = nkv = 2
+    hd, L, T, I = 128, 2, 256, 256
+    H = nq * hd
+    ks = jax.random.split(jax.random.PRNGKey(9), 9)
+    wqkv = _mk_qlin_l(ks[0], H, (nq + 2 * nkv) * hd, 128, L)
+    bias = jax.random.normal(ks[8], (L, (nq + 2 * nkv) * hd),
+                             jnp.float32) * 0.1
+    import dataclasses as _dc
+
+    wqkv = _dc.replace(wqkv, bias=bias)
+    wo = _mk_qlin_l(ks[1], H, H, 128, L)
+    wgu = _mk_qlin_l(ks[2], H, 2 * I, 128, L)
+    wdn = _mk_qlin_l(ks[3], I, H, 128, L)
+    ln = jnp.ones((L, H), jnp.float32)
+    cache = (jax.random.normal(ks[4], (L, 2, 1, nkv, T, hd), jnp.float32)
+             * 0.2).astype(jnp.bfloat16)
+    h = (jax.random.normal(ks[5], (1, H), jnp.float32) * 0.3
+         ).astype(jnp.bfloat16)
+    cos = jnp.full((hd,), 0.8, jnp.float32)
+    sin = jnp.sqrt(1 - cos * cos)
+
+    got_h, got_k, got_v = w4a16_llama_token_step(
+        h, wqkv, wo, wgu, wdn, ln, ln, cos, sin, cache,
+        jnp.int32(17), nq=nq, nkv=nkv, eps=1e-5, interpret=True,
+    )
+    # reference: same kernel with zero bias + manual bias effect on v only
+    # is nontrivial; instead compare vs per-layer XLA composition
+    x = rms_norm(h, ln[0], 1e-5)
+    qkv = _apply(wqkv, x)[0] + bias[0]
+    v_ref = qkv[(nq + nkv) * hd:].reshape(nkv, hd)
+    np.testing.assert_allclose(np.asarray(got_v[0], np.float32),
+                               np.asarray(v_ref), rtol=2e-2, atol=2e-2)
+    # k gets rope after bias
+    kk = qkv[nq * hd:(nq + nkv) * hd].reshape(nkv, hd)
+    half = hd // 2
+    rot = jnp.concatenate([-kk[:, half:], kk[:, :half]], axis=-1)
+    k_ref = kk * cos + rot * sin
+    np.testing.assert_allclose(np.asarray(got_k[0], np.float32),
+                               np.asarray(k_ref), rtol=2e-2, atol=2e-2)
