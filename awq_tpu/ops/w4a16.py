@@ -353,12 +353,20 @@ def _remap_nibbles(qw: jax.Array, maps) -> jax.Array:
     return out.reshape(shape)
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _remap_nibbles_fwd(qw: jax.Array) -> jax.Array:
-    """Jitted, input-donating forward remap — the eager gather chain
-    holds several array-sized temporaries live at once, which OOMs HBM
-    when repacking a full 7B model's stacked weights."""
-    return _remap_nibbles(qw, _fold_nibble_maps())
+def strip_unfolded_qparams(tree):
+    """Replace every FOLDED QLinear's separate f32 scales/szeros fields
+    with 1-element placeholders. The TPU folded kernels read quant params
+    from the packed qparam rows; the fields only serve XLA fallbacks and
+    ``untile_qweight`` round-trips. Saves ~0.4 GB on a 7B model — useful
+    when benchmarking on a shared/contended chip."""
+    def strip(x):
+        if isinstance(x, QLinear) and x.folded:
+            z = jnp.zeros((1,) * x.scales.ndim, jnp.float32)
+            return dataclasses.replace(x, scales=z, szeros=z)
+        return x
+
+    return jax.tree_util.tree_map(
+        strip, tree, is_leaf=lambda x: isinstance(x, QLinear))
 
 
 def _unpack_block_bf16(w):
@@ -398,34 +406,54 @@ def tile_qlinear(ql: QLinear, block_n: int = 512,
     stacked = qw.ndim == 3
     if not stacked:
         qw = qw[None]
-    L, icp, oc = qw.shape
-    nb = oc // block_n
-    qt = qw.reshape(L, icp, nb, block_n).transpose(0, 2, 1, 3)
     if fold_scales:
-        def blkify(a):  # [L, n_g, OC] -> [L, NB, n_g, bn] uint32 bf16 bits
-            n_g = a.shape[-2]
-            t = a.reshape(L, n_g, nb, block_n).transpose(0, 2, 1, 3)
-            return jax.lax.bitcast_convert_type(
-                t.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-
-        qt = _remap_nibbles_fwd(qt)
-        # one packed qparam row per group: bf16(scale) in the low
-        # half-word, bf16(szero) in the high — the kernel's bitcast to
-        # bf16 yields rows (scale, szero) directly (low half -> even row)
-        qparam = (blkify(ql.scales)
-                  | (blkify(ql.szeros) << 16)).astype(jnp.int32)
-        qt = jnp.concatenate([qt, qparam], axis=2)
-        # HBM DMA slices need the row dim 8-aligned (Mosaic (8,128) tiling)
-        pad = -qt.shape[2] % 8
-        if pad:
-            qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        # one jitted, INPUT-DONATING pipeline: eagerly, the
+        # reshape/remap/concat chain holds several array-sized temps at
+        # once — repacking a 7B model that way OOMs a 16 GB chip
+        qt = _fold_tile(qw, ql.scales if stacked else ql.scales[None],
+                        ql.szeros if stacked else ql.szeros[None],
+                        block_n)
+    else:
+        L, icp, oc = qw.shape
+        nb = oc // block_n
+        qt = qw.reshape(L, icp, nb, block_n).transpose(0, 2, 1, 3).copy()
     if not stacked:
         qt = qt[0]
     return QLinear(
-        qweight=qt.copy(), scales=ql.scales,  # materialize contiguous
+        qweight=qt, scales=ql.scales,
         szeros=ql.szeros, bias=ql.bias, w_bit=ql.w_bit,
         group_size=ql.group_size, tiled_bn=block_n, folded=fold_scales,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",),
+                   donate_argnums=(0,))
+def _fold_tile(qw: jax.Array, scales: jax.Array, szeros: jax.Array,
+               block_n: int) -> jax.Array:
+    """Blockify + nibble-permute + append packed qparam rows (see
+    ``tile_qlinear``). Donates ``qw`` — callers must not reuse the
+    original packed codes afterwards."""
+    L, icp, oc = qw.shape
+    nb = oc // block_n
+    qt = qw.reshape(L, icp, nb, block_n).transpose(0, 2, 1, 3)
+    qt = _remap_nibbles(qt, _fold_nibble_maps())
+
+    def blkify(a):  # [L, n_g, OC] -> [L, NB, n_g, bn] uint32 bf16 bits
+        n_g = a.shape[-2]
+        t = a.reshape(L, n_g, nb, block_n).transpose(0, 2, 1, 3)
+        return jax.lax.bitcast_convert_type(
+            t.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+
+    # one packed qparam row per group: bf16(scale) in the low half-word,
+    # bf16(szero) in the high — the kernel's bitcast to bf16 yields rows
+    # (scale, szero) directly (low half -> even row)
+    qparam = (blkify(scales) | (blkify(szeros) << 16)).astype(jnp.int32)
+    qt = jnp.concatenate([qt, qparam], axis=2)
+    # HBM DMA slices need the row dim 8-aligned (Mosaic (8,128) tiling)
+    pad = -qt.shape[2] % 8
+    if pad:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return qt
 
 
 def untile_qweight(qweight: jax.Array, block_n: int,

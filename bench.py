@@ -86,6 +86,11 @@ def main():
         group_size=qcfg.group_size,
     )
     params = fuse_linears(params, cfg)
+    from awq_tpu.ops.w4a16 import strip_unfolded_qparams
+
+    # the folded layout carries its own packed qparams; drop the
+    # redundant f32 fields (~0.4 GB) — the shared chip is often tight
+    params = strip_unfolded_qparams(params)
     jax.block_until_ready(params)
     if args.kv8:
         from awq_tpu.models.llama import init_kv_cache8
