@@ -238,11 +238,17 @@ def main(argv=None) -> int:
     p.add_argument("--seq_lens", type=str, default="256,512,1024,2048,4096")
     p.add_argument("--history_lens", type=str, default="16,64,256,1024")
     p.add_argument("--question_len", type=int, default=32)
+    p.add_argument("--prefill_a8", action="store_true",
+                   help="int8-activation prefill matmuls (W4A8, 2x MXU)")
     args = p.parse_args(argv)
 
     cfg, params, cache = build_model(
         args.geometry, args.precision, args.load_quant, args.max_seq_len
     )
+    if args.prefill_a8:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, prefill_a8=True)
     name = f"{args.geometry}/{args.precision}"
     if args.mode in ("decode", "all"):
         r = bench_decode(cfg, params, cache, args.context, args.steps,

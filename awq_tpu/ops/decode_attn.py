@@ -405,7 +405,10 @@ def _stacked_prefill_kernel(
     groups = scalars_ref[2]       # n_q // n_kv
     kvh = h // groups
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale      # [bq, hd]
+    # bf16 MXU dots with f32 accumulation — an f32 score dot runs at
+    # 1/4-1/8 the MXU rate (3-pass) and was the measured prefill TTFT
+    # bottleneck (61 of 277 ms at S=2048)
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
     bq, hd = q.shape
     q0 = start_pos + qb * block_q                    # global pos of row 0
     hi = q0 + bq                                     # exclusive causal max
@@ -435,7 +438,7 @@ def _stacked_prefill_kernel(
 
         dma(kbuf, 0, ksem, slot, i).wait()
         s = jax.lax.dot_general(
-            q, kbuf[slot].astype(jnp.float32),
+            q, kbuf[slot].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                            # [bq, bt]
@@ -447,7 +450,7 @@ def _stacked_prefill_kernel(
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         dma(vbuf, 1, vsem, slot, i).wait()
         pv = jax.lax.dot_general(
-            p, vbuf[slot].astype(jnp.float32),
+            p.astype(jnp.bfloat16), vbuf[slot].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -467,8 +470,8 @@ def flash_prefill_stacked(
     cache: jax.Array,      # [L, 2, B, n_kv, T, hd] (chunk already appended)
     layer: jax.Array,      # scalar int32
     start_pos: jax.Array,  # scalar int32: chunk occupies [start, start+S)
-    block_t: int = 256,
-    block_q: int = 256,
+    block_t: int = 512,
+    block_q: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """Causal flash attention for prefill: never materializes the [S, T]
@@ -477,6 +480,7 @@ def flash_prefill_stacked(
     Returns [B, S, n_q * hd]."""
     b, s, n_q, hd = q.shape
     n_kv, t = cache.shape[3], cache.shape[4]
+    block_t = min(block_t, t)
     assert t % block_t == 0
     bq = min(block_q, s)
     s_pad = -s % bq

@@ -35,6 +35,9 @@ def main(S=2048):
     params = init_qparams(cfg, QuantConfig(w_bit=4, group_size=128),
                           jax.random.PRNGKey(0))
     params = fuse_linears(params, cfg)
+    from awq_tpu.ops.w4a16 import strip_unfolded_qparams
+
+    params = strip_unfolded_qparams(params)
     jax.block_until_ready(params["layers"]["wqkv"].qweight)
     la = params["layers"]
 
