@@ -73,6 +73,10 @@ def build_model(geometry: str, precision: str, load_quant, max_seq: int):
             params = init_qparams(cfg, qcfg, jax.random.PRNGKey(0))
         else:
             params = init_params(cfg, jax.random.PRNGKey(0))
+    from awq_tpu.models.llama import fuse_linears
+    from awq_tpu.ops.w4a16 import strip_unfolded_qparams
+
+    params = strip_unfolded_qparams(fuse_linears(params, cfg))
     cache = init_kv_cache(cfg, 1, max_seq, jnp.bfloat16)
     return cfg, params, cache
 
@@ -135,10 +139,12 @@ def bench_batch_decode(cfg, params, batch: int, context: int, steps: int,
     first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
     lengths0 = jnp.full((batch,), context, jnp.int32)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def one(params, tok, cache, lens):
         # params as an ARGUMENT: a closure would capture the multi-GB
-        # pytree as compile-time constants (hours of XLA lowering)
+        # pytree as compile-time constants (hours of XLA lowering).
+        # cache donated HERE: the inner step's donation is ignored when
+        # inlined, and an undonated multi-GB cache is copied every step
         logits, cache = decode_step_batched(params, cfg, tok, cache, lens)
         return jnp.argmax(logits, -1).astype(jnp.int32), cache, lens + 1
 
