@@ -428,7 +428,7 @@ def forward(
     use_prefill_flash = s > 1 and flash_ok and not is_q8
 
     use_mega = False
-    if use_flash and not is_q8 and b == 1 and cfg.pos_embed == "rope":
+    if use_flash and b == 1 and cfg.pos_embed == "rope":
         import os as _os
 
         from awq_tpu.ops.megakernel import megakernel_supported
@@ -454,16 +454,29 @@ def forward(
 
         hn, ks_new, vs_new = w4a16_llama_token_step(
             h[:, 0], la["wqkv"], la["wo"], la["wgateup"], la["down"],
-            la["ln1"], la["ln2"], cos_row, sin_row, cache, start_pos,
+            la["ln1"], la["ln2"], cos_row, sin_row,
+            cache.data if is_q8 else cache, start_pos,
             nq=cfg.num_heads, nkv=cfg.num_kv_heads, eps=cfg.rms_eps,
+            cache_scales=cache.scales if is_q8 else None,
         )
         h = hn[:, None, :]
-        kv_new = jnp.stack([ks_new, vs_new], axis=1)[
-            :, :, None, :, None, :
-        ].astype(cache.dtype)                  # [L, 2, 1, n_kv, 1, hd]
-        new_cache = jax.lax.dynamic_update_slice(
-            cache, kv_new, (0, 0, 0, 0, start_pos, 0)
-        )
+        kv = jnp.stack([ks_new, vs_new], axis=1)[
+            :, :, None, :, :]                  # [L, 2, 1, n_kv, hd] fp
+        if is_q8:
+            kvq, kvs = quantize_kv(kv)
+            new_cache = KVCache8(
+                data=jax.lax.dynamic_update_slice(
+                    cache.data, kvq[..., None, :],
+                    (0, 0, 0, 0, start_pos, 0)),
+                scales=jax.lax.dynamic_update_slice(
+                    cache.scales, kvs[..., None],
+                    (0, 0, 0, 0, start_pos)),
+            )
+        else:
+            new_cache = jax.lax.dynamic_update_slice(
+                cache, kv[..., None, :].astype(cache.dtype),
+                (0, 0, 0, 0, start_pos, 0),
+            )
     elif use_stacked:
         # The cache rides through the scan as a carry; packed weights stay
         # stacked and are indexed INSIDE the Pallas kernels via scalar

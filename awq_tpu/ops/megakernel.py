@@ -133,9 +133,9 @@ def _rope_rows(x, cos, sin):
 
 def _layer_phases(
     layer, base2, h_rows, ln1_row, ln2_row, bq_row, length, cs_ref,
-    weights, cache_ref, kv_store,
+    weights, cache_ref, kvs_ref, kv_store,
     xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
-    wbuf, kbuf, vbuf, wsem, ksem, vsem,
+    wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
     *, dims, unpack="bf16", tail_dma=None,
 ):
     """Phases 1-5 of one decoder layer. ``h_rows``/``ln*_row`` are
@@ -224,6 +224,8 @@ def _layer_phases(
     nblk = pl.cdiv(length, bt)
     n_chunks = nkv // hc
 
+    q8 = dims["q8"]
+
     def dma(buf, kv, sem, slot, c, i):
         return pltpu.make_async_copy(
             cache_ref.at[layer, kv, 0, pl.ds(c * hc, hc),
@@ -231,13 +233,27 @@ def _layer_phases(
             buf.at[slot], sem.at[slot],
         )
 
+    def sdma(buf, kv, sem, slot, c, i):
+        # int8 cache: per-(head, position) dequant scales ride alongside
+        return pltpu.make_async_copy(
+            kvs_ref.at[layer, kv, 0, pl.ds(c * hc, hc),
+                       pl.ds(i * bt, bt)],
+            buf.at[slot], sem.at[slot],
+        )
+
+    def start_blk(c, i, slot):
+        dma(kbuf, 0, ksem, slot, c, i).start()
+        dma(vbuf, 1, vsem, slot, c, i).start()
+        if q8:
+            sdma(ksbuf, 0, kssem, slot, c, i).start()
+            sdma(vsbuf, 1, vssem, slot, c, i).start()
+
     def chunk_body(c):
         # c is a static python int (the chunk loop is unrolled: Mosaic
         # has no value-level dynamic_slice)
         @pl.when(nblk > 0)
         def _():
-            dma(kbuf, 0, ksem, 0, c, 0).start()
-            dma(vbuf, 1, vsem, 0, c, 0).start()
+            start_blk(c, 0, 0)
 
         qc = qs[c * hc:(c + 1) * hc]                   # [hc, grp, hd]
 
@@ -247,12 +263,17 @@ def _layer_phases(
 
             @pl.when(i + 1 < nblk)
             def _():
-                dma(kbuf, 0, ksem, (i + 1) % 2, c, i + 1).start()
-                dma(vbuf, 1, vsem, (i + 1) % 2, c, i + 1).start()
+                start_blk(c, i + 1, (i + 1) % 2)
 
             dma(kbuf, 0, ksem, slot, c, i).wait()
+            if q8:
+                sdma(ksbuf, 0, kssem, slot, c, i).wait()
+                kf = (kbuf[slot].astype(jnp.float32)
+                      * ksbuf[slot][..., None])
+            else:
+                kf = kbuf[slot].astype(jnp.float32)
             s = jax.lax.dot_general(
-                qc, kbuf[slot].astype(jnp.float32),
+                qc, kf,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )                                          # [hc, grp, bt]
@@ -264,8 +285,14 @@ def _layer_phases(
             p = jnp.exp(s - m_new)
             l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
             dma(vbuf, 1, vsem, slot, c, i).wait()
+            if q8:
+                sdma(vsbuf, 1, vssem, slot, c, i).wait()
+                vf = (vbuf[slot].astype(jnp.float32)
+                      * vsbuf[slot][..., None])
+            else:
+                vf = vbuf[slot].astype(jnp.float32)
             pv = jax.lax.dot_general(
-                p, vbuf[slot].astype(jnp.float32),
+                p, vf,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )                                          # [hc, grp, hd]
@@ -322,10 +349,10 @@ def _mega_kernel(
     scalars_ref,
     h_ref, ln_ref, bq_ref, cs_ref,
     wq_hbm, wo_hbm, wg_hbm, wd_hbm,
-    cache_ref,
+    cache_ref, kvs_ref,
     out_ref, kn_ref, vn_ref,
     xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
-    wbuf, kbuf, vbuf, wsem, ksem, vsem,
+    wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
     *, dims, unpack="bf16",
 ):
     """Single-layer kernel: one call = one decoder layer, one token."""
@@ -344,10 +371,10 @@ def _mega_kernel(
     h_new = _layer_phases(
         layer, jnp.int32(0), h_ref[:, :], ln_ref[0, 0], ln_ref[0, 1],
         bq_ref[0].astype(jnp.float32), length, cs_ref,
-        (wq_hbm, wo_hbm, wg_hbm, wd_hbm), cache_ref,
+        (wq_hbm, wo_hbm, wg_hbm, wd_hbm), cache_ref, kvs_ref,
         kv_store,
         xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
-        wbuf, kbuf, vbuf, wsem, ksem, vsem,
+        wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
         dims=dims, unpack=unpack,
     )
     out_ref[:, :] = h_new.astype(out_ref.dtype)
@@ -357,10 +384,10 @@ def _token_kernel(
     scalars_ref,
     h_ref, ln_ref, bq_ref, cs_ref,
     wq_hbm, wo_hbm, wg_hbm, wd_hbm,
-    cache_ref,
+    cache_ref, kvs_ref,
     out_ref, kn_ref, vn_ref,
     hbuf, xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
-    wbuf, kbuf, vbuf, wsem, ksem, vsem,
+    wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
     *, dims, n_layers, unpack="bf16",
 ):
     """Whole-token kernel: one call runs ALL ``n_layers`` decoder layers;
@@ -396,9 +423,9 @@ def _token_kernel(
         h_new = _layer_phases(
             l, base2, hbuf[:, :], ln_ref[l, 0], ln_ref[l, 1],
             bq_ref[l].astype(jnp.float32), length, cs_ref, weights,
-            cache_ref, kv_store,
+            cache_ref, kvs_ref, kv_store,
             xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
-            wbuf, kbuf, vbuf, wsem, ksem, vsem,
+            wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
             dims=d, unpack=unpack, tail_dma=tail_dma,
         )
         # the residual stream is bf16 between layers in the composed
@@ -413,6 +440,7 @@ def _token_kernel(
 def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
               wdn: QLinear, cache, eps: float):
     nq, nkv, hd = cfg_like
+    q8 = cache.dtype == jnp.int8
     H = nq * hd
     I2 = wgu.out_features
     I = I2 // 2
@@ -432,7 +460,7 @@ def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
         rq=wqkv.qweight.shape[2], ro=wo.qweight.shape[2],
         rg=wgu.qweight.shape[2], rd=wdn.qweight.shape[2],
         ngh=H // 128, ngi=I // 128,
-        bt=bt, hc=hc, T=t,
+        bt=bt, hc=hc, T=t, q8=q8,
     )
 
 
@@ -452,6 +480,10 @@ def _scratches(dims, cache_dtype, nq, nkv, hd):
         pltpu.VMEM((2, wrows, wcols), jnp.int32),            # weight dbuf
         pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache_dtype),
         pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache_dtype),
+        pltpu.VMEM((2, dims["hc"], dims["bt"]), jnp.float32),  # k scales
+        pltpu.VMEM((2, dims["hc"], dims["bt"]), jnp.float32),  # v scales
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -481,9 +513,12 @@ def megakernel_supported(cfg, layers, cache) -> bool:
             return False
         if p.group_size != 128 or p.w_bit != 4 or not p.folded:
             return False
-    if not isinstance(cache, jax.Array) or cache.dtype == jnp.int8:
+    data = getattr(cache, "data", cache)      # KVCache8 or plain array
+    if not isinstance(data, jax.Array):
         return False
-    if cache.shape[2] != 1 or cache.shape[4] % 256 != 0:
+    if data.dtype not in (jnp.bfloat16, jnp.float16, jnp.float32, jnp.int8):
+        return False
+    if data.shape[2] != 1 or data.shape[4] % 256 != 0:
         return False
     if (cfg.hidden_size % 128 or cfg.intermediate_size % 128):
         return False
@@ -508,9 +543,11 @@ def w4a16_llama_layer_step(
     eps: float = 1e-5,
     interpret: bool = False,
     unpack: str = "bf16",
+    cache_scales: jax.Array = None,   # [L, 2, 1, n_kv, T] f32 (int8 cache)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run one decoder layer for one token. Returns
-    ``(h_new [1, H], k_new [1, n_kv, hd], v_new [1, n_kv, hd])``."""
+    ``(h_new [1, H], k_new [1, n_kv, hd], v_new [1, n_kv, hd])``; with an
+    int8 cache, k/v come back fp (the caller quantizes + appends)."""
     H = h.shape[-1]
     hd = cache.shape[-1]
     nkv = nkv or cache.shape[3]
@@ -529,6 +566,9 @@ def w4a16_llama_layer_step(
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(length, jnp.int32)])
 
+    if cache_scales is None:
+        cache_scales = jnp.zeros((1, 2, 1, 8, 128), jnp.float32)
+    kv_dt = jnp.bfloat16 if cache.dtype == jnp.int8 else cache.dtype
     pinned_row = lambda g, l: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -545,6 +585,7 @@ def w4a16_llama_layer_step(
             pl.BlockSpec(memory_space=pl.ANY),                   # wgu
             pl.BlockSpec(memory_space=pl.ANY),                   # wdn
             pl.BlockSpec(memory_space=pl.ANY),                   # cache
+            pl.BlockSpec(memory_space=pl.ANY),                   # kv scales
         ],
         out_specs=[
             pl.BlockSpec((ngh, 128), pinned_row),                # h_new rows
@@ -559,8 +600,8 @@ def w4a16_llama_layer_step(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ngh, 128), h.dtype),
-            jax.ShapeDtypeStruct((nkv, hd), cache.dtype),
-            jax.ShapeDtypeStruct((nkv, hd), cache.dtype),
+            jax.ShapeDtypeStruct((nkv, hd), kv_dt),
+            jax.ShapeDtypeStruct((nkv, hd), kv_dt),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -570,7 +611,7 @@ def w4a16_llama_layer_step(
     )(
         scalars, h_rows, ln, bq, cs,
         wqkv.qweight, wo.qweight, wgu.qweight, wdn.qweight,
-        cache,
+        cache, cache_scales,
     )
     return out.reshape(h.shape), kn[None], vn[None]
 
@@ -590,10 +631,12 @@ def w4a16_llama_token_step(
     eps: float = 1e-5,
     interpret: bool = False,
     unpack: str = "bf16",
+    cache_scales: jax.Array = None,   # [L, 2, 1, n_kv, T] f32 (int8 cache)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run ALL decoder layers for one token in one Pallas call. Returns
     ``(h_new [1, H], k_new [L, n_kv, hd], v_new [L, n_kv, hd])`` — the
-    caller appends k/v to the cache with ONE batched scatter."""
+    caller appends k/v to the cache with ONE batched scatter (quantizing
+    first for an int8 cache; k/v come back fp)."""
     H = h.shape[-1]
     hd = cache.shape[-1]
     L = cache.shape[0]
@@ -611,6 +654,9 @@ def w4a16_llama_token_step(
     cs = jnp.stack([cos_row, sin_row]).astype(jnp.float32)
     scalars = jnp.reshape(jnp.asarray(length, jnp.int32), (1,))
 
+    if cache_scales is None:
+        cache_scales = jnp.zeros((1, 2, 1, 8, 128), jnp.float32)
+    kv_dt = jnp.bfloat16 if cache.dtype == jnp.int8 else cache.dtype
     pinned_row = lambda g, l: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -627,6 +673,7 @@ def w4a16_llama_token_step(
             pl.BlockSpec(memory_space=pl.ANY),                   # wgu
             pl.BlockSpec(memory_space=pl.ANY),                   # wdn
             pl.BlockSpec(memory_space=pl.ANY),                   # cache
+            pl.BlockSpec(memory_space=pl.ANY),                   # kv scales
         ],
         out_specs=[
             pl.BlockSpec((ngh, 128), pinned_row),                # h_new rows
@@ -645,8 +692,8 @@ def w4a16_llama_token_step(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ngh, 128), h.dtype),
-            jax.ShapeDtypeStruct((L, nkv, hd), cache.dtype),
-            jax.ShapeDtypeStruct((L, nkv, hd), cache.dtype),
+            jax.ShapeDtypeStruct((L, nkv, hd), kv_dt),
+            jax.ShapeDtypeStruct((L, nkv, hd), kv_dt),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -656,6 +703,6 @@ def w4a16_llama_token_step(
     )(
         scalars, h_rows, ln, bq, cs,
         wqkv.qweight, wo.qweight, wgu.qweight, wdn.qweight,
-        cache,
+        cache, cache_scales,
     )
     return out.reshape(h.shape), kn, vn

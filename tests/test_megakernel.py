@@ -174,9 +174,10 @@ def test_megakernel_supported_gate():
     }
     cache = jnp.zeros((2, 2, 1, 2, 256, 128), jnp.bfloat16)
     assert megakernel_supported(cfg, layers, cache)
-    # int8 cache, batch>1, untiled weights, odd head_dim all disqualify
-    assert not megakernel_supported(
+    # int8 caches are supported (round 2: in-kernel dequant read path)
+    assert megakernel_supported(
         cfg, layers, jnp.zeros((2, 2, 1, 2, 256, 128), jnp.int8))
+    # batch>1, untiled weights, odd head_dim disqualify
     assert not megakernel_supported(
         cfg, layers, jnp.zeros((2, 2, 3, 2, 256, 128), jnp.bfloat16))
     import dataclasses
@@ -242,3 +243,38 @@ def test_token_step_with_qkv_bias():
     k_ref = kk * cos + rot * sin
     np.testing.assert_allclose(np.asarray(got_k[0], np.float32),
                                np.asarray(k_ref), rtol=2e-2, atol=2e-2)
+
+
+def test_token_step_int8_cache_matches_fp():
+    """int8-KV token step == fp16-cache run on the dequantized values
+    (within int8 quantization error)."""
+    from awq_tpu.models.llama import quantize_kv
+
+    nq = nkv = 2
+    hd, L, T, I = 128, 2, 256, 256
+    H = nq * hd
+    ks = jax.random.split(jax.random.PRNGKey(21), 8)
+    wqkv = _mk_qlin_l(ks[0], H, (nq + 2 * nkv) * hd, 128, L)
+    wo = _mk_qlin_l(ks[1], H, H, 128, L)
+    wgu = _mk_qlin_l(ks[2], H, 2 * I, 128, L)
+    wdn = _mk_qlin_l(ks[3], I, H, 128, L)
+    ln = jnp.ones((L, H), jnp.float32)
+    kv = jax.random.normal(ks[4], (L, 2, 1, nkv, T, hd), jnp.float32) * 0.2
+    kvq, kvs = quantize_kv(kv)
+    kv_deq = (kvq.astype(jnp.float32) * kvs[..., None]).astype(jnp.bfloat16)
+    h = (jax.random.normal(ks[5], (1, H), jnp.float32) * 0.3
+         ).astype(jnp.bfloat16)
+    cos = jnp.full((hd,), 0.8, jnp.float32)
+    sin = jnp.sqrt(1 - cos * cos)
+    args = dict(nq=nq, nkv=nkv, eps=1e-5, interpret=True)
+
+    got = w4a16_llama_token_step(
+        h, wqkv, wo, wgu, wdn, ln, ln, cos, sin, kvq,
+        jnp.int32(100), cache_scales=kvs, **args)
+    ref = w4a16_llama_token_step(
+        h, wqkv, wo, wgu, wdn, ln, ln, cos, sin, kv_deq,
+        jnp.int32(100), **args)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(r, np.float32),
+                                   rtol=2e-2, atol=2e-2)
