@@ -242,7 +242,9 @@ def fuse_linears(params: Params, cfg: ModelConfig) -> Params:
         # quantized output head: store as a stacked-of-1 folded tiled
         # QLinear so decode's logits GEMV rides the same streaming kernel
         # (a fp16 7B head is ~260 MB/token of pure HBM reads)
-        bn = next((b for b in (1280, 1024, 640, 512, 256, 128)
+        # bn <= 512 keeps the head phase inside the megakernel's shared
+        # weight buffer (wcols)
+        bn = next((b for b in (512, 256, 128)
                    if head.out_features % b == 0), 0)
         if bn:
             out["lm_head"] = tile_qlinear(
@@ -428,6 +430,7 @@ def forward(
     use_prefill_flash = s > 1 and flash_ok and not is_q8
 
     use_mega = False
+    mega_logits = None
     if use_flash and b == 1 and cfg.pos_embed == "rope":
         import os as _os
 
@@ -451,14 +454,31 @@ def forward(
         la = params["layers"]
         cos_row = cos[positions[0]]
         sin_row = sin[positions[0]]
+        from awq_tpu.ops.w4a16 import QLinear as _QL0
 
-        hn, ks_new, vs_new = w4a16_llama_token_step(
+        # run the final rmsnorm + quantized lm_head INSIDE the kernel
+        # when the head is a compatible folded stacked-of-1 QLinear —
+        # the whole decode model is then one launch
+        mhead = params.get("lm_head")
+        if not (isinstance(mhead, _QL0) and mhead.qweight.ndim == 4
+                and mhead.folded and mhead.bias is None
+                and mhead.tiled_bn <= 512 and cfg.norm == "rmsnorm"):
+            mhead = None
+
+        res = w4a16_llama_token_step(
             h[:, 0], la["wqkv"], la["wo"], la["wgateup"], la["down"],
             la["ln1"], la["ln2"], cos_row, sin_row,
             cache.data if is_q8 else cache, start_pos,
             nq=cfg.num_heads, nkv=cfg.num_kv_heads, eps=cfg.rms_eps,
             cache_scales=cache.scales if is_q8 else None,
+            whead=mhead,
+            norm_w=params["norm"] if mhead is not None else None,
         )
+        if mhead is not None:
+            hn, ks_new, vs_new, mega_logits = res
+        else:
+            hn, ks_new, vs_new = res
+            mega_logits = None
         h = hn[:, None, :]
         kv = jnp.stack([ks_new, vs_new], axis=1)[
             :, :, None, :, :]                  # [L, 2, 1, n_kv, hd] fp
@@ -644,6 +664,9 @@ def forward(
 
         h, new_cache = jax.lax.scan(body, h, (params["layers"], cache))
 
+    if mega_logits is not None:
+        # final norm + lm_head already ran inside the token kernel
+        return mega_logits[:, None, :], new_cache
     if last_only:
         h = h[:, -1:, :]
     h = _norm(cfg, h, params["norm"], params.get("norm_b"))

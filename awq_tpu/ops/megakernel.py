@@ -382,17 +382,19 @@ def _mega_kernel(
 
 def _token_kernel(
     scalars_ref,
-    h_ref, ln_ref, bq_ref, cs_ref,
-    wq_hbm, wo_hbm, wg_hbm, wd_hbm,
+    h_ref, ln_ref, bq_ref, cs_ref, nw_ref,
+    wq_hbm, wo_hbm, wg_hbm, wd_hbm, wh_hbm,
     cache_ref, kvs_ref,
-    out_ref, kn_ref, vn_ref,
+    out_ref, kn_ref, vn_ref, logits_ref,
     hbuf, xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
     wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
-    *, dims, n_layers, unpack="bf16",
+    *, dims, n_layers, unpack="bf16", head=False,
 ):
-    """Whole-token kernel: one call runs ALL ``n_layers`` decoder layers;
-    the residual stream rides through VMEM (``hbuf``) and each layer's
-    last block prefetches the next layer's first."""
+    """Whole-token kernel: one call runs ALL ``n_layers`` decoder layers
+    (+ optionally the final rmsnorm and the quantized lm_head as a last
+    streaming phase — the whole decode model is then ONE launch); the
+    residual stream rides through VMEM (``hbuf``) and each layer's last
+    block prefetches the next layer's (or the head's) first."""
     d = dims
     length = scalars_ref[0]
     # blocks per layer (for the wbuf slot parity across layers)
@@ -420,6 +422,14 @@ def _token_kernel(
                     wbuf.at[nxt, 0:d["rq"], 0:d["bnq"]], wsem.at[nxt],
                 ).start()
 
+            if head:
+                @pl.when(l + 1 == n_layers)
+                def _():
+                    pltpu.make_async_copy(
+                        wh_hbm.at[0, 0],
+                        wbuf.at[nxt, 0:d["rh"], 0:d["bnh"]], wsem.at[nxt],
+                    ).start()
+
         h_new = _layer_phases(
             l, base2, hbuf[:, :], ln_ref[l, 0], ln_ref[l, 1],
             bq_ref[l].astype(jnp.float32), length, cs_ref, weights,
@@ -435,6 +445,36 @@ def _token_kernel(
 
     jax.lax.fori_loop(0, n_layers, layer_body, 0, unroll=False)
     out_ref[:, :] = hbuf[:, :].astype(out_ref.dtype)
+
+    if head:
+        # ---- final rmsnorm + quantized lm_head phase ---------------------
+        ngh = d["ngh"]
+        bnh, NBH, rh = d["bnh"], d["NBH"], d["rh"]
+        xf = _rms_rows(hbuf, nw_ref[:, :], d["eps"])
+        xq_s[:, :] = xf
+        xsum_s[0:1, :ngh] = _row_sums(xf, ngh)
+        p0 = jnp.asarray(n_layers * tot, jnp.int32)
+
+        def hbody(j, _):
+            slot = jax.lax.rem(j + p0, 2)
+            nxt = jax.lax.rem(j + p0 + 1, 2)
+
+            @pl.when(j + 1 < NBH)
+            def _():
+                pltpu.make_async_copy(
+                    wh_hbm.at[0, j + 1],
+                    wbuf.at[nxt, 0:rh, 0:bnh], wsem.at[nxt],
+                ).start()
+
+            pltpu.make_async_copy(
+                wh_hbm.at[0, j], wbuf.at[slot, 0:rh, 0:bnh], wsem.at[slot],
+            ).wait()
+            acc = _qdot_rows(xq_s, xsum_s[0:1, :ngh], wbuf, slot, ngh,
+                             bnh, unpack=unpack)
+            _store_block(logits_ref, acc, j, bnh)
+            return 0
+
+        jax.lax.fori_loop(0, NBH, hbody, 0, unroll=False)
 
 
 def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
@@ -466,8 +506,10 @@ def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
 
 def _scratches(dims, cache_dtype, nq, nkv, hd):
     ngh, ngi = dims["ngh"], dims["ngi"]
-    wrows = max(dims["rq"], dims["ro"], dims["rg"], dims["rd"])
-    wcols = max(dims["bnq"], dims["bno"], dims["bng"], dims["bnd"])
+    wrows = max(dims["rq"], dims["ro"], dims["rg"], dims["rd"],
+                dims.get("rh", 0))
+    wcols = max(dims["bnq"], dims["bno"], dims["bng"], dims["bnd"],
+                dims.get("bnh", 0))
     return [
         pltpu.VMEM((ngh, 128), jnp.float32),                 # xq / xm
         pltpu.VMEM((nq + 2 * nkv, hd), jnp.float32),         # qkv rows
@@ -632,11 +674,16 @@ def w4a16_llama_token_step(
     interpret: bool = False,
     unpack: str = "bf16",
     cache_scales: jax.Array = None,   # [L, 2, 1, n_kv, T] f32 (int8 cache)
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    whead: QLinear = None,            # folded stacked-of-1 lm_head
+    norm_w: jax.Array = None,         # [H] final rmsnorm weight
+):
     """Run ALL decoder layers for one token in one Pallas call. Returns
     ``(h_new [1, H], k_new [L, n_kv, hd], v_new [L, n_kv, hd])`` — the
     caller appends k/v to the cache with ONE batched scatter (quantizing
-    first for an int8 cache; k/v come back fp)."""
+    first for an int8 cache; k/v come back fp). With ``whead``/``norm_w``
+    the final rmsnorm + quantized lm_head run as a last streaming phase
+    and a 4th output ``logits [1, vocab] f32`` is appended — the whole
+    decode model is then ONE kernel launch."""
     H = h.shape[-1]
     hd = cache.shape[-1]
     L = cache.shape[0]
@@ -657,6 +704,21 @@ def w4a16_llama_token_step(
     if cache_scales is None:
         cache_scales = jnp.zeros((1, 2, 1, 8, 128), jnp.float32)
     kv_dt = jnp.bfloat16 if cache.dtype == jnp.int8 else cache.dtype
+    head = whead is not None
+    if head:
+        assert whead.folded and whead.qweight.ndim == 4
+        dims["bnh"] = whead.tiled_bn
+        dims["NBH"] = whead.out_features // whead.tiled_bn
+        dims["rh"] = whead.qweight.shape[2]
+        vocab = whead.out_features
+        wh_qw = whead.qweight
+        nw = norm_w.astype(jnp.float32).reshape(ngh, 128)
+    else:
+        dims["bnh"] = dims["NBH"] = 0
+        dims["rh"] = 8
+        vocab = 128
+        wh_qw = jnp.zeros((1, 1, 8, 128), jnp.int32)
+        nw = jnp.zeros((ngh, 128), jnp.float32)
     pinned_row = lambda g, l: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -668,10 +730,12 @@ def w4a16_llama_token_step(
             pl.BlockSpec((L, nr, hd),
                          lambda g, l: (0, 0, 0)),                # qkv bias
             pl.BlockSpec((2, hd), pinned_row),                   # cos|sin
+            pl.BlockSpec((ngh, 128), pinned_row),                # final norm
             pl.BlockSpec(memory_space=pl.ANY),                   # wqkv
             pl.BlockSpec(memory_space=pl.ANY),                   # wo
             pl.BlockSpec(memory_space=pl.ANY),                   # wgu
             pl.BlockSpec(memory_space=pl.ANY),                   # wdn
+            pl.BlockSpec(memory_space=pl.ANY),                   # lm_head
             pl.BlockSpec(memory_space=pl.ANY),                   # cache
             pl.BlockSpec(memory_space=pl.ANY),                   # kv scales
         ],
@@ -679,6 +743,7 @@ def w4a16_llama_token_step(
             pl.BlockSpec((ngh, 128), pinned_row),                # h_new rows
             pl.BlockSpec((L, nkv, hd), lambda g, l: (0, 0, 0)),  # k_new
             pl.BlockSpec((L, nkv, hd), lambda g, l: (0, 0, 0)),  # v_new
+            pl.BlockSpec((vocab // 128, 128), pinned_row),       # logits
         ],
         scratch_shapes=(
             [pltpu.VMEM((ngh, 128), jnp.float32)]                # hbuf
@@ -686,14 +751,15 @@ def w4a16_llama_token_step(
         ),
     )
 
-    out, kn, vn = pl.pallas_call(
+    out, kn, vn, logits = pl.pallas_call(
         functools.partial(_token_kernel, dims=dims, n_layers=L,
-                          unpack=unpack),
+                          unpack=unpack, head=head),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ngh, 128), h.dtype),
             jax.ShapeDtypeStruct((L, nkv, hd), kv_dt),
             jax.ShapeDtypeStruct((L, nkv, hd), kv_dt),
+            jax.ShapeDtypeStruct((vocab // 128, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -701,8 +767,11 @@ def w4a16_llama_token_step(
         cost_estimate=_cost((wqkv, wo, wgu, wdn)),
         interpret=interpret,
     )(
-        scalars, h_rows, ln, bq, cs,
-        wqkv.qweight, wo.qweight, wgu.qweight, wdn.qweight,
+        scalars, h_rows, ln, bq, cs, nw,
+        wqkv.qweight, wo.qweight, wgu.qweight, wdn.qweight, wh_qw,
         cache, cache_scales,
     )
+    if head:
+        return (out.reshape(h.shape), kn, vn,
+                logits.reshape(1, vocab))
     return out.reshape(h.shape), kn, vn

@@ -278,3 +278,40 @@ def test_token_step_int8_cache_matches_fp():
         np.testing.assert_allclose(np.asarray(g, np.float32),
                                    np.asarray(r, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_token_step_with_inkernel_head():
+    """The in-kernel final-norm + lm_head phase == XLA norm + head."""
+    nq = nkv = 2
+    hd, L, T, I, V = 128, 2, 256, 256, 512
+    H = nq * hd
+    ks = jax.random.split(jax.random.PRNGKey(31), 9)
+    wqkv = _mk_qlin_l(ks[0], H, (nq + 2 * nkv) * hd, 128, L)
+    wo = _mk_qlin_l(ks[1], H, H, 128, L)
+    wgu = _mk_qlin_l(ks[2], H, 2 * I, 128, L)
+    wdn = _mk_qlin_l(ks[3], I, H, 128, L)
+    whead = _mk_qlin(ks[6], H, V, 128)
+    norm_w = jax.random.uniform(ks[7], (H,), jnp.float32, 0.8, 1.2)
+    ln = jnp.ones((L, H), jnp.float32)
+    cache = (jax.random.normal(ks[4], (L, 2, 1, nkv, T, hd), jnp.float32)
+             * 0.2).astype(jnp.bfloat16)
+    h = (jax.random.normal(ks[5], (1, H), jnp.float32) * 0.3
+         ).astype(jnp.bfloat16)
+    cos = jnp.full((hd,), 0.8, jnp.float32)
+    sin = jnp.sqrt(1 - cos * cos)
+    kw = dict(nq=nq, nkv=nkv, eps=1e-5, interpret=True)
+
+    got_h, _, _, logits = w4a16_llama_token_step(
+        h, wqkv, wo, wgu, wdn, ln, ln, cos, sin, cache,
+        jnp.int32(40), whead=whead, norm_w=norm_w, **kw)
+    ref_h, _, _ = w4a16_llama_token_step(
+        h, wqkv, wo, wgu, wdn, ln, ln, cos, sin, cache,
+        jnp.int32(40), **kw)
+    np.testing.assert_allclose(np.asarray(got_h, np.float32),
+                               np.asarray(ref_h, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    xf = rms_norm(ref_h.astype(jnp.bfloat16), norm_w, 1e-5)
+    ref_logits = _apply(whead, xf)
+    np.testing.assert_allclose(np.asarray(logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=3e-2, atol=3e-2)
