@@ -74,8 +74,17 @@ def build_model(geometry: str, precision: str, load_quant, max_seq: int):
         else:
             params = init_params(cfg, jax.random.PRNGKey(0))
     from awq_tpu.models.llama import fuse_linears
-    from awq_tpu.ops.w4a16 import strip_unfolded_qparams
+    from awq_tpu.ops.w4a16 import (
+        QLinear, quantize_linear, strip_unfolded_qparams,
+    )
 
+    if (precision in ("W4A16", "W3A16") and "lm_head" in params
+            and not isinstance(params["lm_head"], QLinear)):
+        # quantized output head is the deploy default (a 128k-vocab fp16
+        # head alone streams >1 GB/token); fuse_linears tiles it folded
+        params["lm_head"] = quantize_linear(
+            params["lm_head"].astype(jnp.float32),
+            n_bit=4, group_size=128)
     params = strip_unfolded_qparams(fuse_linears(params, cfg))
     cache = init_kv_cache(cfg, 1, max_seq, jnp.bfloat16)
     return cfg, params, cache
