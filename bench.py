@@ -70,6 +70,29 @@ def main():
                     help="int8 KV cache (halved cache traffic)")
     args = ap.parse_args()
 
+    # the shared chip's free HBM fluctuates with co-tenants; a smaller
+    # static cache bucket does NOT change the measured decode work
+    # (attention reads only `length` positions), so degrade the cache
+    # footprint rather than record nothing
+    import sys
+
+    last = None
+    for max_seq in (args.max_seq, 1024, 512):
+        if max_seq > args.max_seq:
+            continue
+        try:
+            return _run(args, max_seq)
+        except Exception as e:  # jax RESOURCE_EXHAUSTED surfaces lazily
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            last = e
+            print(f"[bench] OOM at max_seq={max_seq}, retrying smaller",
+                  file=sys.stderr, flush=True)
+    raise last
+
+
+def _run(args, max_seq):
+
     on_tpu = jax.default_backend() == "tpu"
     shape = TINY if (args.tiny or not on_tpu) else LLAMA2_7B
     cfg = ModelConfig(**shape, dtype="bfloat16")
@@ -95,9 +118,9 @@ def main():
     if args.kv8:
         from awq_tpu.models.llama import init_kv_cache8
 
-        cache = init_kv_cache8(cfg, 1, args.max_seq)
+        cache = init_kv_cache8(cfg, 1, max_seq)
     else:
-        cache = init_kv_cache(cfg, 1, args.max_seq, jnp.bfloat16)
+        cache = init_kv_cache(cfg, 1, max_seq, jnp.bfloat16)
     gen = GenConfig(greedy=True, temperature=1.0, repetition_penalty=1.0)
     stop = jnp.asarray([-1], jnp.int32)
     seen = jnp.zeros((1, cfg.vocab_size), bool)
