@@ -85,7 +85,7 @@ def build_model(geometry: str, precision: str, load_quant, max_seq: int):
         params["lm_head"] = quantize_linear(
             params["lm_head"].astype(jnp.float32),
             n_bit=4, group_size=128)
-    params = strip_unfolded_qparams(fuse_linears(params, cfg))
+    params = strip_unfolded_qparams(fuse_linears(params, cfg, consume=True))
     cache = init_kv_cache(cfg, 1, max_seq, jnp.bfloat16)
     return cfg, params, cache
 

@@ -192,15 +192,20 @@ def init_qparams(
     return params
 
 
-def fuse_linears(params: Params, cfg: ModelConfig) -> Params:
+def fuse_linears(params: Params, cfg: ModelConfig,
+                 consume: bool = False) -> Params:
     """Concatenate wq/wk/wv -> ``wqkv`` and gate/up -> ``wgateup`` along the
     output-channel axis (counterpart of the reference's QKV fusion in
     ``make_quant_attn``, ``tinychat/modules/fused_attn.py:549-634``, and the
     fused gate/up GEMV in ``fused_mlp.py``). One kernel launch instead of
-    three/two — launch overhead is a real cost at decode."""
+    three/two — launch overhead is a real cost at decode.
+
+    ``consume=True`` MUTATES ``params`` (drops each original tensor as it
+    is repacked) so the device-memory peak is old+one tensor instead of
+    old+new — use when the caller rebinds ``params`` anyway."""
     from awq_tpu.ops.w4a16 import QLinear
 
-    layers = dict(params["layers"])
+    layers = params["layers"] if consume else dict(params["layers"])
     if "wqkv" in layers or "wq" not in layers:
         return params  # already fused
 
@@ -234,7 +239,10 @@ def fuse_linears(params: Params, cfg: ModelConfig) -> Params:
             # fold_scales packs scales/szeros into the blocks: one HBM
             # stream per matmul — the layout the decode megakernel's
             # manual-DMA loop wants (ops/megakernel.py).
+            if consume:
+                del layers[name]  # free the original before the fold copy
             layers[name] = tile_qlinear(p, block_n=512, fold_scales=True)
+            del p
     out = dict(params)
     out["layers"] = layers
     head = out.get("lm_head")

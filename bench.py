@@ -108,7 +108,7 @@ def _run(args, max_seq):
         params["lm_head"].astype(jnp.float32), n_bit=qcfg.w_bit,
         group_size=qcfg.group_size,
     )
-    params = fuse_linears(params, cfg)
+    params = fuse_linears(params, cfg, consume=True)
     from awq_tpu.ops.w4a16 import strip_unfolded_qparams
 
     # the folded layout carries its own packed qparams; drop the
