@@ -51,7 +51,9 @@ class BatchEngine:
         cache_dtype=jnp.bfloat16,
     ):
         self.cfg = cfg
-        self.params = params
+        from awq_tpu.models.llama import fuse_linears
+
+        self.params = fuse_linears(params, cfg)
         self.n_slots = n_slots
         if cache_dtype in ("int8", jnp.int8):
             from awq_tpu.models.llama import init_kv_cache8

@@ -30,7 +30,11 @@ class InferenceEngine:
         cache_dtype=jnp.bfloat16,
     ):
         self.cfg = cfg
-        self.params = params
+        from awq_tpu.models.llama import fuse_linears
+
+        # fused QKV/gate-up + folded tiled weights -> the decode
+        # megakernel path (one launch per token on TPU)
+        self.params = fuse_linears(params, cfg)
         self.rt = runtime or RuntimeConfig()
         self.tokenizer = tokenizer
         t = min(self.rt.max_seq_len, cfg.max_position_embeddings)
