@@ -44,12 +44,25 @@ def load_media(path: str, size: int) -> np.ndarray:
     return load_image(path, size)
 
 
+def _fuse_llm(model):
+    """Fuse+fold the LLM params so decode rides the whole-token
+    megakernel (ops/megakernel.py)."""
+    import dataclasses
+
+    from awq_tpu.models.llama import fuse_linears
+
+    return dataclasses.replace(
+        model, llm_params=fuse_linears(model.llm_params, model.llm_cfg))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser("awq_tpu.vlm_demo")
     ap.add_argument("--model_path", required=True)
-    ap.add_argument("--arch", default="llava", choices=["llava", "nvila"],
-                    help="checkpoint layout: HF llava dir or VILA-layout "
-                         "NVILA dir (llm/ vision_tower/ mm_projector/)")
+    ap.add_argument("--arch", default="llava",
+                    choices=["llava", "nvila", "internvl"],
+                    help="checkpoint layout: HF llava dir, VILA-layout "
+                         "NVILA dir (llm/ vision_tower/ mm_projector/), "
+                         "or an InternVL3 HF dir")
     ap.add_argument("--precision", default="W4A16",
                     choices=["W4A16", "W16A16"])
     ap.add_argument("--q_group_size", type=int, default=128)
@@ -62,6 +75,8 @@ def main(argv=None) -> int:
     ap.add_argument("--greedy", action="store_true")
     args = ap.parse_args(argv)
 
+    if args.arch == "internvl":
+        return _internvl_repl(args)
     if args.arch == "nvila":
         return _nvila_repl(args)
 
@@ -80,6 +95,7 @@ def main(argv=None) -> int:
     vlm = import_llava_model(
         args.model_path, quantize=quant, vision_int8=args.vision_int8
     )
+    vlm = _fuse_llm(vlm)
     print(f"[vlm] loaded in {time.perf_counter() - t0:.1f}s "
           f"(llm {vlm.llm_cfg.arch}, vision {vlm.vis_cfg.image_size}px"
           f"{', int8 tower' if args.vision_int8 else ''})")
@@ -143,6 +159,7 @@ def _nvila_repl(args) -> int:
     model = import_nvila_model(
         args.model_path, quantize=quant, vision_int8=args.vision_int8,
     )
+    model = _fuse_llm(model)
     print(f"[nvila] loaded in {time.perf_counter() - t0:.1f}s "
           f"(llm {model.llm_cfg.arch}, scales {model.s2_scales}"
           f"{', int8 tower' if args.vision_int8 else ''})")
@@ -197,3 +214,74 @@ def _nvila_repl(args) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+def _internvl_repl(args) -> int:
+    """InternVL3 chat loop (counterpart of the reference's InternVL demo
+    path, ``tinychat/models/internvl3.py:199+``): dynamic-res tiles via
+    <image>, sampled frames via <video>."""
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from awq_tpu.config import GenConfig, QuantConfig
+    from awq_tpu.models import init_kv_cache
+    from awq_tpu.models.internvl import (
+        import_internvl3_model, internvl_generate,
+    )
+
+    quant = (QuantConfig(w_bit=4, group_size=args.q_group_size)
+             if args.precision == "W4A16" else None)
+    t0 = time.perf_counter()
+    model = import_internvl3_model(
+        args.model_path, quantize=quant, vision_int8=args.vision_int8,
+    )
+    model = _fuse_llm(model)
+    print(f"[internvl] loaded in {time.perf_counter() - t0:.1f}s "
+          f"(llm {model.llm_cfg.arch}, {model.num_image_token} tok/tile"
+          f"{', int8 tower' if args.vision_int8 else ''})")
+    tok = AutoTokenizer.from_pretrained(args.model_path, use_fast=True,
+                                        trust_remote_code=True)
+    gen = GenConfig(max_new_tokens=args.max_new_tokens, greedy=args.greedy)
+    image_path, video_path = args.image, args.video
+
+    print("[internvl] include <image> or <video> in prompts; "
+          "'/image <path>' and '/video <path>' switch media.")
+    while True:
+        try:
+            user = input("USER: ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            break
+        if user in ("exit", "quit"):
+            break
+        if user.startswith("/image "):
+            image_path = user.split(None, 1)[1]
+            continue
+        if user.startswith("/video "):
+            video_path = user.split(None, 1)[1]
+            continue
+        if not user:
+            continue
+        media = {"image": [], "video": []}
+        if "<image>" in user:
+            if not image_path:
+                print("[internvl] no image set — use '/image <path>'")
+                continue
+            media["image"] = [jnp.asarray(
+                load_image(image_path, model.vit_cfg.image_size))]
+        if "<video>" in user:
+            if not video_path:
+                print("[internvl] no video set — use '/video <path>'")
+                continue
+            media["video"] = [jnp.asarray(
+                load_media(video_path, model.vit_cfg.image_size))]
+        cache = init_kv_cache(model.llm_cfg, 1, args.max_seq_len,
+                              jnp.bfloat16)
+        t0 = time.perf_counter()
+        out = internvl_generate(model, user, tok, media, cache, gen)
+        n = len(out["output_ids"])
+        text = tok.decode(out["output_ids"])
+        dt = time.perf_counter() - t0
+        print(f"ASSISTANT: {text}")
+        print(f"[{n} tok in {dt:.2f}s, "
+              f"{n / max(dt, 1e-9):.1f} tok/s]")
+    return 0
