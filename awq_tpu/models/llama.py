@@ -241,7 +241,8 @@ def fuse_linears(params: Params, cfg: ModelConfig,
             # manual-DMA loop wants (ops/megakernel.py).
             if consume:
                 del layers[name]  # free the original before the fold copy
-            layers[name] = tile_qlinear(p, block_n=512, fold_scales=True)
+            layers[name] = tile_qlinear(p, block_n=512, fold_scales=True,
+                                        donate=consume)
             del p
     out = dict(params)
     out["layers"] = layers
@@ -439,9 +440,8 @@ def forward(
 
     use_mega = False
     mega_logits = None
-    if use_flash and b == 1 and cfg.pos_embed == "rope":
-        import os as _os
-
+    if (use_flash and b == 1 and cfg.pos_embed == "rope"
+            and jax.default_backend() == "tpu"):
         from awq_tpu.ops.megakernel import megakernel_supported
 
         use_mega = (
@@ -738,6 +738,15 @@ def decode_step_batched(
         return linear_apply(lp1, xx)
 
     rows = jnp.arange(b)
+    if cfg.pos_embed == "alibi":
+        from awq_tpu.models.layers import alibi_slopes
+
+        # per-head linear key-position bias (forward() applies the same
+        # via attn_bias; without it mpt/bloom decode is silently wrong)
+        slopes = alibi_slopes(cfg.num_heads).reshape(
+            cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads)
+    else:
+        slopes = None
 
     def xla_attn(q, k_new, v_new, kc, vc):
         # [B,1,nq,hd] x cache prefix [B,n_kv,T,hd] (strict per-row masks)
@@ -746,12 +755,20 @@ def decode_step_batched(
         qf = q.reshape(b, nkv, groups, hd).astype(jnp.float32)
         scores = jnp.einsum("bkgh,bkth->bkgt", qf,
                             kc.astype(jnp.float32)) / jnp.sqrt(hd)
+        if slopes is not None:
+            scores = scores + (slopes[None, :, :, None]
+                               * jnp.arange(max_t, dtype=jnp.float32)[
+                                   None, None, None, :])
         mask = jnp.arange(max_t)[None, None, None, :] < \
             lengths[:, None, None, None]
         scores = jnp.where(mask, scores, -jnp.inf)
         s_cur = jnp.einsum("bkgh,bkh->bkg", qf,
                            k_new.astype(jnp.float32))[..., None] \
             / jnp.sqrt(hd)
+        if slopes is not None:
+            s_cur = s_cur + (slopes[None, :, :, None]
+                             * lengths[:, None, None, None].astype(
+                                 jnp.float32))
         scores = jnp.concatenate([scores, s_cur], axis=-1)
         p = jax.nn.softmax(scores, axis=-1)
         o = jnp.einsum("bkgt,bkth->bkgh", p[..., :-1],

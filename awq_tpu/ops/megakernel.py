@@ -532,8 +532,8 @@ def _scratches(dims, cache_dtype, nq, nkv, hd):
     ]
 
 
-def _cost(ws):
-    by = sum(w.in_features * w.out_features for w in ws) // 2
+def _cost(ws, n_layers: int = 1):
+    by = n_layers * sum(w.in_features * w.out_features for w in ws) // 2
     return pl.CostEstimate(flops=4 * by, bytes_accessed=by,
                            transcendentals=0)
 
@@ -565,6 +565,19 @@ def megakernel_supported(cfg, layers, cache) -> bool:
     if (cfg.hidden_size % 128 or cfg.intermediate_size % 128):
         return False
     if layers.get("act_scale") is not None:
+        return False
+    # VMEM budget: shared weight double-buffer + activation scratch +
+    # cache stream buffers must fit ~16 MB, else fall back to the
+    # 5-kernel path instead of a Mosaic allocation error
+    wrows = max(p.qweight.shape[2] for p in
+                (layers[n] for n in needed))
+    wcols = max(p.tiled_bn for p in (layers[n] for n in needed))
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    scratch = (2 * wrows * wcols * 4            # weight double-buffer
+               + 4 * 512 * 1024                 # cache k/v buffers
+               + (6 * H + 3 * I) * 4            # activation rows (f32)
+               + 2 * cfg.num_layers * H * 4)    # stacked norms window
+    if scratch > 14 * 1024 * 1024:
         return False
     return True
 
@@ -764,7 +777,8 @@ def w4a16_llama_token_step(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-        cost_estimate=_cost((wqkv, wo, wgu, wdn)),
+        cost_estimate=_cost((wqkv, wo, wgu, wdn) + ((whead,) if head
+                                                    else ()), L),
         interpret=interpret,
     )(
         scalars, h_rows, ln, bq, cs, nw,

@@ -50,11 +50,10 @@ class QLinear:
     qweight: jax.Array                 # int32 [IC//8, OC]; tiled variant:
     # [(L,) NB, IC//8, bn] (block-contiguous in HBM: each N block streams
     # as one DMA at ~95% of peak bandwidth vs ~55% for the strided layout).
-    # folded variant: [(L,) NB, IC//8 + 2*IC//G, bn] — each block carries
-    # its f32 scales and szeros BITCAST to int32 as trailing rows, so one
-    # windowed input (and one DMA stream) serves the whole matmul
-    # (per-grid-step bookkeeping scales with input count; measured ~0.7us
-    # per step per ~12 inputs on v5e).
+    # folded variant: [(L,) NB, IC//8 + IC//G (+pad to 8), bn] — each
+    # block carries ONE packed qparam row per group (bf16 scale | bf16
+    # szero in an int32) as trailing rows, in the bf16-bitpack nibble
+    # order, so one array / one DMA stream serves the whole matmul.
     scales: jax.Array                  # f32   [IC//G, OC]
     szeros: jax.Array                  # f32   [IC//G, OC]  == scales * zeros
     bias: Optional[jax.Array] = None   # [OC] or None
@@ -387,16 +386,18 @@ def _unpack_block_bf16(w):
 
 
 def tile_qlinear(ql: QLinear, block_n: int = 512,
-                 fold_scales: bool = False) -> QLinear:
+                 fold_scales: bool = False,
+                 donate: bool = False) -> QLinear:
     """Repack a (stacked) QLinear to the block-contiguous layout
     ``[L, OC/bn, IC//8, bn]``; no-op if already tiled or OC % bn != 0.
 
-    ``fold_scales`` appends each block's scales and szeros (f32 bitcast to
-    int32) as ``2 * IC/G`` trailing rows and switches the code words to
-    the bf16-bitpack nibble order (``_unpack_block_bf16``): one array/one
-    DMA stream per matmul — the layout the decode kernels want (see
-    QLinear docstring). Only supported for group_size == 128 (the nibble
-    permutation works on 128-row windows); other group sizes tile plain.
+    ``fold_scales`` appends ONE packed qparam row per group (bf16 scale |
+    bf16 szero in an int32) as ``IC/G`` trailing rows and switches the
+    code words to the bf16-bitpack nibble order (``_unpack_block_bf16``):
+    one array/one DMA stream per matmul — the layout the decode kernels
+    want (see QLinear docstring). Only supported for group_size == 128
+    (the nibble permutation works on 128-row windows); other group sizes
+    tile plain.
     """
     if fold_scales and ql.group_size != 128:
         fold_scales = False
@@ -407,12 +408,14 @@ def tile_qlinear(ql: QLinear, block_n: int = 512,
     if not stacked:
         qw = qw[None]
     if fold_scales:
-        # one jitted, INPUT-DONATING pipeline: eagerly, the
-        # reshape/remap/concat chain holds several array-sized temps at
-        # once — repacking a 7B model that way OOMs a 16 GB chip
-        qt = _fold_tile(qw, ql.scales if stacked else ql.scales[None],
-                        ql.szeros if stacked else ql.szeros[None],
-                        block_n)
+        # one jitted pipeline: eagerly, the reshape/remap/concat chain
+        # holds several array-sized temps at once — repacking a 7B model
+        # that way OOMs a 16 GB chip. ``donate`` additionally frees the
+        # original codes (callers must not reuse them afterwards).
+        fold = _fold_tile_donate if donate else _fold_tile
+        qt = fold(qw, ql.scales if stacked else ql.scales[None],
+                  ql.szeros if stacked else ql.szeros[None],
+                  block_n)
     else:
         L, icp, oc = qw.shape
         nb = oc // block_n
@@ -426,13 +429,11 @@ def tile_qlinear(ql: QLinear, block_n: int = 512,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",),
-                   donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("block_n",))
 def _fold_tile(qw: jax.Array, scales: jax.Array, szeros: jax.Array,
                block_n: int) -> jax.Array:
     """Blockify + nibble-permute + append packed qparam rows (see
-    ``tile_qlinear``). Donates ``qw`` — callers must not reuse the
-    original packed codes afterwards."""
+    ``tile_qlinear``)."""
     L, icp, oc = qw.shape
     nb = oc // block_n
     qt = qw.reshape(L, icp, nb, block_n).transpose(0, 2, 1, 3)
@@ -454,6 +455,11 @@ def _fold_tile(qw: jax.Array, scales: jax.Array, szeros: jax.Array,
     if pad:
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad), (0, 0)))
     return qt
+
+
+_fold_tile_donate = functools.partial(
+    jax.jit, static_argnames=("block_n",), donate_argnums=(0,)
+)(_fold_tile.__wrapped__)
 
 
 def untile_qweight(qweight: jax.Array, block_n: int,
@@ -570,9 +576,11 @@ def w4a16_matmul_stacked_tiled_folded(
     x, qweight, layer_idx, group_size: int, block_n: int, block_m: int = 0,
 ):
     """Stacked matmul over the folded block-contiguous layout
-    ``qweight [L, NB, IC//8 + 2*IC/G, bn]`` — 3 windowed inputs total."""
+    ``qweight [L, NB, IC//8 + IC/G (+pad), bn]`` — 3 windowed inputs
+    total."""
     m, ic = x.shape
     _, nb, rows, bn = qweight.shape
+    assert bn == block_n, (bn, block_n)
     n_g = ic // group_size
     bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
     bm = _cap_bm(bm, ic, bn, group_size)
@@ -685,6 +693,7 @@ def w4a8_matmul_stacked_tiled_folded(
 
     m, ic = x.shape
     _, nb, rows, bn = qweight.shape
+    assert bn == block_n, (bn, block_n)
     n_g = ic // group_size
     bm = min(block_m or 512, _cap_bm_a8(ic, rows, bn))
     m_pad = -m % bm

@@ -66,7 +66,8 @@ def _qlinear_specs(path: str, ql, tp: int):
     still shards fine for column-parallel."""
     from awq_tpu.ops.w4a16 import QLinear
 
-    col = any(f"'{n}'" in path for n in COLUMN_PARALLEL)
+    col = (any(f"'{n}'" in path for n in COLUMN_PARALLEL)
+           or "lm_head" in path)   # quantized output head shards on OC
     row = any(f"'{n}'" in path for n in ROW_PARALLEL)
     qw = ql.qweight
     if col:

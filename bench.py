@@ -77,9 +77,9 @@ def main():
     import sys
 
     last = None
-    for max_seq in (args.max_seq, 1024, 512):
-        if max_seq > args.max_seq:
-            continue
+    ladder = [m for m in dict.fromkeys((args.max_seq, 1024, 512))
+              if m <= args.max_seq]
+    for max_seq in ladder:
         try:
             return _run(args, max_seq)
         except Exception as e:  # jax RESOURCE_EXHAUSTED surfaces lazily

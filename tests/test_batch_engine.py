@@ -183,3 +183,26 @@ def test_sample_logits_batched_semantics():
         greedy=jnp.asarray([True, False]),
     )
     assert out.tolist() == [1, 1]
+
+
+def test_batch_engine_alibi_matches_single_request():
+    """mpt-style ALiBi configs must decode identically through the
+    batched engine (regression: xla_attn dropped the slope bias)."""
+    cfg = ModelConfig(
+        arch="mpt", vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=16,
+        max_position_embeddings=256, dtype="float32",
+        pos_embed="alibi", act="gelu", norm="layernorm", single_ln=False,
+    )
+    from awq_tpu.models import init_params as _ip
+
+    params = _ip(cfg, jax.random.PRNGKey(5))
+    prompts = [[3, 5, 7, 11], [13, 17]]
+    refs = [_greedy_ref(cfg, params, p, 6) for p in prompts]
+
+    eng = BatchEngine(cfg, params, n_slots=2, max_seq_len=64)
+    rids = [eng.submit(p, GenConfig(greedy=True, max_new_tokens=6))
+            for p in prompts]
+    done = eng.run()
+    got = [done[r].out_ids for r in rids]
+    assert got == refs
