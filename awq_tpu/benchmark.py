@@ -125,7 +125,7 @@ def bench_decode(cfg, params, cache, context: int, steps: int, runs: int):
 
 
 def bench_batch_decode(cfg, params, batch: int, context: int, steps: int,
-                       runs: int, max_seq: int):
+                       runs: int, max_seq: int, kv8: bool = False):
     """Batched decode throughput (continuous-batching steady state): all
     rows decode in lockstep at per-row lengths; weights stream once per
     step for the whole batch."""
@@ -142,7 +142,12 @@ def bench_batch_decode(cfg, params, batch: int, context: int, steps: int,
     # donates its cache argument, so a kept-around "initial" cache would
     # be a deleted buffer); size the bucket for the full run
     bucket = cache_bucket(max_seq, context + steps * (runs + 1) + 4)
-    cache = init_kv_cache(cfg, batch, bucket, jnp.bfloat16)
+    if kv8:
+        from awq_tpu.models.llama import init_kv_cache8
+
+        cache = init_kv_cache8(cfg, batch, bucket)
+    else:
+        cache = init_kv_cache(cfg, batch, bucket, jnp.bfloat16)
     toks = jnp.zeros((batch, context), jnp.int32)
     logits, cache = forward(params, cfg, toks, cache, jnp.int32(0))
     first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
@@ -255,6 +260,9 @@ def main(argv=None) -> int:
     p.add_argument("--question_len", type=int, default=32)
     p.add_argument("--prefill_a8", action="store_true",
                    help="int8-activation prefill matmuls (W4A8, 2x MXU)")
+    p.add_argument("--kv8", action="store_true",
+                   help="int8 KV cache (halved cache bytes -> 2x batch "
+                        "slots at the same HBM footprint)")
     args = p.parse_args(argv)
 
     cfg, params, cache = build_model(
@@ -272,7 +280,8 @@ def main(argv=None) -> int:
               f"({r['tokens_per_s']:.1f} tok/s)")
     if args.mode == "batch_decode":
         r = bench_batch_decode(cfg, params, args.batch, args.context,
-                               args.steps, args.runs, args.max_seq_len)
+                               args.steps, args.runs, args.max_seq_len,
+                               kv8=args.kv8)
         print(f"[{name}] batch={args.batch} decode: "
               f"{r['ms_per_step']:.2f} ms/step "
               f"({r['tokens_per_s']:.1f} tok/s aggregate)")
