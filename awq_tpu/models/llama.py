@@ -193,7 +193,8 @@ def init_qparams(
 
 
 def fuse_linears(params: Params, cfg: ModelConfig,
-                 consume: bool = False) -> Params:
+                 consume: bool = False,
+                 tile: Optional[bool] = None) -> Params:
     """Concatenate wq/wk/wv -> ``wqkv`` and gate/up -> ``wgateup`` along the
     output-channel axis (counterpart of the reference's QKV fusion in
     ``make_quant_attn``, ``tinychat/modules/fused_attn.py:549-634``, and the
@@ -202,8 +203,17 @@ def fuse_linears(params: Params, cfg: ModelConfig,
 
     ``consume=True`` MUTATES ``params`` (drops each original tensor as it
     is repacked) so the device-memory peak is old+one tensor instead of
-    old+new — use when the caller rebinds ``params`` anyway."""
+    old+new — use when the caller rebinds ``params`` anyway.
+
+    ``tile`` controls the folded block-contiguous repack. Default: on
+    unless the arch cannot ride the stacked/megakernel decode paths
+    (ALiBi models take forward's plain branch, where tiled weights would
+    be untiled + nibble-remapped inside the per-layer scan EVERY decode
+    step — strictly worse than the plain layout)."""
     from awq_tpu.ops.w4a16 import QLinear
+
+    if tile is None:
+        tile = cfg.pos_embed != "alibi"
 
     layers = params["layers"] if consume else dict(params["layers"])
     if "wqkv" in layers or "wq" not in layers:
@@ -234,20 +244,21 @@ def fuse_linears(params: Params, cfg: ModelConfig,
     # contiguous HBM stream (~777 vs ~453 GB/s measured on v5e)
     from awq_tpu.ops.w4a16 import tile_qlinear
 
-    for name, p in list(layers.items()):
-        if isinstance(p, QLinear):
-            # fold_scales packs scales/szeros into the blocks: one HBM
-            # stream per matmul — the layout the decode megakernel's
-            # manual-DMA loop wants (ops/megakernel.py).
-            if consume:
-                del layers[name]  # free the original before the fold copy
-            layers[name] = tile_qlinear(p, block_n=512, fold_scales=True,
-                                        donate=consume)
-            del p
+    if tile:
+        for name, p in list(layers.items()):
+            if isinstance(p, QLinear):
+                # fold_scales packs scales/szeros into the blocks: one HBM
+                # stream per matmul — the layout the decode megakernel's
+                # manual-DMA loop wants (ops/megakernel.py).
+                if consume:
+                    del layers[name]  # free the original before the fold copy
+                layers[name] = tile_qlinear(p, block_n=512, fold_scales=True,
+                                            donate=consume)
+                del p
     out = dict(params)
     out["layers"] = layers
     head = out.get("lm_head")
-    if isinstance(head, QLinear) and head.qweight.ndim == 2:
+    if tile and isinstance(head, QLinear) and head.qweight.ndim == 2:
         # quantized output head: store as a stacked-of-1 folded tiled
         # QLinear so decode's logits GEMV rides the same streaming kernel
         # (a fp16 7B head is ~260 MB/token of pure HBM reads)

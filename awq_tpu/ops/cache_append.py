@@ -65,7 +65,12 @@ def batched_cache_append(cache: jax.Array, kv: jax.Array,
     [L, 2, B, n_kv, T, hd]`` at per-row positions ``lengths [B]``,
     in place (cache is donated). Returns the updated cache."""
     L, _, B, nkv, T, hd = cache.shape
-    lengths = lengths.astype(jnp.int32)
+    assert T % 8 == 0, f"cache T axis must be 8-aligned, got {T}"
+    # Precondition: every lengths[i] < T (a full slot would push the
+    # 8-row RMW window past the T axis). BatchEngine admission enforces
+    # this; clamp as a belt-and-braces guard so an OOB length corrupts
+    # at most the last position instead of reading past the buffer.
+    lengths = jnp.minimum(lengths.astype(jnp.int32), T - 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -480,8 +480,13 @@ def flash_prefill_stacked(
     Returns [B, S, n_q * hd]."""
     b, s, n_q, hd = q.shape
     n_kv, t = cache.shape[3], cache.shape[4]
+    # largest power-of-two block <= block_t that divides t (forward's
+    # flash gate only guarantees t % 256 == 0, so block_t=512 must fall
+    # back for e.g. t=768 or 1280)
     block_t = min(block_t, t)
-    assert t % block_t == 0
+    while t % block_t:
+        block_t //= 2
+    assert block_t >= 256 and t % block_t == 0, (t, block_t)
     bq = min(block_q, s)
     s_pad = -s % bq
     qt = jnp.swapaxes(q, 1, 2)                       # [B, n_q, S, hd]

@@ -378,8 +378,10 @@ def _unpack_block_bf16(w):
     so unpacking is 3 VPU ops per 2 output rows with NO sublane
     interleave and NO int->float convert (the convert + interleave stack
     of the generic ``_unpack_block`` was the measured compute bound that
-    held the streaming kernels at ~550 of 820 GB/s). The +128 bias folds
-    into the szeros correction rows (``sz + 128*s``)."""
+    held the streaming kernels at ~550 of 820 GB/s). The +128 bias is
+    removed by consumers via an explicit bf16-exact ``- 128`` centering
+    before the dot (``_qdot_rows`` and the folded kernels); the folded
+    szeros rows are stored UNBIASED — do not fold 128*s into them."""
     planes = [((w >> (4 * j)) & 0x000F000F) | 0x43004300 for j in range(4)]
     u32 = jnp.concatenate(planes, axis=0)      # [64, bn]
     return pltpu.bitcast(u32, jnp.bfloat16)    # [128, bn]

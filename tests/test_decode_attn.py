@@ -169,3 +169,21 @@ def test_flash_prefill_stacked_matches_masked_attention(start_pos, s):
     ref = attention(q, cache[1, 0], cache[1, 1], jnp.int32(start_pos))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_flash_prefill_block_t_falls_back_for_odd_caches():
+    """T a multiple of 256 but not of the default block_t=512 (e.g.
+    max_seq_len=768) must still trace: block_t falls back to a divisor
+    (round-2 regression: the 256->512 default bump broke these)."""
+    from awq_tpu.ops.decode_attn import flash_prefill_stacked
+
+    L, b, n_q, n_kv, t, hd = 1, 1, 2, 2, 768, 128
+    ks = jax.random.split(jax.random.PRNGKey(3), 2)
+    cache = jax.random.normal(ks[0], (L, 2, b, n_kv, t, hd), jnp.float32)
+    q = jax.random.normal(ks[1], (b, 64, n_q, hd), jnp.float32)
+
+    out = flash_prefill_stacked(q, cache, jnp.int32(0), jnp.int32(0),
+                                interpret=True)
+    ref = attention(q, cache[0, 0], cache[0, 1], jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
