@@ -19,7 +19,21 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+
+
+def exact_divisor(c: float) -> jnp.ndarray:
+    """A compile-time-constant divisor XLA cannot fold.
+
+    XLA rewrites ``x / const`` into ``x * (1/const)``; for 1/15 that is a
+    1-ulp perturbation of ``scales``, which flips ``round()`` at the exact
+    .5 ties that clipping creates by construction (clipped weights sit at
+    ``max_val``, i.e. precisely on a quantization-boundary tie). Hiding the
+    constant behind an ``optimization_barrier`` keeps the correctly-rounded
+    IEEE division, making jitted results bit-identical to eager JAX and to
+    the reference's torch math (``quantizer.py:76``)."""
+    return jax.lax.optimization_barrier(jnp.float32(c))
 
 
 def _grouped(w: jnp.ndarray, group_size: int) -> Tuple[jnp.ndarray, int]:
@@ -57,7 +71,7 @@ def quantize_groupwise(
     if zero_point:
         max_val = wg.max(axis=1, keepdims=True)
         min_val = wg.min(axis=1, keepdims=True)
-        scales = jnp.maximum(max_val - min_val, 1e-5) / max_int
+        scales = jnp.maximum(max_val - min_val, 1e-5) / exact_divisor(max_int)
         zeros = jnp.clip(-jnp.round(min_val / scales), 0, max_int)
     else:
         # Symmetric variant (unused by the reference pipeline; see
