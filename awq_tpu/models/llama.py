@@ -386,7 +386,7 @@ def _layer_forward(
     return h, jnp.stack([k_cache, v_cache])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "last_only"))
+@functools.partial(jax.jit, static_argnames=("cfg", "last_only", "tp_axis"))
 def forward(
     params: Params,
     cfg: ModelConfig,
@@ -395,6 +395,7 @@ def forward(
     start_pos: jax.Array,       # scalar int32
     last_only: bool = True,
     inputs_embeds: Optional[jax.Array] = None,  # [B, S, H] (VLM splicing)
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the decoder; returns ``(logits, new_cache)``.
 
@@ -403,11 +404,29 @@ def forward(
     ``[B, S, V]`` for perplexity evaluation. ``inputs_embeds`` bypasses the
     token embedding (multimodal splicing; reference
     ``llama.py:390-413`` takes the same optional argument).
+
+    ``tp_axis``: set when running INSIDE ``shard_map`` over a mesh axis of
+    that name (see parallel/tp.py). ``cfg`` must then be the LOCAL config
+    (head counts divided by the axis size), params/cache the local shards
+    (column-parallel OC shards, row-parallel IC shards, vocab-sharded
+    embedding, kv-head-sharded cache), and this function inserts the
+    Megatron-TP collectives itself: psum after the row-parallel wo/down
+    contractions and a masked-lookup psum for the sharded embedding.
+    Logits come back vocab-sharded ([B, S, V/tp] per device).
     """
     b, s = tokens.shape
     dt = _dtype(cfg)
     if inputs_embeds is not None:
         h = inputs_embeds.astype(dt)
+    elif tp_axis is not None and params["embed"].shape[0] != cfg.vocab_size:
+        # vocab-sharded embedding: local masked lookup, then psum — rows
+        # outside this shard contribute zeros (Megatron embedding-parallel)
+        emb = params["embed"]
+        shard = emb.shape[0]
+        loc = tokens - jax.lax.axis_index(tp_axis) * shard
+        ok = (loc >= 0) & (loc < shard)
+        h = jnp.where(ok[..., None], emb[jnp.clip(loc, 0, shard - 1)], 0)
+        h = jax.lax.psum(h, tp_axis).astype(dt)
     else:
         h = params["embed"][tokens].astype(dt)
 
@@ -436,9 +455,15 @@ def forward(
     # test hook: exercises the flash/deferred-append decode path on the
     # CPU backend via kernel interpret mode
     _force_flash = _os.environ.get("AWQ_TPU_FORCE_FLASH") == "1"
+    if tp_axis is not None:
+        # explicit-TP runs only support the stacked path (the per-layer
+        # _layer_forward scan has no collectives); ALiBi archs must use
+        # the GSPMD NamedSharding path instead
+        assert attn_bias is None, "tp_axis does not support ALiBi archs"
     use_stacked = (
         attn_bias is None
-        and (jax.default_backend() == "tpu" or is_q8 or _force_flash)
+        and (jax.default_backend() == "tpu" or is_q8 or _force_flash
+             or tp_axis is not None)
     )
     flash_ok = (
         use_stacked
@@ -451,7 +476,10 @@ def forward(
 
     use_mega = False
     mega_logits = None
+    # the megakernel fuses ALL layers into one launch, so per-layer psums
+    # cannot be inserted — incompatible with Megatron TP by construction
     if (use_flash and b == 1 and cfg.pos_embed == "rope"
+            and tp_axis is None
             and jax.default_backend() == "tpu"):
         from awq_tpu.ops.megakernel import megakernel_supported
 
@@ -542,6 +570,30 @@ def forward(
             lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
             return linear_apply(lp1, xx)
 
+        def lin_row(name, idx, xx):
+            """Row-parallel linear under explicit TP: the IC-sharded
+            contraction yields a partial sum -> psum over the axis, with
+            the (replicated) bias added AFTER the psum, not tp times."""
+            if tp_axis is None:
+                return lin(name, idx, xx)
+            import dataclasses as _dc
+
+            p = layers_all[name]
+            bias = None
+            if isinstance(p, QLinear):
+                if p.bias is not None:
+                    bias, p = p.bias[idx], _dc.replace(p, bias=None)
+                out = qlinear_apply_stacked(p, idx, xx, a8=a8)
+            else:
+                lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
+                if getattr(lp1, "b", None) is not None:
+                    bias, lp1 = lp1.b, _dc.replace(lp1, b=None)
+                out = linear_apply(lp1, xx)
+            out = jax.lax.psum(out, tp_axis)
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return out
+
         # flash decode takes the current token's k/v in-register, so the
         # append can be DEFERRED out of the scan: one batched update for
         # all layers instead of 32 per-layer scatters (for int8 this also
@@ -611,7 +663,10 @@ def forward(
             elif use_prefill_flash:
                 from awq_tpu.ops.decode_attn import flash_prefill_stacked
 
-                attn = flash_prefill_stacked(q, cache, idx, start_pos)
+                attn = flash_prefill_stacked(
+                    q, cache, idx, start_pos,
+                    interpret=jax.default_backend() != "tpu",
+                )
             elif is_q8:
                 kc = (cache.data[idx, 0].astype(jnp.float32)
                       * cache.scales[idx, 0][..., None]).astype(dt)
@@ -620,7 +675,7 @@ def forward(
                 attn = attention(q, kc, vc, start_pos)
             else:
                 attn = attention(q, cache[idx, 0], cache[idx, 1], start_pos)
-            attn_out = lin("wo", idx, attn)
+            attn_out = lin_row("wo", idx, attn)
             if cfg.parallel_block:
                 xm = x if cfg.single_ln else _norm(
                     cfg, h, lp["ln2"], lp.get("ln2_b"))
@@ -647,7 +702,7 @@ def forward(
                 if lp.get("act_scale") is not None:
                     hm = (hm.astype(jnp.float32)
                           / lp["act_scale"]).astype(hm.dtype)
-            m = lin("down", idx, hm)
+            m = lin_row("down", idx, hm)
             h = (h + attn_out + m) if cfg.parallel_block else (h + m)
             ys = (k[:, 0], v[:, 0]) if defer_append else None
             return (h, cache), ys

@@ -9,3 +9,9 @@ from awq_tpu.parallel.shard import (  # noqa: F401
     shard_cache,
     shard_params,
 )
+from awq_tpu.parallel.tp import (  # noqa: F401
+    check_tp_compatible,
+    tp_decode_scan,
+    tp_forward,
+    tp_local_cfg,
+)

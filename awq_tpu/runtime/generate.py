@@ -28,7 +28,7 @@ from awq_tpu.runtime.sampling import sample_logits
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "gen", "num_steps", "vocab")
+    jax.jit, static_argnames=("cfg", "gen", "num_steps", "vocab", "tp_axis")
 )
 def decode_scan(
     params,
@@ -42,17 +42,27 @@ def decode_scan(
     gen: GenConfig,
     num_steps: int,
     vocab: int,
+    tp_axis=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Generate ``num_steps`` further tokens fully on-device.
 
     Returns ``(tokens [B, num_steps], done [B], cache)``. After a stop
     token, rows keep their cache but emit ``stop`` repeatedly (masked by
     the caller via ``done`` step index).
+
+    ``tp_axis``: running inside ``shard_map`` (parallel/tp.py) — forward
+    returns vocab-sharded logits, so all-gather them (64 KB at 32k vocab,
+    negligible) and sample identically on every device: same key -> same
+    token, keeping the carried state replicated.
     """
 
     def body(carry, _):
         token, cache, pos, key, done, seen = carry
-        logits, cache = forward(params, cfg, token[:, None], cache, pos)
+        logits, cache = forward(params, cfg, token[:, None], cache, pos,
+                                tp_axis=tp_axis)
+        if tp_axis is not None:
+            logits = jax.lax.all_gather(
+                logits, tp_axis, axis=-1, tiled=True)
         key, sub = jax.random.split(key)
         nxt = sample_logits(logits[:, -1], sub, gen, seen)
         nxt = jnp.where(done, token, nxt)

@@ -76,6 +76,90 @@ def test_sharded_forward_matches_single_device(quantized):
     assert jnp.allclose(ref2, logits2, atol=2e-3, rtol=2e-3)
 
 
+def _flash_cfg():
+    # geometry satisfying the flash-kernel gate (head_dim % 128 == 0,
+    # cache T % 256 == 0) so the TP test exercises the Pallas path
+    return ModelConfig(
+        arch="llama",
+        vocab_size=512,
+        hidden_size=512,
+        intermediate_size=1024,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=128,
+        max_position_embeddings=256,
+        dtype="float32",
+    )
+
+
+def test_tp_shardmap_kernel_parity(monkeypatch):
+    """shard_map TP runs the PALLAS kernel path (interpret mode on CPU)
+    and matches the single-device kernel path bit-for-bit-ish.
+
+    This is the coverage GSPMD tests can't give: pallas_call does not
+    partition under GSPMD, so multi-chip kernels only exist inside
+    shard_map (parallel/tp.py) — here each of the 4 devices runs
+    flash_decode_stacked / flash_prefill_stacked / qlinear stacked on
+    its local (head-, vocab-, IC-) shard with explicit psums."""
+    monkeypatch.setenv("AWQ_TPU_FORCE_FLASH", "1")
+    from awq_tpu.config import GenConfig
+    from awq_tpu.parallel import tp_decode_scan, tp_forward
+    from awq_tpu.runtime.generate import decode_scan
+
+    cfg = _flash_cfg()
+    params = quantize_params(
+        init_params(cfg, jax.random.PRNGKey(3)),
+        QuantConfig(w_bit=4, group_size=128),
+    )
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(4), (2, 16), 0, cfg.vocab_size)
+    cache = init_kv_cache(cfg, 2, 256, jnp.float32)
+
+    # single-device reference, SAME kernels (force-flash interpret)
+    ref_logits, ref_cache = forward(params, cfg, tokens, cache, jnp.int32(0))
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2))
+    tp_logits, tp_cache = tp_forward(
+        params, cfg, tokens, cache, jnp.int32(0), mesh)
+    assert tp_logits.shape == ref_logits.shape
+    assert jnp.allclose(ref_logits, tp_logits, atol=2e-3, rtol=2e-3)
+    ref_k = jax.lax.dynamic_slice_in_dim(ref_cache, 0, 16, axis=4)
+    tp_k = jax.lax.dynamic_slice_in_dim(tp_cache, 0, 16, axis=4)
+    assert jnp.allclose(ref_k, tp_k, atol=2e-3, rtol=2e-3)
+
+    # decode burst: flash_decode_stacked under the mesh, sampling inside
+    gen = GenConfig(greedy=True)
+    first = jnp.argmax(ref_logits[:, -1], axis=-1).astype(jnp.int32)
+    stop = jnp.asarray([-1], jnp.int32)
+    seen = jnp.zeros((2, cfg.vocab_size), bool)
+    ref_toks, ref_done, _ = decode_scan(
+        params, cfg, ref_cache, first, jnp.int32(16), jax.random.PRNGKey(0),
+        stop, seen, gen, 4, cfg.vocab_size)
+    tp_toks, tp_done, _ = tp_decode_scan(
+        params, cfg, tp_cache, first, jnp.int32(16), jax.random.PRNGKey(0),
+        stop, seen, gen, 4, mesh)
+    assert (jnp.asarray(ref_toks) == jnp.asarray(tp_toks)).all(), (
+        ref_toks, tp_toks)
+
+
+def test_tp_rejects_incompatible_layouts():
+    from awq_tpu.models.llama import fuse_linears
+    from awq_tpu.parallel import check_tp_compatible
+
+    cfg = _flash_cfg()
+    params = quantize_params(
+        init_params(cfg, jax.random.PRNGKey(3)),
+        QuantConfig(w_bit=4, group_size=128),
+    )
+    fused = fuse_linears(params, cfg)
+    with pytest.raises(ValueError, match="unfused|plain stacked"):
+        check_tp_compatible(fused, cfg, 2)
+    check_tp_compatible(params, cfg, 2)  # plain layout passes
+    with pytest.raises(ValueError, match="num_heads"):
+        check_tp_compatible(params, cfg, 8)
+
+
 def test_graft_entry_and_dryrun():
     import importlib.util
 
