@@ -974,6 +974,191 @@ def decode_step_batched(
     return logits[:, 0], cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def decode_step_paged(
+    params: Params,
+    cfg: ModelConfig,
+    tokens: jax.Array,          # [B] one token per row
+    pool: jax.Array,            # [L, 2, n_pages, n_kv, page, hd] page pool
+    tables: jax.Array,          # [B, max_pages] int32 physical page ids
+    lengths: jax.Array,         # [B] current per-row lengths (write pos)
+) -> Tuple[jax.Array, jax.Array]:
+    """One decode step over a PAGED KV cache: row ``b``'s positions
+    ``[0, lengths[b])`` live in pages ``tables[b]`` of the shared pool.
+
+    The paged sibling of :func:`decode_step_batched` — HBM held per slot
+    is proportional to its ACTUAL length (page granularity) instead of
+    ``max_seq``, which is what lets B=32 fit on a squeezed chip. The TPU
+    path reads pages via ``flash_decode_paged`` (block-table DMA); the
+    XLA fallback gathers each row's pages into a contiguous view. The
+    reference has no paged cache (tinychat is batch-1, static buffer);
+    this follows vLLM's PagedAttention design re-derived for the
+    manual-DMA flash kernel.
+    """
+    b = tokens.shape[0]
+    dt = _dtype(cfg)
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    page = pool.shape[4]
+    max_t = tables.shape[1] * page
+    h = params["embed"][tokens][:, None].astype(dt)      # [B, 1, H]
+    cos, sin = rope_table(cfg, max_t)
+    positions = lengths[:, None]                         # [B, 1]
+
+    if cfg.pos_embed == "learned":
+        off = 2 if cfg.arch == "opt" else 0
+        h = h + params["pos_embed"][positions + off].astype(dt)
+
+    import os as _os
+
+    on_tpu = jax.default_backend() == "tpu"
+    _force = _os.environ.get("AWQ_TPU_FORCE_FLASH") == "1"
+    use_flash = ((on_tpu or _force) and hd % 128 == 0 and page % 8 == 0
+                 and cfg.pos_embed in ("rope", "none", "learned"))
+    layers_all = params["layers"]
+    from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked
+
+    small = {k2: v for k2, v in layers_all.items()
+             if isinstance(v, jax.Array)}
+
+    def lin(name, idx, xx):
+        p = layers_all[name]
+        if isinstance(p, QLinear) and on_tpu:
+            return qlinear_apply_stacked(p, idx, xx)
+        lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
+        return linear_apply(lp1, xx)
+
+    if cfg.pos_embed == "alibi":
+        from awq_tpu.models.layers import alibi_slopes
+
+        slopes = alibi_slopes(cfg.num_heads).reshape(
+            cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads)
+    else:
+        slopes = None
+
+    def xla_attn(q, k_new, v_new, kc, vc):
+        # identical math to decode_step_batched's fallback, over the
+        # gathered page view (junk beyond lengths is masked)
+        groups = nq // nkv
+        qf = q.reshape(b, nkv, groups, hd).astype(jnp.float32)
+        scores = jnp.einsum("bkgh,bkth->bkgt", qf,
+                            kc.astype(jnp.float32)) / jnp.sqrt(hd)
+        if slopes is not None:
+            scores = scores + (slopes[None, :, :, None]
+                               * jnp.arange(max_t, dtype=jnp.float32)[
+                                   None, None, None, :])
+        mask = jnp.arange(max_t)[None, None, None, :] < \
+            lengths[:, None, None, None]
+        scores = jnp.where(mask, scores, -jnp.inf)
+        s_cur = jnp.einsum("bkgh,bkh->bkg", qf,
+                           k_new.astype(jnp.float32))[..., None] \
+            / jnp.sqrt(hd)
+        if slopes is not None:
+            s_cur = s_cur + (slopes[None, :, :, None]
+                             * lengths[:, None, None, None].astype(
+                                 jnp.float32))
+        scores = jnp.concatenate([scores, s_cur], axis=-1)
+        p = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bkgt,bkth->bkgh", p[..., :-1],
+                       vc.astype(jnp.float32)) \
+            + p[..., -1:] * v_new.astype(jnp.float32)[:, :, None, :]
+        return o.reshape(b, 1, nq * hd).astype(dt)
+
+    def body(carry, idx):
+        h, pool = carry
+        lp = {k2: v[idx] for k2, v in small.items() if v is not None}
+        x = _norm(cfg, h, lp["ln1"], lp.get("ln1_b"))
+        if "wqkv" in layers_all:
+            qkv = lin("wqkv", idx, x)
+            q, k, v = jnp.split(qkv, [nq * hd, (nq + nkv) * hd], axis=-1)
+            q = q.reshape(b, 1, nq, hd)
+            k = k.reshape(b, 1, nkv, hd)
+            v = v.reshape(b, 1, nkv, hd)
+        else:
+            q = lin("wq", idx, x).reshape(b, 1, nq, hd)
+            k = lin("wk", idx, x).reshape(b, 1, nkv, hd)
+            v = lin("wv", idx, x).reshape(b, 1, nkv, hd)
+        if cfg.pos_embed == "rope":
+            q, k = apply_rope(q, k, cos, sin, positions)
+        if use_flash:
+            from awq_tpu.ops.decode_attn import flash_decode_paged
+
+            attn = flash_decode_paged(
+                q[:, 0], k[:, 0], v[:, 0], pool, tables, idx, lengths,
+                interpret=not on_tpu,
+            ).reshape(b, 1, nq * hd)
+        else:
+            # gather this row's pages into a contiguous [B, n_kv, T, hd]
+            # view; out-of-table entries (-1) clip to page 0 and are
+            # masked by the lengths mask above
+            kc = jnp.swapaxes(pool[idx, 0][tables], 1, 2) \
+                .reshape(b, nkv, max_t, hd)
+            vc = jnp.swapaxes(pool[idx, 1][tables], 1, 2) \
+                .reshape(b, nkv, max_t, hd)
+            attn = xla_attn(q, k[:, 0], v[:, 0], kc, vc)
+        attn_out = lin("wo", idx, attn)
+        if cfg.parallel_block:
+            xm = x if cfg.single_ln else _norm(cfg, h, lp["ln2"],
+                                               lp.get("ln2_b"))
+        else:
+            h = h + attn_out
+            xm = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
+        if "wgateup" in layers_all:
+            gu = lin("wgateup", idx, xm)
+            g, u = jnp.split(gu, 2, axis=-1)
+            hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
+        elif cfg.act == "silu":
+            g = lin("gate", idx, xm)
+            u = lin("up", idx, xm)
+            hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
+        else:
+            hm = lin("up", idx, xm)
+            if cfg.act == "relu":
+                hm = jnp.maximum(hm, 0)
+            else:
+                hm = jax.nn.gelu(
+                    hm.astype(jnp.float32),
+                    approximate=(cfg.act == "gelu_tanh"),
+                ).astype(xm.dtype)
+            if lp.get("act_scale") is not None:
+                hm = (hm.astype(jnp.float32) / lp["act_scale"]
+                      ).astype(hm.dtype)
+        m = lin("down", idx, hm)
+        h = (h + attn_out + m) if cfg.parallel_block else (h + m)
+        kv_new = jnp.stack([k[:, 0], v[:, 0]]).astype(pool.dtype)
+        return (h, pool), kv_new                     # ys: [2, B, n_kv, hd]
+
+    (h, pool), kv_all = jax.lax.scan(
+        body, (h, pool), jnp.arange(cfg.num_layers)
+    )
+    # append every layer's k/v into each row's current page after the scan
+    rows = jnp.arange(b)
+    w_pages = tables[rows, lengths // page]          # [B] physical page
+    w_offs = lengths % page                          # [B] offset in page
+    for i in range(b):
+        row = kv_all[:, :, i][:, :, None, :, None, :]  # [L,2,1,n_kv,1,hd]
+        pool = jax.lax.dynamic_update_slice(
+            pool, row, (0, 0, w_pages[i], 0, w_offs[i], 0)
+        )
+    h = _norm(cfg, h, params["norm"], params.get("norm_b"))
+    head = params.get("lm_head")
+    from awq_tpu.ops.w4a16 import QLinear as _QL, qlinear_apply as _qla
+
+    if head is None:
+        logits = jnp.matmul(h, params["embed"].astype(dt).T,
+                            preferred_element_type=jnp.float32)
+    elif isinstance(head, _QL):
+        if head.qweight.ndim == 4:      # stacked-of-1 tiled (fuse_linears)
+            from awq_tpu.ops.w4a16 import qlinear_apply_stacked as _qlas
+
+            logits = _qlas(head, jnp.int32(0), h).astype(jnp.float32)
+        else:
+            logits = _qla(head, h).astype(jnp.float32)
+    else:
+        logits = jnp.matmul(h, head.astype(dt),
+                            preferred_element_type=jnp.float32)
+    return logits[:, 0], pool
+
+
 def quantize_params(
     params: Params,
     qcfg: QuantConfig,

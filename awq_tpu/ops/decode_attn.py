@@ -577,3 +577,153 @@ def flash_decode(
         interpret=interpret,
     )(lengths, qg, k_cache, v_cache)
     return out.reshape(b, n_q, hd)
+
+
+# ---------------------------------------------------------------------------
+# Paged KV cache (block-table) decode
+# ---------------------------------------------------------------------------
+
+
+def _paged_decode_kernel(
+    scalars_ref, q_ref, kn_ref, vn_ref, pool_ref,
+    o_ref, kbuf, vbuf, ksem, vsem,
+    *, page: int, scale: float, nb: int, max_pages: int,
+):
+    """Flash decode over NON-CONTIGUOUS pages: a sibling of
+    ``_stacked_decode_kernel`` whose per-block DMA source is looked up in
+    a scalar-prefetched block table instead of ``i * block_t``. The
+    manual-DMA structure makes paging free — each loop iteration already
+    fetched exactly one ``[block_t, hd]`` slab, so pointing slab ``i`` at
+    physical page ``table[b, i]`` changes only the address math. This is
+    the TPU analogue of vLLM's PagedAttention (the reference has no paged
+    cache at all — ``tinychat`` is batch-1 with a static buffer).
+
+    ``scalars = [layer, lengths(B), tables(B*MP) (page ids)]``.
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    layer = scalars_ref[0]
+    length = scalars_ref[1 + b]
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale      # [g, hd]
+    g, hd = q.shape
+    nblk = pl.cdiv(length, page)
+
+    def dma(buf, kv, sem, slot, i):
+        pid = scalars_ref[1 + nb + b * max_pages + i]
+        return pltpu.make_async_copy(
+            pool_ref.at[layer, kv, pid, h, :, :],
+            buf.at[slot], sem.at[slot],
+        )
+
+    @pl.when(nblk > 0)
+    def _():
+        dma(kbuf, 0, ksem, 0, 0).start()
+        dma(vbuf, 1, vsem, 0, 0).start()
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = i % 2
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            dma(kbuf, 0, ksem, (i + 1) % 2, i + 1).start()
+            dma(vbuf, 1, vsem, (i + 1) % 2, i + 1).start()
+
+        dma(kbuf, 0, ksem, slot, i).wait()
+        s = jax.lax.dot_general(
+            q, kbuf[slot],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * page
+        s = jnp.where(col < length, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        dma(vbuf, 1, vsem, slot, i).wait()
+        pv = jax.lax.dot_general(
+            p.astype(vbuf.dtype), vbuf[slot],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha + pv
+
+    m0 = jnp.full((g, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros((g, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))
+
+    # current token (not yet written to any page), in-register
+    kn = kn_ref[0, 0].astype(jnp.float32)            # [1, hd]
+    vn = vn_ref[0, 0]
+    s_c = jax.lax.dot_general(
+        q, kn, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_new = jnp.maximum(m, s_c)
+    alpha = jnp.exp(m - m_new)
+    p_c = jnp.exp(s_c - m_new)
+    l = l * alpha + p_c
+    acc = acc * alpha + p_c * vn.astype(jnp.float32)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_decode_paged(
+    q: jax.Array,           # [B, n_q, hd] post-rope queries (one position)
+    k_new: jax.Array,       # [B, n_kv, hd]
+    v_new: jax.Array,       # [B, n_kv, hd]
+    pool: jax.Array,        # [L, 2, n_pages, n_kv, page, hd] page pool
+    tables: jax.Array,      # [B, max_pages] int32 physical page ids
+    layer: jax.Array,       # scalar int32
+    lengths: jax.Array,     # [B] valid positions per row
+    interpret: bool = False,
+) -> jax.Array:
+    """Paged flash decode: row ``b`` attends over pages
+    ``tables[b, : ceil(lengths[b]/page)]`` plus the current token."""
+    b, n_q, hd = q.shape
+    n_kv, page = pool.shape[3], pool.shape[4]
+    max_pages = tables.shape[1]
+    g = n_q // n_kv
+    qg = q.reshape(b, n_kv, g, hd)
+    cdt = pool.dtype
+    lengths = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.int32).reshape(-1), (b,))
+    scalars = jnp.concatenate([
+        jnp.reshape(layer, (1,)).astype(jnp.int32), lengths,
+        tables.astype(jnp.int32).reshape(-1),
+    ])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, page, hd), cdt),
+            pltpu.VMEM((2, page, hd), cdt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_decode_kernel, page=page, scale=1.0 / (hd ** 0.5),
+            nb=b, max_pages=max_pages,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_kv, g, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(scalars, qg, k_new.astype(cdt).reshape(b, n_kv, 1, hd),
+      v_new.astype(cdt).reshape(b, n_kv, 1, hd), pool)
+    return out.reshape(b, n_q, hd)

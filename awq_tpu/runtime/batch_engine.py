@@ -55,16 +55,7 @@ class BatchEngine:
 
         self.params = fuse_linears(params, cfg)
         self.n_slots = n_slots
-        if cache_dtype in ("int8", jnp.int8):
-            from awq_tpu.models.llama import init_kv_cache8
-
-            self.cache = init_kv_cache8(cfg, n_slots, max_seq_len)
-        else:
-            self.cache = init_kv_cache(cfg, n_slots, max_seq_len,
-                                       cache_dtype)
-        from awq_tpu.models.llama import cache_seq_len
-
-        self.max_seq = cache_seq_len(self.cache)
+        self._init_cache(cfg, n_slots, max_seq_len, cache_dtype)
         self.lengths = np.zeros(n_slots, np.int32)     # host copy
         self.tokens = np.zeros(n_slots, np.int32)      # next input per slot
         # per-slot sampling params (requests carry their own GenConfig)
@@ -77,6 +68,53 @@ class BatchEngine:
         self.finished: Dict[int, Request] = {}
         self._next_rid = 0
         self._key = jax.random.PRNGKey(0)
+
+    # ---- cache strategy (overridden by PagedBatchEngine) ------------------
+
+    def _init_cache(self, cfg, n_slots, max_seq_len, cache_dtype) -> None:
+        if cache_dtype in ("int8", jnp.int8):
+            from awq_tpu.models.llama import init_kv_cache8
+
+            self.cache = init_kv_cache8(cfg, n_slots, max_seq_len)
+        else:
+            self.cache = init_kv_cache(cfg, n_slots, max_seq_len,
+                                       cache_dtype)
+        from awq_tpu.models.llama import cache_seq_len
+
+        self.max_seq = cache_seq_len(self.cache)
+
+    def _can_admit(self, req: "Request") -> bool:
+        return len(req.prompt_ids) + req.gen.max_new_tokens <= self.max_seq
+
+    def _prefill_slot(self, slot: int, toks: jnp.ndarray) -> jnp.ndarray:
+        """Prefill ``toks [1, S]`` into ``slot``'s cache rows; returns the
+        final-position logits ``[1, V]``."""
+        row = jax.tree_util.tree_map(
+            lambda a: jax.lax.slice_in_dim(a, slot, slot + 1, axis=2),
+            self.cache,
+        )
+        logits, row = forward(
+            self.params, self.cfg, toks, row, jnp.int32(0)
+        )
+        self.cache = jax.tree_util.tree_map(
+            lambda full, part: jax.lax.dynamic_update_slice(
+                full, part, (0, 0, slot) + (0,) * (full.ndim - 3)
+            ),
+            self.cache, row,
+        )
+        return logits[:, -1]
+
+    def _decode(self) -> jnp.ndarray:
+        """One batched decode step over all slots -> logits [n_slots, V]."""
+        logits, self.cache = decode_step_batched(
+            self.params, self.cfg,
+            jnp.asarray(self.tokens), self.cache,
+            jnp.asarray(self.lengths),
+        )
+        return logits
+
+    def _on_release(self, slot: int) -> None:
+        """Slot freed (request finished or preempted)."""
 
     # ---- request API ------------------------------------------------------
 
@@ -108,30 +146,21 @@ class BatchEngine:
             slot = self._free_slot()
             if slot is None:
                 return
-            req = self.waiting.popleft()
+            req = self.waiting[0]
             n = len(req.prompt_ids)
             if n + req.gen.max_new_tokens > self.max_seq:
+                self.waiting.popleft()
                 req.done = True
                 req.finished_at = time.time()
                 self.finished[req.rid] = req
                 continue
-            # single-row prefill into this slot's cache rows
-            row = jax.tree_util.tree_map(
-                lambda a: jax.lax.slice_in_dim(a, slot, slot + 1, axis=2),
-                self.cache,
-            )
+            if not self._can_admit(req):
+                return  # no capacity right now (e.g. page pool exhausted)
+            self.waiting.popleft()
             toks = jnp.asarray([req.prompt_ids], jnp.int32)
-            logits, row = forward(
-                self.params, self.cfg, toks, row, jnp.int32(0)
-            )
-            self.cache = jax.tree_util.tree_map(
-                lambda full, part: jax.lax.dynamic_update_slice(
-                    full, part, (0, 0, slot) + (0,) * (full.ndim - 3)
-                ),
-                self.cache, row,
-            )
+            last_logits = self._prefill_slot(slot, toks)
             self._key, sub = jax.random.split(self._key)
-            first = int(sample_logits(logits[:, -1], sub, req.gen,
+            first = int(sample_logits(last_logits, sub, req.gen,
                                       jnp.zeros((1, self.cfg.vocab_size),
                                                 bool))[0])
             req.slot = slot
@@ -150,6 +179,7 @@ class BatchEngine:
         req.finished_at = time.time()
         self.finished[req.rid] = req
         self.slots[req.slot] = None
+        self._on_release(req.slot)
 
     def _record(self, req: Request, token: int) -> None:
         req.out_ids.append(token)
@@ -166,11 +196,7 @@ class BatchEngine:
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return {}
-        logits, self.cache = decode_step_batched(
-            self.params, self.cfg,
-            jnp.asarray(self.tokens), self.cache,
-            jnp.asarray(self.lengths),
-        )
+        logits = self._decode()
         self._key, sub = jax.random.split(self._key)
         from awq_tpu.runtime.sampling import sample_logits_batched
 
