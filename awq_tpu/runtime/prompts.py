@@ -82,6 +82,58 @@ TEMPLATES: Dict[str, ChatTemplate] = {
         system_fmt="{system}", user_fmt="{msg}",
         assistant_prefix="", assistant_suffix="",
     ),
+    # ---- VLM conversations (``tinychat/serve/llava_conv.py`` +
+    # ``tinychat/utils/prompt_templates.py:197-342``). Prompts carry
+    # ``<image>`` / ``<vila/video>`` placeholders that the VLM tokenizers
+    # turn into media sentinels (models/vlm.py::tokenizer_image_token).
+    "llava": ChatTemplate(  # LlavaLlamaPrompter (:226)
+        system_fmt="{system}",
+        user_fmt=" USER: {msg}",
+        assistant_prefix=" ASSISTANT: ",
+        assistant_suffix="</s>",
+        default_system=(
+            "A chat between a curious human and an artificial intelligence "
+            "assistant. The assistant gives helpful, detailed, and polite "
+            "answers to the human's questions."
+        ),
+    ),
+    "llava-llama3": ChatTemplate(  # LlavaLlama3Prompter (:237)
+        system_fmt=(
+            "<|begin_of_text|><|start_header_id|>system<|end_header_id|>"
+            "\n\n{system}<|eot_id|>"
+        ),
+        user_fmt=(
+            "<|start_header_id|>user<|end_header_id|>\n\n{msg}<|eot_id|>"
+        ),
+        assistant_prefix="<|start_header_id|>assistant<|end_header_id|>\n\n",
+        assistant_suffix="<|eot_id|>",
+        default_system=(
+            "You are a helpful language and vision assistant. You are able "
+            "to understand the visual content that the user provides, and "
+            "assist the user with a variety of tasks using natural language."
+        ),
+        stop_strs=("<|eot_id|>", "<|end_of_text|>"),
+    ),
+    "nvila": ChatTemplate(  # NVILAPrompter (:318) — chatml-decorated
+        system_fmt="<|im_start|>system\n{system}<|im_end|>\n",
+        user_fmt="<|im_start|>user\n{msg}<|im_end|>\n",
+        assistant_prefix="<|im_start|>assistant\n",
+        assistant_suffix="<|im_end|>\n",
+        default_system="You are a helpful assistant",
+        stop_strs=("<|im_end|>",),
+    ),
+    "internvl": ChatTemplate(  # InternVL3Prompter (:330)
+        system_fmt="<|im_start|>system\n{system}<|im_end|>\n",
+        user_fmt="<|im_start|>user\n{msg}<|im_end|>\n",
+        assistant_prefix="<|im_start|>assistant\n",
+        assistant_suffix="<|im_end|>\n",
+        default_system=(
+            "你是书生·万象，英文名是InternVL，是由上海人工智能实验室、清华大学及"
+            "多家合作单位联合开发的多模态大语言模型。你可以理解用户提供的视觉内容，"
+            "并使用自然语言帮助用户完成各种任务。"
+        ),
+        stop_strs=("<|im_end|>",),
+    ),
 }
 
 
@@ -122,6 +174,14 @@ def get_prompter(model_type: str, model_path: str = "", system=None) -> Prompter
     """Pick a template from model family/path (counterpart of
     ``get_prompter``, ``prompt_templates.py:343-399``)."""
     p = (model_path or model_type).lower()
+    if "nvila" in p:
+        return Prompter("nvila", system)
+    if "internvl" in p:
+        return Prompter("internvl", system)
+    if ("llava" in p or "vila" in p) and ("llama-3" in p or "llama3" in p):
+        return Prompter("llava-llama3", system)
+    if "llava" in p or "vila" in p:
+        return Prompter("llava", system)
     if "llama-3" in p or "llama3" in p:
         return Prompter("llama3", system)
     if "vicuna" in p:
@@ -144,7 +204,10 @@ def get_stop_token_ids(model_type: str, tokenizer=None) -> List[int]:
         ids.append(int(tokenizer.eos_token_id))
     if tokenizer is not None:
         for s in TEMPLATES.get(
-            "llama3" if "llama-3" in p or "llama3" in p
+            "nvila" if ("nvila" in p or "internvl" in p)
+            else "llava-llama3" if (("llava" in p or "vila" in p)
+                                    and ("llama-3" in p or "llama3" in p))
+            else "llama3" if "llama-3" in p or "llama3" in p
             else "chatml" if "qwen" in p else "raw"
         ).stop_strs:
             try:

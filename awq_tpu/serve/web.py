@@ -28,19 +28,36 @@ PAGE = """<!doctype html>
 <div id="log"></div>
 <div id="row"><input id="msg" placeholder="Say something..." autofocus>
 <button id="send">Send</button><button id="clear">Clear</button></div>
+<div id="row"><input type="file" id="img" accept="image/*" multiple>
+<span class="meta">attach image(s) — sent as &lt;image&gt; to VLM
+workers (gradio_web_server.py:363-630 counterpart)</span></div>
 <script>
 const log = document.getElementById('log');
 const msg = document.getElementById('msg');
+const img = document.getElementById('img');
 let first = true;
+function readB64(f) {
+  return new Promise(res => { const r = new FileReader();
+    r.onload = () => res(r.result.split(',')[1]); r.readAsDataURL(f); });
+}
 async function send() {
   const text = msg.value.trim(); if (!text) return;
   msg.value = '';
-  log.innerHTML += `<div class="u">USER: ${text}</div>`;
+  const images = [];
+  for (const f of img.files) images.push(await readB64(f));
+  img.value = '';
+  let prompt = text;
+  if (images.length && !prompt.includes('<image>'))
+    prompt = '<image>'.repeat(images.length) + '\\n' + prompt;
+  log.innerHTML += `<div class="u">USER: ${text}` +
+    (images.length ? ` [${images.length} image(s)]` : '') + `</div>`;
   const div = document.createElement('div'); div.className = 'a';
   div.textContent = 'ASSISTANT: '; log.appendChild(div);
+  const body = {prompt, continue_dialogue: !first};
+  if (images.length) body.images = images;
   const r = await fetch('/chat', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
-    body: JSON.stringify({prompt: text, continue_dialogue: !first})});
+    body: JSON.stringify(body)});
   first = false;
   const reader = r.body.getReader();
   const dec = new TextDecoder();

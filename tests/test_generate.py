@@ -109,3 +109,23 @@ def test_prompter_delta_mode():
     d2 = p.delta_prompt()
     assert d2.startswith("hello!") and "bye" in d2 and "hi" not in d2
     assert p.full_prompt == d1 + d2
+
+
+def test_vlm_prompter_routing():
+    """VLM templates route by model path (prompt_templates.py:343-399 +
+    llava_conv.py counterparts)."""
+    assert get_prompter("llama", "llava-v1.5-7b").name == "llava"
+    assert get_prompter("llama", "VILA-7b").name == "llava"
+    assert get_prompter("llama", "llava-llama-3-8b").name == "llava-llama3"
+    assert get_prompter("nvila", "NVILA-8B").name == "nvila"
+    assert get_prompter("internvl3", "InternVL3-8B").name == "internvl"
+    # VLM routing must not shadow the text families
+    assert get_prompter("llama", "llama-3-8b").name == "llama3"
+    assert get_prompter("llama", "vicuna-7b").name == "vicuna"
+
+    p = get_prompter("nvila", "NVILA-8B")
+    p.insert_prompt("<image>\nwhat is this?")
+    t = p.full_prompt
+    assert t.startswith("<|im_start|>system\n")
+    assert "<|im_start|>user\n<image>" in t
+    assert t.endswith("<|im_start|>assistant\n")

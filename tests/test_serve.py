@@ -117,3 +117,104 @@ def test_shortest_queue_dispatch(engine):
         assert addr["address"] == "http://w2"
     finally:
         c.stop()
+
+
+# ---------------------------------------------------------------------------
+# VLM worker: base64 image -> streamed generation (the reference serving
+# layer is fundamentally a VLM server, model_worker_new.py:258-336)
+# ---------------------------------------------------------------------------
+
+
+class VLMFakeTokenizer(FakeTokenizer):
+    bos_token_id = 1
+
+    def encode(self, text):
+        return [self.bos_token_id] + [min(ord(c), 127) for c in text]
+
+
+def _tiny_vlm():
+    import jax.numpy as jnp
+
+    from awq_tpu.models.layers import Linear
+    from awq_tpu.models.vision import VisionConfig, init_vision_params
+    from awq_tpu.models.vlm import MMProjector, VLM
+
+    vis_cfg = VisionConfig(
+        image_size=28, patch_size=14, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2,
+    )
+    vis_params = init_vision_params(vis_cfg, jax.random.PRNGKey(0))
+    llm_cfg = ModelConfig(
+        arch="llama", vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=16,
+        max_position_embeddings=256, dtype="float32",
+    )
+    llm_params = init_params(llm_cfg, jax.random.PRNGKey(1))
+    proj = MMProjector(
+        fc1=Linear(w=jnp.ones((32, 48), jnp.float32) * 0.05),
+        fc2=Linear(w=jnp.ones((48, 64), jnp.float32) * 0.05),
+    )
+    return VLM(vis_cfg, vis_params, proj, llm_cfg, llm_params)
+
+
+def _png_b64(size=8):
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.fromarray(
+        (np.linspace(0, 255, size * size * 3).reshape(size, size, 3)
+         ).astype("uint8"))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+@pytest.fixture()
+def vlm_stack():
+    from awq_tpu.serve.vlm_worker import VLMWorker
+
+    c = Controller(port=0)
+    c.start()
+    w = VLMWorker(_tiny_vlm(), VLMFakeTokenizer(), "tiny-llava",
+                  arch="llava", controller_url=c.url, port=0,
+                  max_seq_len=128)
+    w.start()
+    yield c, w
+    w.stop()
+    c.stop()
+
+
+def test_vlm_worker_streams_image_generation(vlm_stack):
+    c, w = vlm_stack
+    addr = post_json(c.url + "/get_worker_address",
+                     {"model": "tiny-llava"})["address"]
+    assert addr == w.url
+    chunks = list(post_stream(addr + "/worker_generate_stream", {
+        "prompt": "<image>\ndescribe", "images": [_png_b64()],
+        "max_new_tokens": 6, "greedy": True, "stream_interval": 1,
+    }))
+    assert chunks and chunks[-1]["finished"]
+    assert all(ch["error_code"] == 0 for ch in chunks)
+    assert "timing" in chunks[-1]
+
+
+def test_vlm_worker_rejects_token_mismatch(vlm_stack):
+    c, w = vlm_stack
+    chunks = list(post_stream(w.url + "/worker_generate_stream", {
+        "prompt": "no image token here", "images": [_png_b64()],
+        "max_new_tokens": 4,
+    }))
+    assert chunks[-1]["error_code"] == 1
+    assert "does not match" in chunks[-1]["text"]
+
+
+def test_vlm_worker_text_only(vlm_stack):
+    c, w = vlm_stack
+    chunks = list(post_stream(w.url + "/worker_generate_stream", {
+        "prompt": "hello", "max_new_tokens": 4, "greedy": True,
+    }))
+    assert chunks[-1]["finished"]
+    assert chunks[-1]["error_code"] == 0
