@@ -104,3 +104,32 @@ def test_lm_eval_generate_until_batched_matches_batch1(tiny):
     lm3 = LMEvalAdaptor(params, cfg, tok, max_length=64, batch_size=3)
     batched = lm3.generate_until(reqs())
     assert batched == one_by_one
+
+
+def test_evaluate_tasks_through_vendored_harness(tiny, monkeypatch):
+    """evaluate_tasks meets a (vendored) lm_eval with the real v0.4 call
+    shape: Instance objects with .args tuples in, lists out, results
+    dict back — pins the integration surface the real harness uses
+    (reference runs it at awq/entry.py:335-346)."""
+    import os
+    import sys
+
+    vend = os.path.join(os.path.dirname(__file__), "vendored")
+    monkeypatch.syspath_prepend(vend)
+    for m in [m for m in sys.modules if m.split(".")[0] == "lm_eval"]:
+        del sys.modules[m]
+
+    from awq_tpu.eval.lm_eval_adaptor import evaluate_tasks
+
+    cfg, params = tiny
+    tok = FakeTokenizer(cfg.vocab_size)
+    lm = LMEvalAdaptor(params, cfg, tok, max_length=64, batch_size=2)
+    out = evaluate_tasks(
+        lm, ["fake_mc", "fake_ppl", "fake_gen"], num_fewshot=0,
+        batch_size=2,
+    )
+    res = out["results"]
+    assert set(res) == {"fake_mc", "fake_ppl", "fake_gen"}
+    assert 0.0 <= res["fake_mc"]["acc"] <= 1.0
+    assert res["fake_ppl"]["word_perplexity"] > 0
+    assert 0.0 <= res["fake_gen"]["n_nonempty"] <= 1.0
