@@ -155,8 +155,12 @@ def init_qparams(
     ks = iter(jax.random.split(key, 32))
 
     def qlin(ic, oc, bias):
-        # random int4 codes + smooth scales => well-conditioned activations
-        qw = jax.random.randint(next(ks), (L, ic // 8, oc), -(2**31), 2**31 - 1,
+        # random codes + smooth scales => well-conditioned activations.
+        # w_bit==3 synthesizes the TRUE dense 3-bit runtime layout so the
+        # W3 decode bench streams real W3 bytes.
+        dense3 = qcfg.w_bit == 3 and ic % 256 == 0
+        rows = ic * 3 // 32 if dense3 else ic // 8
+        qw = jax.random.randint(next(ks), (L, rows, oc), -(2**31), 2**31 - 1,
                                 jnp.int32)
         s = jax.random.uniform(next(ks), (L, ic // g, oc), jnp.float32,
                                0.5, 1.5) * (scale / 4)
@@ -164,7 +168,7 @@ def init_qparams(
         return QLinear(
             qweight=qw, scales=s, szeros=z,
             bias=jnp.zeros((L, oc), dt) if bias else None,
-            w_bit=qcfg.w_bit, group_size=g,
+            w_bit=qcfg.w_bit, group_size=g, dense3=dense3,
         )
 
     layers = {
@@ -222,13 +226,15 @@ def fuse_linears(params: Params, cfg: ModelConfig,
     def cat(parts):
         a = parts[0]
         if isinstance(a, QLinear):
+            # OC is the lane axis in BOTH the nibble and dense-3 layouts,
+            # so concatenation along it is layout-preserving
             return QLinear(
                 qweight=jnp.concatenate([p.qweight for p in parts], axis=-1),
                 scales=jnp.concatenate([p.scales for p in parts], axis=-1),
                 szeros=jnp.concatenate([p.szeros for p in parts], axis=-1),
                 bias=(jnp.concatenate([p.bias for p in parts], axis=-1)
                       if a.bias is not None else None),
-                w_bit=a.w_bit, group_size=a.group_size,
+                w_bit=a.w_bit, group_size=a.group_size, dense3=a.dense3,
             )
         return Linear(
             w=jnp.concatenate([p.w for p in parts], axis=-1),

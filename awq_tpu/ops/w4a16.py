@@ -35,7 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from awq_tpu.quant.core import quantize_groupwise
-from awq_tpu.quant.packing import pack_int4, unpack_int4
+from awq_tpu.quant.packing import (
+    pack_int3,
+    pack_int4,
+    unpack_int3,
+    unpack_int4,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -61,6 +66,11 @@ class QLinear:
     group_size: int = dataclasses.field(default=128, metadata=dict(static=True))
     tiled_bn: int = dataclasses.field(default=0, metadata=dict(static=True))
     folded: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # dense3: qweight is the TRUE 3-bit runtime layout [IC*3//32, OC]
+    # (quant/packing.py::pack_int3) — 0.75x the decode bytes of the
+    # nibble container. w_bit==3 WITHOUT dense3 means 3-bit codes in the
+    # int4 nibble container (IC % 256 fallback / legacy checkpoints).
+    dense3: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def in_features(self) -> int:
@@ -70,6 +80,8 @@ class QLinear:
             # G inputs occupies G/8 code rows + 1 packed qparam row
             # (bf16 scale | bf16 szero)
             return (rows // (self.group_size // 8 + 1)) * self.group_size
+        if self.dense3:
+            return rows * 32 // 3
         return rows * 8
 
     @property
@@ -93,13 +105,15 @@ def quantize_linear(
     """
     g = w.shape[0] if group_size == -1 else group_size
     q, s, z = quantize_groupwise(w, n_bit=n_bit, group_size=g, clip_max=clip_max)
+    dense3 = n_bit == 3 and w.shape[0] % 256 == 0
     return QLinear(
-        qweight=pack_int4(q),
+        qweight=pack_int3(q) if dense3 else pack_int4(q),
         scales=s.astype(scale_dtype),
         szeros=(s * z).astype(scale_dtype),
         bias=bias,
         w_bit=n_bit,
         group_size=g,
+        dense3=dense3,
     )
 
 
@@ -108,9 +122,14 @@ def quantize_linear(
 # --------------------------------------------------------------------------
 
 
-def w4a16_matmul_xla(x, qweight, scales, szeros, group_size: int):
-    ic = qweight.shape[0] * 8
-    q = unpack_int4(qweight, out_dtype=jnp.float32)
+def w4a16_matmul_xla(x, qweight, scales, szeros, group_size: int,
+                     dense3: bool = False):
+    if dense3:
+        q = unpack_int3(qweight, out_dtype=jnp.float32)
+        ic = qweight.shape[0] * 32 // 3
+    else:
+        q = unpack_int4(qweight, out_dtype=jnp.float32)
+        ic = qweight.shape[0] * 8
     n_g = ic // group_size
     qg = q.reshape(n_g, group_size, -1)
     w = qg * scales[:, None, :] - szeros[:, None, :]
@@ -222,6 +241,113 @@ def w4a16_matmul_pallas(
         ),
         interpret=(jax.default_backend() == "cpu"),
     )(x, qweight, scales, szeros)
+    return out[:m] if m_pad else out
+
+
+def _unpack_block3(w):
+    """int32 ``[bkp, bn]`` dense-3-bit block -> int32 codes
+    ``[bkp*32//3, bn]`` (layout: ``quant/packing.py::pack_int3``). All
+    extraction ops work on whole 8-row sublane tiles, like
+    :func:`_unpack_block` — 48 shift/ands per 256 codes vs 32 for int4,
+    irrelevant next to the 25% HBM-byte saving on a bandwidth-bound
+    decode."""
+    bkp, bn = w.shape
+    nc = bkp // 24
+    w3 = w.reshape(nc, 24, bn)
+    lo = w3[:, :16].reshape(nc, 2, 8, bn)
+    hi = w3[:, 16:]
+    planes = [((lo[:, s >> 4] >> (2 * (s & 15))) & 3) | (((hi >> s) & 1) << 2)
+              for s in range(32)]
+    return jnp.stack(planes, axis=1).reshape(nc * 256, bn)
+
+
+def _chunk_groups(ic: int, group_size: int):
+    """(group, in-chunk offset, length) pieces for each 256-IC chunk."""
+    assert 256 % group_size == 0 or group_size % 256 == 0, group_size
+    out = []
+    for c in range(ic // 256):
+        if group_size >= 256:
+            out.append([(c * 256 // group_size, 0, 256)])
+        else:
+            gpc = 256 // group_size
+            out.append([(c * gpc + j, j * group_size, group_size)
+                        for j in range(gpc)])
+    return out
+
+
+def _w3a16_kernel_stacked(idx_ref, x_ref, qw_ref, s_ref, sz_ref, o_ref,
+                          *, group_size: int, out_dtype):
+    """W3A16 sibling of :func:`_w4a16_kernel_stacked`: full-K block,
+    per-256-IC-chunk unpack of the dense 3-bit layout, same
+    matmul-then-scale identity (out += s_g * (x_g @ q_g) - sum(x_g)*sz_g)."""
+    del idx_ref
+    x = x_ref[:]
+    ic = x.shape[1]
+    acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
+    for c, pieces in enumerate(_chunk_groups(ic, group_size)):
+        wq = _unpack_block3(
+            qw_ref[0, c * 24:(c + 1) * 24, :]
+        ).astype(jnp.bfloat16)                          # [256, bn]
+        for g, off, ln in pieces:
+            xg = x[:, c * 256 + off:c * 256 + off + ln]
+            part = jnp.dot(xg, wq[off:off + ln],
+                           preferred_element_type=jnp.float32)
+            xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc + part * s_ref[0, g, :][None, :] \
+                - xsum * sz_ref[0, g, :][None, :]
+    o_ref[:] = acc.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "block_m", "block_n")
+)
+def w3a16_matmul_stacked(
+    x, qweight, scales, szeros, layer_idx, group_size: int,
+    block_m: int = 0, block_n: int = 512,
+):
+    """Stacked dense-3-bit matmul ``[L, IC*3//32, OC]``; streams 0.75x
+    the weight bytes of :func:`w4a16_matmul_stacked`. No reference
+    counterpart exists (``qmodule.py:82`` asserts w_bit==4)."""
+    m, ic = x.shape
+    _, icp, oc = qweight.shape
+    bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
+    bn = _pick_block(oc, (block_n, 256, 128))
+    bm = _cap_bm(bm, ic, bn, group_size)
+    m_pad = -m % bm
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    grid = (x.shape[0] // bm, oc // bn)
+    idx = jnp.reshape(layer_idx, (1,)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, ic), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, icp, bn), lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, ic // group_size, bn),
+                         lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, ic // group_size, bn),
+                         lambda i, j, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _w3a16_kernel_stacked, group_size=group_size, out_dtype=x.dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], oc), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * x.shape[0] * ic * oc,
+            bytes_accessed=ic * oc * 3 // 8,
+            transcendentals=0,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(idx, x, qweight, scales, szeros)
     return out[:m] if m_pad else out
 
 
@@ -403,6 +529,8 @@ def tile_qlinear(ql: QLinear, block_n: int = 512,
     """
     if fold_scales and ql.group_size != 128:
         fold_scales = False
+    if ql.dense3:
+        return ql  # dense 3-bit layout has its own streaming kernel
     if ql.tiled_bn or ql.qweight.shape[-1] % block_n != 0:
         return ql
     qw = ql.qweight
@@ -746,7 +874,18 @@ def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
     """
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if jax.default_backend() == "tpu" and ql.tiled_bn and ql.folded:
+    if ql.dense3:
+        if jax.default_backend() == "tpu":
+            out = w3a16_matmul_stacked(
+                x2, ql.qweight, ql.scales, ql.szeros, layer_idx,
+                ql.group_size,
+            )
+        else:
+            out = w4a16_matmul_xla(
+                x2, ql.qweight[layer_idx], ql.scales[layer_idx],
+                ql.szeros[layer_idx], ql.group_size, dense3=True,
+            )
+    elif jax.default_backend() == "tpu" and ql.tiled_bn and ql.folded:
         if a8 and x2.shape[0] >= 64 and ql.group_size == 128:
             out = w4a8_matmul_stacked_tiled_folded(
                 x2, ql.qweight, layer_idx, ql.group_size, ql.tiled_bn,
@@ -808,6 +947,22 @@ def w4a16_matmul(
 
 def qlinear_apply(ql: QLinear, x: jax.Array, impl: str = "auto") -> jax.Array:
     """Apply a quantized linear layer: ``x @ W_deq + bias``."""
+    if ql.dense3:
+        if jax.default_backend() == "tpu" and impl != "xla":
+            out = w3a16_matmul_stacked(
+                x.reshape(-1, x.shape[-1]), ql.qweight[None],
+                ql.scales[None], ql.szeros[None], jnp.int32(0),
+                ql.group_size,
+            ).reshape(*x.shape[:-1], ql.out_features)
+        else:
+            lead = x.shape[:-1]
+            out = w4a16_matmul_xla(
+                x.reshape(-1, x.shape[-1]), ql.qweight, ql.scales,
+                ql.szeros, ql.group_size, dense3=True,
+            ).reshape(*lead, ql.out_features)
+        if ql.bias is not None:
+            out = out + ql.bias.astype(out.dtype)
+        return out
     qw = ql.qweight
     if ql.tiled_bn:
         qw = untile_qweight(

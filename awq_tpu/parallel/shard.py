@@ -94,7 +94,7 @@ def _qlinear_specs(path: str, ql, tp: int):
         qweight=qspec, scales=sspec, szeros=sspec,
         bias=None if ql.bias is None else P(),
         w_bit=ql.w_bit, group_size=ql.group_size,
-        tiled_bn=ql.tiled_bn, folded=ql.folded,
+        tiled_bn=ql.tiled_bn, folded=ql.folded, dense3=ql.dense3,
     )
 
 

@@ -97,6 +97,10 @@ def check_tp_compatible(params: Dict[str, Any], cfg: ModelConfig,
                     f"tp={tp} must divide the group count {n_g} of "
                     f"row-parallel {path} (IC shards must hold whole "
                     "quantization groups)")
+            if leaf.dense3 and (leaf.in_features // tp) % 256:
+                raise ValueError(
+                    f"dense-3-bit row-parallel {path}: IC/tp must be a "
+                    "multiple of the 256-channel packing chunk")
 
 
 def cache_specs(cache, shard_kv: bool = True):

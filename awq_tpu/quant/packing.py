@@ -23,10 +23,25 @@ Within each chunk of 64 input channels, code for input channel
 - Quantization groups (multiples of 64 input channels) map to whole chunks,
   so per-group scales broadcast along full sublane tiles.
 
-INT3 weights reuse the same container with codes 0..7 (one wasted bit —
-the reference has *no* INT3 runtime at all, only pseudo-quant:
-``qmodule.py:82`` hard-asserts w_bit==4). A dense 3-bit bitplane codec
-(``pack_int3_dense``) is provided for checkpoint storage.
+INT3 runtime layout (``pack_int3``)
+-----------------------------------
+``q [IC, OC] (codes 0..7)  ->  packed int32 [IC*3//32, OC]`` — true
+3-bit density, 0.75x the HBM bytes of the nibble container. Decode is
+purely bandwidth-bound, so this is the whole point of W3 at decode (the
+reference has *no* INT3 runtime at all, only pseudo-quant:
+``qmodule.py:82`` hard-asserts w_bit==4). Layout per 256-IC chunk
+(24 words), chosen so every extraction op works on whole 8-row sublane
+tiles with no interleave, like the int4 layout:
+
+- rows 0..15 (two 8-row groups ``g``): 2-bit LOW planes — word
+  ``(g, r)`` bit ``2*s_lo .. 2*s_lo+1`` holds the low 2 bits of the code
+  at ``ic = 256c + 8*(16g + s_lo) + r``.
+- rows 16..23: 1-bit HIGH plane — word ``r`` bit ``s`` holds the high
+  bit of the code at ``ic = 256c + 8s + r`` (s in 0..31).
+
+Requires ``IC % 256 == 0`` (all deploy geometries); otherwise INT3
+falls back to the nibble container. A dense 3-bit bitplane codec
+(``pack_int3_dense``) is additionally provided for checkpoint storage.
 """
 
 from __future__ import annotations
@@ -62,6 +77,48 @@ def unpack_int4(packed: jnp.ndarray, out_dtype=jnp.uint8) -> jnp.ndarray:
     # [c, s, r, oc] -> [ic, oc]
     out = jnp.stack(planes, axis=1).reshape(icp * 8, oc)
     return out.astype(out_dtype)
+
+
+INT3_CHUNK = 256        # input channels per runtime-layout chunk
+INT3_ROWS = 24          # packed words per chunk (16 lo + 8 hi)
+
+
+def pack_int3(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack uint8 codes ``[IC, OC]`` (values < 8) into the dense 3-bit
+    runtime layout: int32 ``[IC*3//32, OC]`` (see module docstring)."""
+    ic, oc = q.shape
+    if ic % INT3_CHUNK != 0:
+        raise ValueError(f"IC={ic} must be divisible by {INT3_CHUNK}")
+    nc = ic // INT3_CHUNK
+    qc = q.reshape(nc, 32, 8, oc).astype(jnp.uint32)   # [c, s, r, oc]
+    lo = jnp.zeros((nc, 2, 8, oc), jnp.uint32)         # [c, g, r, oc]
+    for s in range(32):
+        g, s_lo = s >> 4, s & 15
+        lo = lo.at[:, g].set(lo[:, g] | ((qc[:, s] & 3) << (2 * s_lo)))
+    hi = jnp.zeros((nc, 8, oc), jnp.uint32)            # [c, r, oc]
+    for s in range(32):
+        hi = hi | ((qc[:, s] >> 2) << s)
+    rows = jnp.concatenate([lo.reshape(nc, 16, oc), hi], axis=1)
+    return rows.reshape(nc * INT3_ROWS, oc).view(jnp.int32)
+
+
+def unpack_int3(packed: jnp.ndarray, out_dtype=jnp.uint8) -> jnp.ndarray:
+    """Inverse of :func:`pack_int3`: int32 ``[IC*3//32, OC]`` -> codes
+    ``[IC, OC]``. The same shift/mask/stack sequence runs inside the
+    Pallas W3A16 kernels per 24-row chunk."""
+    nrows, oc = packed.shape
+    nc = nrows // INT3_ROWS
+    w = packed.view(jnp.uint32).reshape(nc, INT3_ROWS, oc)
+    lo = w[:, :16].reshape(nc, 2, 8, oc)               # [c, g, r, oc]
+    hi = w[:, 16:]                                     # [c, r, oc]
+    lo_planes = jnp.stack(
+        [(lo[:, s >> 4] >> (2 * (s & 15))) & 3 for s in range(32)], axis=1
+    )                                                  # [c, s, r, oc]
+    hi_planes = jnp.stack(
+        [(hi >> s) & 1 for s in range(32)], axis=1
+    )                                                  # [c, s, r, oc]
+    out = lo_planes | (hi_planes << 2)
+    return out.reshape(nc * INT3_CHUNK, oc).astype(out_dtype)
 
 
 def pack_int3_dense(q: jnp.ndarray) -> jnp.ndarray:

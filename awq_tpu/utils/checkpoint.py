@@ -44,6 +44,7 @@ def _flatten(params: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
                 "group_size": v.group_size,
                 "tiled_bn": v.tiled_bn,
                 "folded": v.folded,
+                "dense3": v.dense3,
             }
             flat[name + ".qweight"] = v.qweight
             flat[name + ".scales"] = v.scales
@@ -86,6 +87,7 @@ def _unflatten(flat: Dict[str, np.ndarray], tags: Dict[str, Any]) -> Dict[str, A
                 group_size=tag["group_size"],
                 tiled_bn=tag.get("tiled_bn", 0),
                 folded=tag.get("folded", False),
+                dense3=tag.get("dense3", False),
             ))
         elif kind == "linear":
             put(name, Linear(
