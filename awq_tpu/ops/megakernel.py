@@ -66,7 +66,7 @@ from awq_tpu.ops.w4a16 import QLinear, _unpack_block, _unpack_block_bf16
 
 
 def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
-               unpack="bf16"):
+               unpack="bf16", p_s=None):
     """One [1, bn] output block of a W4A16 matmul whose LHS is a single
     row vector stored as rows ``x_rows [IC/128, 128]`` (f32, rows
     ``row0..row0+n_g``). ``wbuf[slot]`` holds the CURRENT folded block:
@@ -84,6 +84,161 @@ def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
     """
     icp = n_g * 16
     acc = jnp.zeros((1, bn), jnp.float32)
+    if unpack == "floor":
+        # DMA-floor probe (wrong results, timing only): same block/DMA
+        # structure, compute replaced by one row-read per group so the
+        # stream can't be elided. Used by scripts/exp_megafloor.py to
+        # separate "what the DMA pipeline can stream" from "what the
+        # compute hides".
+        for g in range(n_g):
+            acc = acc + pltpu.bitcast(
+                wbuf[slot, g * 16:g * 16 + 1, :bn], jnp.float32)
+        return acc
+    if unpack == "pscratch":
+        # Chain-free epilogue: the round-2 kernel's per-group
+        # ``acc = acc + part*s - xsum*sz`` is a SERIAL chain of 3*n_g
+        # single-sublane VPU ops — measured ~0.7 ms/token of exposed
+        # compute at the 8B geometry (scripts/exp_megafloor.py: nofma
+        # 6.86 vs bf16 7.59 ms). Here each group's scaled partial goes
+        # to its own scratch row (independent -> full ILP), and the
+        # reduction over groups plus the szero correction become two
+        # m=1 MXU dots per block. The szero dot consumes the RAW
+        # interleaved qparam rows (s|sz per int32 row -> bf16 rows
+        # alternate s, sz) with zero weights on the scale rows, so no
+        # strided sublane slicing is ever needed.
+        qpall = pltpu.bitcast(wbuf[slot, icp:icp + n_g, :bn],
+                              jnp.bfloat16)              # [2n_g, bn]
+        for g in range(n_g):
+            wq = _unpack_block_bf16(
+                wbuf[slot, g * 16:(g + 1) * 16, :bn]) - jnp.bfloat16(128)
+            xg = x_rows[row0 + g][None, :]
+            part = jnp.dot(xg.astype(jnp.bfloat16), wq,
+                           preferred_element_type=jnp.float32)
+            qp = qpall[2 * g:2 * g + 2].astype(jnp.float32)  # [2,bn]: s,sz
+            p_s[g:g + 1, :bn] = part * qp[0:1] - xsums[0, g] * qp[1:2]
+        ones = jnp.ones((1, n_g), jnp.float32)
+        return jax.lax.dot_general(
+            ones, p_s[0:n_g, :bn], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if unpack == "pscratch2":
+        # Interleave-matched scratch epilogue: p_s rows 2g+1 were
+        # prefilled (once per PHASE, by run_phase) with -xsum_g; each
+        # block stores its raw part into row 2g, then
+        #   out = ones[1, 2n_g] @ (p_s  *  qpall_f32)
+        # where qpall is the RAW interleaved qparam band (bf16 rows
+        # alternate s_g, sz_g), so row 2g contributes part_g * s_g and
+        # row 2g+1 contributes -xsum_g * sz_g — the entire scale/szero
+        # epilogue is ONE [2n_g, bn] multiply and ONE m=1 dot per
+        # block, with no strided slicing and no per-group VPU chain.
+        qpf = pltpu.bitcast(wbuf[slot, icp:icp + n_g, :bn],
+                            jnp.bfloat16).astype(jnp.float32)
+        for g in range(n_g):
+            wq = _unpack_block_bf16(
+                wbuf[slot, g * 16:(g + 1) * 16, :bn]) - jnp.bfloat16(128)
+            xg = x_rows[row0 + g][None, :]
+            p_s[2 * g:2 * g + 1, :bn] = jnp.dot(
+                xg.astype(jnp.bfloat16), wq,
+                preferred_element_type=jnp.float32)
+        ones = jnp.ones((1, 2 * n_g), jnp.float32)
+        return jax.lax.dot_general(
+            ones, p_s[0:2 * n_g, :bn] * qpf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if unpack == "pscratch3":
+        # pscratch2 + biased dots: skip the per-group [128, bn] ``-128``
+        # centering (the largest remaining VPU op) and subtract
+        # ``128 * xsum_g`` from the raw part instead — a [1, bn]-scalar
+        # FMA. Exactness: the dot consumes bf16(x), and _row_sums
+        # rounds x to bf16 before summing, so the 128-column of the
+        # biased weights contributes 128 * xsum_g up to f32 accumulation
+        # order (the round-2 mismatch came from summing UNROUNDED f32 x).
+        qpf = pltpu.bitcast(wbuf[slot, icp:icp + n_g, :bn],
+                            jnp.bfloat16).astype(jnp.float32)
+        for g in range(n_g):
+            wq = _unpack_block_bf16(wbuf[slot, g * 16:(g + 1) * 16, :bn])
+            xg = x_rows[row0 + g][None, :]
+            part = jnp.dot(xg.astype(jnp.bfloat16), wq,
+                           preferred_element_type=jnp.float32)
+            p_s[2 * g:2 * g + 1, :bn] = part - 128.0 * xsums[0, g]
+        ones = jnp.ones((1, 2 * n_g), jnp.float32)
+        return jax.lax.dot_general(
+            ones, p_s[0:2 * n_g, :bn] * qpf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if unpack == "qonce":
+        # bf16 path with the qparam band bitcast+converted ONCE per
+        # block (one [2n_g, bn] convert) instead of one small bitcast
+        # per group
+        qpf = pltpu.bitcast(wbuf[slot, icp:icp + n_g, :bn],
+                            jnp.bfloat16).astype(jnp.float32)
+        for g in range(n_g):
+            wq = _unpack_block_bf16(
+                wbuf[slot, g * 16:(g + 1) * 16, :bn]) - jnp.bfloat16(128)
+            xg = x_rows[row0 + g][None, :]
+            part = jnp.dot(xg.astype(jnp.bfloat16), wq,
+                           preferred_element_type=jnp.float32)
+            acc = (acc + part * qpf[2 * g:2 * g + 1]
+                   - xsums[0, g] * qpf[2 * g + 1:2 * g + 2])
+        return acc
+    if unpack == "rawdot":
+        # probe: dots against raw (wrong) weight bits, no unpack, no
+        # scales — isolates the m=1 MXU dot cost over the DMA floor
+        for g in range(n_g):
+            wq = pltpu.bitcast(wbuf[slot, 0:64, :bn], jnp.bfloat16)
+            xg = x_rows[row0 + g][None, :]
+            acc = acc + jnp.dot(xg.astype(jnp.bfloat16), wq,
+                                preferred_element_type=jnp.float32)
+        # touch the block tail so the full DMA is still required
+        acc = acc + pltpu.bitcast(
+            wbuf[slot, icp + n_g - 1:icp + n_g, :bn], jnp.float32)
+        return acc
+    if unpack == "nodot":
+        # probe: unpack + row-reduce, no MXU dot (is the VPU unpack or
+        # the m=1 dot the exposed cost?)
+        for g in range(n_g):
+            wq = _unpack_block_bf16(
+                wbuf[slot, g * 16:(g + 1) * 16, :bn]) - jnp.bfloat16(128)
+            acc = acc + jnp.sum(wq.astype(jnp.float32), axis=0,
+                                keepdims=True)
+        return acc
+    if unpack == "nofma":
+        # probe: unpack + dot, no per-group scale/szero FMAs
+        for g in range(n_g):
+            wq = _unpack_block_bf16(
+                wbuf[slot, g * 16:(g + 1) * 16, :bn]) - jnp.bfloat16(128)
+            xg = x_rows[row0 + g][None, :]
+            acc = acc + jnp.dot(xg.astype(jnp.bfloat16), wq,
+                                preferred_element_type=jnp.float32)
+        return acc
+    if unpack.startswith("chunk"):
+        # Fewer, bigger MXU issues: pre-scale the unpacked weights by
+        # their group scale (one [128, bn] VPU FMA per group) and dot C
+        # groups at a time — [1, C*128] x [C*128, bn] — instead of one
+        # [1, 128] dot per group. The m=1 per-group dots are almost pure
+        # MXU issue overhead (~102k issues/token at the 8B geometry was
+        # the measured 1.6 ms/token of compute the DMA could not hide —
+        # scripts/exp_megafloor.py). Cost: the quantized weight value
+        # s*(q-128) rounds to bf16 before the dot (<=2^-9 relative, an
+        # order below the int4 quantization step itself); the szero
+        # correction stays exact via the f32 xsum FMA.
+        C = int(unpack[5:] or 8)
+        assert n_g % C == 0, (n_g, C)
+        qpall = pltpu.bitcast(wbuf[slot, icp:icp + n_g, :bn],
+                              jnp.bfloat16)            # [2*n_g, bn] s|sz
+        for c in range(n_g // C):
+            ws = []
+            for h in range(C):
+                g = c * C + h
+                wq = _unpack_block_bf16(
+                    wbuf[slot, g * 16:(g + 1) * 16, :bn]) - jnp.bfloat16(128)
+                ws.append(wq * qpall[2 * g:2 * g + 1])
+            wc = jnp.concatenate(ws, axis=0)           # [C*128, bn]
+            xc = x_rows[row0 + c * C:row0 + (c + 1) * C, :].reshape(
+                1, C * 128)
+            acc = acc + jnp.dot(xc.astype(jnp.bfloat16), wc,
+                                preferred_element_type=jnp.float32)
+        for g in range(n_g):
+            sz = qpall[2 * g + 1:2 * g + 2].astype(jnp.float32)
+            acc = acc - xsums[0, g] * sz
+        return acc
     for g in range(n_g):
         if unpack == "bf16":
             wq = _unpack_block_bf16(
@@ -105,8 +260,13 @@ def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
 
 def _row_sums(x_rows, n_g, row0=0):
     """[n_g, 128] rows -> [1, n_g] per-row sums (lane-major for the
-    zero-correction FMAs)."""
-    xr = x_rows[row0:row0 + n_g, :].astype(jnp.float32)
+    zero-correction FMAs).
+
+    x is rounded to bf16 FIRST: the matmul dots consume bf16(x), so the
+    szero correction (and pscratch3's folded +128 correction) must sum
+    the values the MXU actually saw, not the f32 scratch."""
+    xr = x_rows[row0:row0 + n_g, :].astype(jnp.bfloat16).astype(
+        jnp.float32)
     s = jnp.sum(xr, axis=1, keepdims=True)                 # [n_g, 1]
     return jnp.transpose(s, (1, 0))                        # [1, n_g]
 
@@ -134,7 +294,7 @@ def _rope_rows(x, cos, sin):
 def _layer_phases(
     layer, base2, h_rows, ln1_row, ln2_row, bq_row, length, cs_ref,
     weights, cache_ref, kvs_ref, kv_store,
-    xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
+    xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s, p_s,
     wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
     *, dims, unpack="bf16", tail_dma=None,
 ):
@@ -196,9 +356,17 @@ def _layer_phases(
 
             wdma(ph, layer, j, slot).wait()
             acc = _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn,
-                             unpack=unpack)
+                             unpack=unpack, p_s=p_s)
             store(acc, j)
             return 0
+
+        if unpack in ("pscratch2", "pscratch3"):
+            # prefill the odd scratch rows with -xsum_g once per phase;
+            # blocks then only write their raw parts into the even rows
+            # (see _qdot_rows)
+            for g in range(n_g):
+                p_s[2 * g + 1:2 * g + 2, :bn] = jnp.broadcast_to(
+                    -xsums[0:1, g:g + 1], (1, bn))
 
         jax.lax.fori_loop(0, nb, body, 0, unroll=False)
 
@@ -351,7 +519,7 @@ def _mega_kernel(
     wq_hbm, wo_hbm, wg_hbm, wd_hbm,
     cache_ref, kvs_ref,
     out_ref, kn_ref, vn_ref,
-    xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
+    xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s, p_s,
     wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
     *, dims, unpack="bf16",
 ):
@@ -373,7 +541,7 @@ def _mega_kernel(
         bq_ref[0].astype(jnp.float32), length, cs_ref,
         (wq_hbm, wo_hbm, wg_hbm, wd_hbm), cache_ref, kvs_ref,
         kv_store,
-        xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
+        xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s, p_s,
         wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
         dims=dims, unpack=unpack,
     )
@@ -386,7 +554,7 @@ def _token_kernel(
     wq_hbm, wo_hbm, wg_hbm, wd_hbm, wh_hbm,
     cache_ref, kvs_ref,
     out_ref, kn_ref, vn_ref, logits_ref,
-    hbuf, xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
+    hbuf, xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s, p_s,
     wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
     *, dims, n_layers, unpack="bf16", head=False,
 ):
@@ -434,7 +602,7 @@ def _token_kernel(
             l, base2, hbuf[:, :], ln_ref[l, 0], ln_ref[l, 1],
             bq_ref[l].astype(jnp.float32), length, cs_ref, weights,
             cache_ref, kvs_ref, kv_store,
-            xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s,
+            xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s, p_s,
             wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
             dims=d, unpack=unpack, tail_dma=tail_dma,
         )
@@ -470,10 +638,14 @@ def _token_kernel(
                 wh_hbm.at[0, j], wbuf.at[slot, 0:rh, 0:bnh], wsem.at[slot],
             ).wait()
             acc = _qdot_rows(xq_s, xsum_s[0:1, :ngh], wbuf, slot, ngh,
-                             bnh, unpack=unpack)
+                             bnh, unpack=unpack, p_s=p_s)
             _store_block(logits_ref, acc, j, bnh)
             return 0
 
+        if unpack in ("pscratch2", "pscratch3"):
+            for g in range(ngh):
+                p_s[2 * g + 1:2 * g + 2, :bnh] = jnp.broadcast_to(
+                    -xsum_s[0:1, g:g + 1], (1, bnh))
         jax.lax.fori_loop(0, NBH, hbody, 0, unroll=False)
 
 
@@ -519,6 +691,7 @@ def _scratches(dims, cache_dtype, nq, nkv, hd):
         pltpu.VMEM((ngi, 128), jnp.float32),                 # hm
         pltpu.VMEM((ngh, 128), jnp.float32),                 # o/down acc
         pltpu.VMEM((8, max(128, ngi)), jnp.float32),         # xsums
+        pltpu.VMEM((2 * max(ngh, ngi), wcols), jnp.float32),  # parts|-xsums
         pltpu.VMEM((2, wrows, wcols), jnp.int32),            # weight dbuf
         pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache_dtype),
         pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache_dtype),
@@ -576,6 +749,7 @@ def megakernel_supported(cfg, layers, cache) -> bool:
     scratch = (2 * wrows * wcols * 4            # weight double-buffer
                + 4 * 512 * 1024                 # cache k/v buffers
                + (6 * H + 3 * I) * 4            # activation rows (f32)
+               + 2 * max(H, I) // 128 * wcols * 4  # parts/-xsums scratch
                + 2 * cfg.num_layers * H * 4)    # stacked norms window
     if scratch > 14 * 1024 * 1024:
         return False

@@ -865,6 +865,14 @@ def w4a8_matmul_stacked_tiled_folded(
     return out * sx.astype(out.dtype)
 
 
+# W4A8 pays per-call fixed costs (per-token act quant + in-VMEM per-block
+# weight requant) that only amortize on long-enough inputs: measured on the
+# 7B geometry, a8 LOSES at seq 256 (65.5 vs 53.5 ms TTFT) and wins from
+# ~1024 up (103.8 vs 128.9). Gate on token count so short prefills never
+# regress; override for experiments via AWQ_TPU_A8_MIN_M.
+_A8_MIN_M = int(__import__("os").environ.get("AWQ_TPU_A8_MIN_M", "512"))
+
+
 def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
                           x: jax.Array, a8: bool = False) -> jax.Array:
     """Apply layer ``layer_idx`` of a stacked ``QLinear [L, ...]``.
@@ -886,7 +894,7 @@ def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
                 ql.szeros[layer_idx], ql.group_size, dense3=True,
             )
     elif jax.default_backend() == "tpu" and ql.tiled_bn and ql.folded:
-        if a8 and x2.shape[0] >= 64 and ql.group_size == 128:
+        if a8 and x2.shape[0] >= _A8_MIN_M and ql.group_size == 128:
             out = w4a8_matmul_stacked_tiled_folded(
                 x2, ql.qweight, layer_idx, ql.group_size, ql.tiled_bn,
             )

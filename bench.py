@@ -167,6 +167,27 @@ def supervise() -> None:
                         sys.argv[1:], status_path)
     _log(f"supervisor: child pid={proc.pid} budget={child_budget:.0f}s")
 
+    # The driver runs this under its own (unknown) timeout; `timeout`
+    # sends SIGTERM before SIGKILL. Emit the child's best-so-far
+    # measurement (stashed in the status file after every burst) on the
+    # way out so the driver still records a parseable line.
+    def _terminated(signum, frame):
+        st = _read_status_at(status_path)
+        if st and st.get("best"):
+            record = dict(st["best"])
+            record["degraded"] = f"supervisor killed (signal {signum})"
+            _emit(record)
+        else:
+            _emit({"metric": "w4a16_decode_latency", "value": -1.0,
+                   "unit": "ms/token", "vs_baseline": 0.0,
+                   "error": f"killed (signal {signum}) before any burst; "
+                            f"last stage: {(st or {}).get('stage')}"})
+        _stop(proc)
+        sys.exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _terminated)
+
     kill_at = _T0 + BUDGET_S - 35          # leave time for the fallback
     stall_at = _T0 + INIT_STALL_S
     reason = None
@@ -322,6 +343,19 @@ def _measure(args, cfg, max_seq, steps, metric, baseline_ms):
     jax.block_until_ready(params)
     _log("build params done")
 
+    # decode streams every packed weight byte once per token; record the
+    # per-token byte volume and the implied HBM rate alongside the
+    # latency so runs on differently-contended chips can be normalized
+    # (same-geometry runs vary +-15% with co-tenant load; the quiet-chip
+    # peak is ~820 GB/s, see PERF.md)
+    from awq_tpu.ops.w4a16 import QLinear
+
+    stream_gb = sum(
+        leaf.qweight.size * leaf.qweight.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(
+            params, is_leaf=lambda x: isinstance(x, QLinear))
+        if isinstance(leaf, QLinear)) / 1e9
+
     if args.kv8:
         from awq_tpu.models.llama import init_kv_cache8
 
@@ -360,6 +394,8 @@ def _measure(args, cfg, max_seq, steps, metric, baseline_ms):
             "value": round(ms, 3),
             "unit": "ms/token",
             "vs_baseline": round(baseline_ms / ms, 3) if baseline_ms else 0.0,
+            "stream_gb_per_token": round(stream_gb, 3),
+            "effective_gbps": round(stream_gb / ms * 1e3, 1),
         })
         _log(f"burst {i + 1}/3 done ({ms:.3f} ms/token)")
         if i < 2 and _remaining() < 10:

@@ -1,3 +1,7 @@
+import pytest
+
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import jax
 import jax.numpy as jnp

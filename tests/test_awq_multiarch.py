@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from awq_tpu.config import ModelConfig, QuantConfig
 from awq_tpu.models import forward, init_kv_cache, init_params
 from awq_tpu.quant.awq import apply_awq, run_awq

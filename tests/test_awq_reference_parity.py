@@ -27,6 +27,8 @@ import functools
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 transformers = pytest.importorskip("transformers")
 import torch  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

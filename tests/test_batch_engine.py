@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from awq_tpu.config import GenConfig, ModelConfig
 from awq_tpu.models import forward, init_kv_cache, init_params
 from awq_tpu.models.llama import decode_step_batched

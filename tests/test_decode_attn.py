@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from awq_tpu.models.layers import attention
 from awq_tpu.ops.decode_attn import flash_decode
 

@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 transformers = pytest.importorskip("transformers")
 import torch  # noqa: E402
 

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 transformers = pytest.importorskip("transformers")
 if not hasattr(transformers, "InternVLForConditionalGeneration"):
     pytest.skip("transformers lacks InternVL", allow_module_level=True)

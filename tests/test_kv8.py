@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from awq_tpu.config import GenConfig, ModelConfig
 from awq_tpu.models import forward, init_kv_cache, init_params
 from awq_tpu.models.llama import KVCache8, init_kv_cache8, quantize_kv

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from awq_tpu.config import ModelConfig, QuantConfig
 from awq_tpu.models.layers import rms_norm
 from awq_tpu.ops.megakernel import (

@@ -3,6 +3,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from awq_tpu.config import ModelConfig, QuantConfig
 from awq_tpu.models import init_params, init_kv_cache, forward, quantize_params
 from awq_tpu.models.hf_import import import_hf_model

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from awq_tpu.config import GenConfig, ModelConfig, QuantConfig
 from awq_tpu.models.llama import init_params, quantize_params
 from awq_tpu.runtime.batch_engine import BatchEngine

@@ -3,6 +3,8 @@
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.heavy
 from jax.sharding import PartitionSpec as P
 
 from awq_tpu.config import ModelConfig, QuantConfig

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from awq_tpu.config import ModelConfig, QuantConfig
 from awq_tpu.ops.w4a16 import (
     QLinear,
