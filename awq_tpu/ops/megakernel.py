@@ -66,7 +66,7 @@ from awq_tpu.ops.w4a16 import QLinear, _unpack_block, _unpack_block_bf16
 
 
 def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
-               unpack="bf16", p_s=None):
+               unpack="bf16", p_s=None, exact=False):
     """One [1, bn] output block of a W4A16 matmul whose LHS is a single
     row vector stored as rows ``x_rows [IC/128, 128]`` (f32, rows
     ``row0..row0+n_g``). ``wbuf[slot]`` holds the CURRENT folded block:
@@ -151,12 +151,19 @@ def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
         # rounds x to bf16 before summing, so the 128-column of the
         # biased weights contributes 128 * xsum_g up to f32 accumulation
         # order (the round-2 mismatch came from summing UNROUNDED f32 x).
+        # ``exact``: Pallas INTERPRET mode accumulates the dot at input
+        # precision, which the biased parts' ~128x magnitude amplifies
+        # into ~0.1 abs error (the real MXU accumulates f32: measured
+        # on-chip parity with the centered path is 1e-2 at bf16 output,
+        # scripts/exp_ps3.py); CPU tests therefore dot in f32.
         qpf = pltpu.bitcast(wbuf[slot, icp:icp + n_g, :bn],
                             jnp.bfloat16).astype(jnp.float32)
+        dt = jnp.float32 if exact else jnp.bfloat16
         for g in range(n_g):
             wq = _unpack_block_bf16(wbuf[slot, g * 16:(g + 1) * 16, :bn])
             xg = x_rows[row0 + g][None, :]
-            part = jnp.dot(xg.astype(jnp.bfloat16), wq,
+            part = jnp.dot(xg.astype(jnp.bfloat16).astype(dt),
+                           wq.astype(dt),
                            preferred_element_type=jnp.float32)
             p_s[2 * g:2 * g + 1, :bn] = part - 128.0 * xsums[0, g]
         ones = jnp.ones((1, 2 * n_g), jnp.float32)
@@ -356,7 +363,8 @@ def _layer_phases(
 
             wdma(ph, layer, j, slot).wait()
             acc = _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn,
-                             unpack=unpack, p_s=p_s)
+                             unpack=unpack, p_s=p_s,
+                             exact=dims.get("exact", False))
             store(acc, j)
             return 0
 
@@ -638,7 +646,8 @@ def _token_kernel(
                 wh_hbm.at[0, j], wbuf.at[slot, 0:rh, 0:bnh], wsem.at[slot],
             ).wait()
             acc = _qdot_rows(xq_s, xsum_s[0:1, :ngh], wbuf, slot, ngh,
-                             bnh, unpack=unpack, p_s=p_s)
+                             bnh, unpack=unpack, p_s=p_s,
+                             exact=dims.get("exact", False))
             _store_block(logits_ref, acc, j, bnh)
             return 0
 
@@ -771,7 +780,7 @@ def w4a16_llama_layer_step(
     nq: int = 0, nkv: int = 0,
     eps: float = 1e-5,
     interpret: bool = False,
-    unpack: str = "bf16",
+    unpack: str = "pscratch3",
     cache_scales: jax.Array = None,   # [L, 2, 1, n_kv, T] f32 (int8 cache)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run one decoder layer for one token. Returns
@@ -783,6 +792,7 @@ def w4a16_llama_layer_step(
     nq = nq or H // hd
     assert wqkv.folded and wo.folded and wgu.folded and wdn.folded
     dims = _dims_for((nq, nkv, hd), wqkv, wo, wgu, wdn, cache, eps)
+    dims["exact"] = bool(interpret)
     ngh = dims["ngh"]
 
     h_rows = h.reshape(ngh, 128)
@@ -859,7 +869,7 @@ def w4a16_llama_token_step(
     nq: int = 0, nkv: int = 0,
     eps: float = 1e-5,
     interpret: bool = False,
-    unpack: str = "bf16",
+    unpack: str = "pscratch3",
     cache_scales: jax.Array = None,   # [L, 2, 1, n_kv, T] f32 (int8 cache)
     whead: QLinear = None,            # folded stacked-of-1 lm_head
     norm_w: jax.Array = None,         # [H] final rmsnorm weight
@@ -878,6 +888,7 @@ def w4a16_llama_token_step(
     nq = nq or H // hd
     assert wqkv.folded and wo.folded and wgu.folded and wdn.folded
     dims = _dims_for((nq, nkv, hd), wqkv, wo, wgu, wdn, cache, eps)
+    dims["exact"] = bool(interpret)
     ngh = dims["ngh"]
 
     h_rows = h.reshape(ngh, 128)

@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Headline benchmark: W4A16 decode latency (Llama-2-7B geometry default).
+"""Headline benchmark: W4A16 decode latency (Llama-3-8B geometry default —
+the metric BASELINE.json names; --geometry llama2-7b for the round-1/2
+continuity number).
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": "ms/token", "vs_baseline": ...}
@@ -93,7 +95,8 @@ def _parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--geometry", default=None,
                     choices=["llama2-7b", "llama3-8b", "tiny"],
-                    help="model geometry (default llama2-7b on TPU, tiny "
+                    help="model geometry (default llama3-8b — the "
+                         "BASELINE.json headline metric — on TPU, tiny "
                          "elsewhere)")
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--max-seq", type=int, default=2048)
@@ -418,7 +421,7 @@ def child_main():
     on_tpu = jax.default_backend() == "tpu"
     _log(f"backend up: {jax.default_backend()}")
     if args.geometry is None:
-        args.geometry = "tiny" if (args.tiny or not on_tpu) else "llama2-7b"
+        args.geometry = "tiny" if (args.tiny or not on_tpu) else "llama3-8b"
     if args.tiny or not on_tpu:
         args.geometry = "tiny"
     shape, baseline_ms, metric = GEOMETRIES[args.geometry]
