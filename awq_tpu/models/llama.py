@@ -515,7 +515,9 @@ def forward(
         mhead = params.get("lm_head")
         if not (isinstance(mhead, _QL0) and mhead.qweight.ndim == 4
                 and mhead.folded and mhead.bias is None
-                and mhead.tiled_bn <= 512 and cfg.norm == "rmsnorm"):
+                and mhead.tiled_bn <= 512 and cfg.norm == "rmsnorm"
+                # the head phase runs in the same unpack mode as the body
+                and mhead.dense3 == la["wqkv"].dense3):
             mhead = None
 
         res = w4a16_llama_token_step(

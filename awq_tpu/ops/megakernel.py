@@ -62,7 +62,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from awq_tpu.ops.w4a16 import QLinear, _unpack_block, _unpack_block_bf16
+from awq_tpu.ops.w4a16 import (QLinear, _unpack_block, _unpack_block3,
+                               _unpack_block_bf16)
 
 
 def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
@@ -166,6 +167,29 @@ def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
                            wq.astype(dt),
                            preferred_element_type=jnp.float32)
             p_s[2 * g:2 * g + 1, :bn] = part - 128.0 * xsums[0, g]
+        ones = jnp.ones((1, 2 * n_g), jnp.float32)
+        return jax.lax.dot_general(
+            ones, p_s[0:2 * n_g, :bn] * qpf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if unpack == "dense3":
+        # dense 3-bit phase: 24 bitplane rows per 256-IC chunk unpack to
+        # two groups' [128, bn] codes (UNBIASED 0..7 — no centering, no
+        # +128 folding needed); epilogue identical to pscratch2/3 (raw
+        # parts to even scratch rows, -xsum_g prefilled odd rows, one
+        # [2n_g, bn] multiply against the packed qparam band + one dot).
+        # Streams 0.75x of the W4 code bytes.
+        icp3 = n_g * 12
+        qpf = pltpu.bitcast(wbuf[slot, icp3:icp3 + n_g, :bn],
+                            jnp.bfloat16).astype(jnp.float32)
+        for c in range(n_g // 2):
+            wq = _unpack_block3(
+                wbuf[slot, c * 24:(c + 1) * 24, :bn]).astype(jnp.bfloat16)
+            for h in range(2):
+                g = 2 * c + h
+                xg = x_rows[row0 + g][None, :]
+                p_s[2 * g:2 * g + 1, :bn] = jnp.dot(
+                    xg.astype(jnp.bfloat16), wq[h * 128:(h + 1) * 128],
+                    preferred_element_type=jnp.float32)
         ones = jnp.ones((1, 2 * n_g), jnp.float32)
         return jax.lax.dot_general(
             ones, p_s[0:2 * n_g, :bn] * qpf, (((1,), (0,)), ((), ())),
@@ -368,7 +392,7 @@ def _layer_phases(
             store(acc, j)
             return 0
 
-        if unpack in ("pscratch2", "pscratch3"):
+        if unpack in ("pscratch2", "pscratch3", "dense3"):
             # prefill the odd scratch rows with -xsum_g once per phase;
             # blocks then only write their raw parts into the even rows
             # (see _qdot_rows)
@@ -651,7 +675,7 @@ def _token_kernel(
             _store_block(logits_ref, acc, j, bnh)
             return 0
 
-        if unpack in ("pscratch2", "pscratch3"):
+        if unpack in ("pscratch2", "pscratch3", "dense3"):
             for g in range(ngh):
                 p_s[2 * g + 1:2 * g + 2, :bnh] = jnp.broadcast_to(
                     -xsum_s[0:1, g:g + 1], (1, bnh))
@@ -729,14 +753,24 @@ def megakernel_supported(cfg, layers, cache) -> bool:
     needed = ("wqkv", "wgateup", "wo", "down")
     if not all(n in layers for n in needed):
         return False
+    d3 = isinstance(layers.get("wqkv"), QLinear) and layers["wqkv"].dense3
     for n in needed:
         p = layers[n]
         if not isinstance(p, QLinear) or not p.tiled_bn:
             return False
         if p.bias is not None and n != "wqkv":   # qwen2: QKV bias only
             return False
-        if p.group_size != 128 or p.w_bit != 4 or not p.folded:
+        if p.group_size != 128 or not p.folded:
             return False
+        # W4 nibble layout, or the dense 3-bit layout (uniformly)
+        if not (p.w_bit == 4 and not p.dense3) and not (p.w_bit == 3
+                                                        and p.dense3):
+            return False
+        if p.dense3 != d3:
+            return False
+    if d3 and ((cfg.hidden_size // 128) % 2
+               or (cfg.intermediate_size // 128) % 2):
+        return False      # dense3 unpacks 256-IC chunks (2 groups)
     data = getattr(cache, "data", cache)      # KVCache8 or plain array
     if not isinstance(data, jax.Array):
         return False
@@ -791,6 +825,8 @@ def w4a16_llama_layer_step(
     nkv = nkv or cache.shape[3]
     nq = nq or H // hd
     assert wqkv.folded and wo.folded and wgu.folded and wdn.folded
+    if wqkv.dense3:
+        unpack = "dense3"
     dims = _dims_for((nq, nkv, hd), wqkv, wo, wgu, wdn, cache, eps)
     dims["exact"] = bool(interpret)
     ngh = dims["ngh"]
@@ -887,6 +923,8 @@ def w4a16_llama_token_step(
     nkv = nkv or cache.shape[3]
     nq = nq or H // hd
     assert wqkv.folded and wo.folded and wgu.folded and wdn.folded
+    if wqkv.dense3:
+        unpack = "dense3"
     dims = _dims_for((nq, nkv, hd), wqkv, wo, wgu, wdn, cache, eps)
     dims["exact"] = bool(interpret)
     ngh = dims["ngh"]

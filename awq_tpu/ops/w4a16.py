@@ -76,10 +76,13 @@ class QLinear:
     def in_features(self) -> int:
         rows = self.qweight.shape[-2]
         if self.folded:
-            # rows = IC/8 + IC/G (+ <8 alignment pad rows); each group of
-            # G inputs occupies G/8 code rows + 1 packed qparam row
+            # rows = code rows + IC/G qparam rows (+ <8 alignment pad);
+            # each group of G inputs occupies G/8 (W4 nibble) or 3G/32
+            # (dense3 bitplane) code rows + 1 packed qparam row
             # (bf16 scale | bf16 szero)
-            return (rows // (self.group_size // 8 + 1)) * self.group_size
+            per_g = (self.group_size * 3 // 32 if self.dense3
+                     else self.group_size // 8) + 1
+            return (rows // per_g) * self.group_size
         if self.dense3:
             return rows * 32 // 3
         return rows * 8
@@ -529,10 +532,28 @@ def tile_qlinear(ql: QLinear, block_n: int = 512,
     """
     if fold_scales and ql.group_size != 128:
         fold_scales = False
-    if ql.dense3:
-        return ql  # dense 3-bit layout has its own streaming kernel
     if ql.tiled_bn or ql.qweight.shape[-1] % block_n != 0:
         return ql
+    if ql.dense3:
+        # dense 3-bit: block-contiguous fold (no nibble remap) — the
+        # megakernel/GEMM stream wants one contiguous block per DMA;
+        # without fold_scales the column-sliced stream kernel reads the
+        # plain layout directly
+        if not fold_scales:
+            return ql
+        qw3 = ql.qweight if ql.qweight.ndim == 3 else ql.qweight[None]
+        fold3 = _fold_tile3_donate if donate else _fold_tile3
+        qt3 = fold3(qw3,
+                    ql.scales if ql.qweight.ndim == 3 else ql.scales[None],
+                    ql.szeros if ql.qweight.ndim == 3 else ql.szeros[None],
+                    block_n)
+        if ql.qweight.ndim == 2:
+            qt3 = qt3[0]
+        return QLinear(
+            qweight=qt3, scales=ql.scales, szeros=ql.szeros, bias=ql.bias,
+            w_bit=ql.w_bit, group_size=ql.group_size, tiled_bn=block_n,
+            folded=True, dense3=True,
+        )
     qw = ql.qweight
     stacked = qw.ndim == 3
     if not stacked:
@@ -592,21 +613,55 @@ _fold_tile_donate = functools.partial(
 )(_fold_tile.__wrapped__)
 
 
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def _fold_tile3(qw: jax.Array, scales: jax.Array, szeros: jax.Array,
+                block_n: int) -> jax.Array:
+    """Dense-3-bit sibling of :func:`_fold_tile`: blockify the bitplane
+    rows (``[L, IC*3//32, OC]`` -> ``[L, NB, IC*3//32, bn]``, NO nibble
+    remap — ``_unpack_block3`` consumes the stored plane rows as-is) and
+    append the same packed bf16 qparam band (one ``s|sz`` int32 row per
+    group). One contiguous HBM stream per matmul at 0.75x of the W4
+    code bytes."""
+    L, icp3, oc = qw.shape
+    nb = oc // block_n
+    qt = qw.reshape(L, icp3, nb, block_n).transpose(0, 2, 1, 3)
+
+    def blkify(a):
+        n_g = a.shape[-2]
+        t = a.reshape(L, n_g, nb, block_n).transpose(0, 2, 1, 3)
+        return jax.lax.bitcast_convert_type(
+            t.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+
+    qparam = (blkify(scales) | (blkify(szeros) << 16)).astype(jnp.int32)
+    qt = jnp.concatenate([qt, qparam], axis=2)
+    pad = -qt.shape[2] % 8
+    if pad:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return qt
+
+
+_fold_tile3_donate = functools.partial(
+    jax.jit, static_argnames=("block_n",), donate_argnums=(0,)
+)(_fold_tile3.__wrapped__)
+
+
 def untile_qweight(qweight: jax.Array, block_n: int,
-                   icp: Optional[int] = None) -> jax.Array:
+                   icp: Optional[int] = None,
+                   dense3: bool = False) -> jax.Array:
     """[(L,) NB, rows, bn] -> [(L,) ICp, OC] (XLA fallback paths).
 
     ``icp`` strips folded scale rows (rows > IC//8) AND undoes the
-    bf16-bitpack nibble order back to the standard packing."""
+    bf16-bitpack nibble order back to the standard packing (``dense3``
+    skips the remap — the 3-bit plane rows are stored unpermuted)."""
     if qweight.ndim == 4:
         L, nb, rows, bn = qweight.shape
         qw = qweight[:, :, :icp or rows]
-        if icp:
+        if icp and not dense3:
             qw = _remap_nibbles(qw, _fold_nibble_maps_inv())
         return qw.transpose(0, 2, 1, 3).reshape(L, -1, nb * bn)
     nb, rows, bn = qweight.shape
     qw = qweight[:, :icp or rows]
-    if icp:
+    if icp and not dense3:
         qw = _remap_nibbles(qw, _fold_nibble_maps_inv())
     return qw.transpose(1, 0, 2).reshape(-1, nb * bn)
 
@@ -740,6 +795,83 @@ def w4a16_matmul_stacked_tiled_folded(
         cost_estimate=pl.CostEstimate(
             flops=2 * x.shape[0] * ic * nb * bn,
             bytes_accessed=ic * nb * bn // 2,
+            transcendentals=0,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(idx, x, qweight)
+    return out[:m] if m_pad else out
+
+
+def _w3a16_kernel_folded(idx_ref, x_ref, qw_ref, o_ref, *,
+                         n_g: int, out_dtype):
+    """Folded dense-3-bit block matmul (group_size == 128): one windowed
+    input carries the bitplane rows (24 per 256-IC chunk = 2 groups) AND
+    the packed bf16 qparam band. Codes are UNBIASED small ints (0..7),
+    so no centering is needed; the szero correction is one
+    [bm, n_g] x [n_g, bn] dot, as in ``_w4a16_kernel_folded``."""
+    del idx_ref
+    x = x_ref[:]
+    icp3 = n_g * 12
+    acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
+    sz_rows = []
+    for c in range(n_g // 2):
+        wq = _unpack_block3(
+            qw_ref[0, 0, c * 24:(c + 1) * 24, :]
+        ).astype(jnp.bfloat16)                          # [256, bn]
+        for h in range(2):
+            g = 2 * c + h
+            xg = x[:, g * 128:(g + 1) * 128]
+            part = jnp.dot(xg, wq[h * 128:(h + 1) * 128],
+                           preferred_element_type=jnp.float32)
+            qp = pltpu.bitcast(qw_ref[0, 0, icp3 + g:icp3 + g + 1, :],
+                               jnp.bfloat16)            # [2, bn]: s, sz
+            acc = acc + part * qp[0:1].astype(jnp.float32)
+            sz_rows.append(qp[1:2].astype(jnp.float32))
+    xsums = jnp.sum(
+        x.astype(jnp.float32).reshape(x.shape[0], n_g, 128), axis=2)
+    sz = jnp.concatenate(sz_rows, axis=0)               # [n_g, bn]
+    acc = acc - jnp.dot(xsums, sz, preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_m")
+)
+def w3a16_matmul_stacked_tiled_folded(
+    x, qweight, layer_idx, block_n: int, block_m: int = 0,
+):
+    """Stacked matmul over the folded dense-3-bit layout
+    ``qweight [L, NB, IC*3//32 + IC/128 (+pad), bn]``."""
+    m, ic = x.shape
+    _, nb, rows, bn = qweight.shape
+    assert bn == block_n, (bn, block_n)
+    n_g = ic // 128
+    bm = block_m or min(256, max(16, 1 << (m - 1).bit_length()))
+    bm = _cap_bm(bm, ic, bn, 128)
+    m_pad = -m % bm
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    idx = jnp.reshape(layer_idx, (1,)).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(x.shape[0] // bm, nb),
+        in_specs=[
+            pl.BlockSpec((bm, ic), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, 1, rows, bn), lambda i, j, l: (l[0], j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_w3a16_kernel_folded, n_g=n_g,
+                          out_dtype=x.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], nb * bn), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * x.shape[0] * ic * nb * bn,
+            bytes_accessed=ic * nb * bn * 3 // 8,
             transcendentals=0,
         ),
         interpret=(jax.default_backend() == "cpu"),
@@ -883,7 +1015,19 @@ def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if ql.dense3:
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and ql.tiled_bn and ql.folded:
+            out = w3a16_matmul_stacked_tiled_folded(
+                x2, ql.qweight, layer_idx, ql.tiled_bn,
+            )
+        elif ql.tiled_bn:
+            qw3 = untile_qweight(ql.qweight, ql.tiled_bn,
+                                 icp=ql.in_features * 3 // 32,
+                                 dense3=True)
+            out = w4a16_matmul_xla(
+                x2, qw3[layer_idx], ql.scales[layer_idx],
+                ql.szeros[layer_idx], ql.group_size, dense3=True,
+            )
+        elif jax.default_backend() == "tpu":
             out = w3a16_matmul_stacked(
                 x2, ql.qweight, ql.scales, ql.szeros, layer_idx,
                 ql.group_size,
@@ -956,14 +1100,28 @@ def w4a16_matmul(
 def qlinear_apply(ql: QLinear, x: jax.Array, impl: str = "auto") -> jax.Array:
     """Apply a quantized linear layer: ``x @ W_deq + bias``."""
     if ql.dense3:
-        if jax.default_backend() == "tpu" and impl != "xla":
+        lead = x.shape[:-1]
+        if (jax.default_backend() == "tpu" and impl != "xla"
+                and ql.tiled_bn and ql.folded):
+            out = w3a16_matmul_stacked_tiled_folded(
+                x.reshape(-1, x.shape[-1]), ql.qweight[None],
+                jnp.int32(0), ql.tiled_bn,
+            ).reshape(*lead, ql.out_features)
+        elif ql.tiled_bn:
+            qw3 = untile_qweight(ql.qweight, ql.tiled_bn,
+                                 icp=ql.in_features * 3 // 32,
+                                 dense3=True)
+            out = w4a16_matmul_xla(
+                x.reshape(-1, x.shape[-1]), qw3, ql.scales,
+                ql.szeros, ql.group_size, dense3=True,
+            ).reshape(*lead, ql.out_features)
+        elif jax.default_backend() == "tpu" and impl != "xla":
             out = w3a16_matmul_stacked(
                 x.reshape(-1, x.shape[-1]), ql.qweight[None],
                 ql.scales[None], ql.szeros[None], jnp.int32(0),
                 ql.group_size,
             ).reshape(*x.shape[:-1], ql.out_features)
         else:
-            lead = x.shape[:-1]
             out = w4a16_matmul_xla(
                 x.reshape(-1, x.shape[-1]), ql.qweight, ql.scales,
                 ql.szeros, ql.group_size, dense3=True,

@@ -282,6 +282,143 @@ def test_token_step_int8_cache_matches_fp():
                                    rtol=2e-2, atol=2e-2)
 
 
+def _mk_qlin3_l(key, ic, oc, bn, L):
+    qls = [quantize_linear(
+        jax.random.normal(k, (ic, oc), jnp.float32) * 0.05, n_bit=3)
+        for k in jax.random.split(key, L)]
+    ql = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *qls)
+    assert ql.dense3
+    return tile_qlinear(ql, block_n=bn, fold_scales=True)
+
+
+def _apply3(ql: QLinear, x, layer=0):
+    qw = untile_qweight(ql.qweight[layer], ql.tiled_bn,
+                        icp=ql.in_features * 3 // 32, dense3=True)
+    rnd = lambda a: a[layer].astype(jnp.bfloat16).astype(jnp.float32)
+    return w4a16_matmul_xla(x, qw, rnd(ql.scales), rnd(ql.szeros), 128,
+                            dense3=True)
+
+
+def test_layer_step_dense3_matches_xla():
+    """The dense-3 megakernel phase (true 3-bit bitplane stream, 0.75x of
+    the W4 code bytes) == composed XLA ops."""
+    nq = nkv = 2
+    hd, L, T, I = 128, 2, 256, 256
+    H = nq * hd
+    ks = jax.random.split(jax.random.PRNGKey(41), 8)
+    wqkv = _mk_qlin3_l(ks[0], H, (nq + 2 * nkv) * hd, 128, L)
+    wo = _mk_qlin3_l(ks[1], H, H, 128, L)
+    wgu = _mk_qlin3_l(ks[2], H, 2 * I, 128, L)
+    wdn = _mk_qlin3_l(ks[3], I, H, 128, L)
+    ln1 = jnp.ones((L, H), jnp.float32) * 1.1
+    ln2 = jnp.ones((L, H), jnp.float32) * 0.9
+    cache = jax.random.normal(ks[4], (L, 2, 1, nkv, T, hd),
+                              jnp.float32) * 0.2
+    h = jax.random.normal(ks[5], (1, H), jnp.float32) * 0.3
+    cos = jnp.full((hd,), 0.8, jnp.float32)
+    sin = jnp.sqrt(1 - cos * cos)
+    length = 37
+
+    got_h, got_k, got_v = w4a16_llama_layer_step(
+        h, wqkv, wo, wgu, wdn, ln1, ln2, cos, sin, cache,
+        jnp.int32(1), jnp.int32(length), nq=nq, nkv=nkv, eps=1e-5,
+        interpret=True,
+    )
+
+    x = rms_norm(h, ln1[1], 1e-5)
+    qkv = _apply3(wqkv, x, 1)[0]
+    q = qkv[: nq * hd].reshape(nq, hd)
+    kk = qkv[nq * hd: (nq + nkv) * hd].reshape(nkv, hd)
+    v = qkv[(nq + nkv) * hd:].reshape(nkv, hd)
+    half = hd // 2
+    rot = lambda a: (a * cos + jnp.concatenate(
+        [-a[:, half:], a[:, :half]], axis=-1) * sin)
+    q, kk = rot(q), rot(kk)
+    np.testing.assert_allclose(np.asarray(got_k[0]), np.asarray(kk),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got_v[0]), np.asarray(v),
+                               rtol=2e-2, atol=2e-2)
+    kc = jnp.concatenate([cache[1, 0, 0, :, :length, :], kk[:, None]],
+                         axis=1)
+    vc = jnp.concatenate([cache[1, 1, 0, :, :length, :], v[:, None]],
+                         axis=1)
+    qg = q.reshape(nkv, nq // nkv, hd) / jnp.sqrt(hd)
+    p = jax.nn.softmax(jnp.einsum("kgh,kth->kgt", qg, kc), axis=-1)
+    attn = jnp.einsum("kgt,kth->kgh", p, vc).reshape(1, H)
+    h1 = h + _apply3(wo, attn, 1)
+    xm = rms_norm(h1, ln2[1], 1e-5)
+    gu = _apply3(wgu, xm, 1)[0]
+    hm = (jax.nn.silu(gu[:I]) * gu[I:])[None]
+    ref = h1 + _apply3(wdn, hm, 1)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_token_step_dense3_matches_layer_steps():
+    """Whole-token kernel in dense-3 mode == sequential dense-3 layer
+    steps, including an in-kernel dense-3 lm_head phase."""
+    nq = nkv = 2
+    hd, L, T, I, V = 128, 2, 256, 256, 512
+    H = nq * hd
+    ks = jax.random.split(jax.random.PRNGKey(43), 9)
+    wqkv = _mk_qlin3_l(ks[0], H, (nq + 2 * nkv) * hd, 128, L)
+    wo = _mk_qlin3_l(ks[1], H, H, 128, L)
+    wgu = _mk_qlin3_l(ks[2], H, 2 * I, 128, L)
+    wdn = _mk_qlin3_l(ks[3], I, H, 128, L)
+    whead = _mk_qlin3_l(ks[6], H, V, 128, 1)     # stacked L=1, ndim 4
+    norm_w = jax.random.uniform(ks[7], (H,), jnp.float32, 0.8, 1.2)
+    ln = jnp.ones((L, H), jnp.float32)
+    cache = (jax.random.normal(ks[4], (L, 2, 1, nkv, T, hd), jnp.float32)
+             * 0.2).astype(jnp.bfloat16)
+    h = (jax.random.normal(ks[5], (1, H), jnp.float32) * 0.3
+         ).astype(jnp.bfloat16)
+    cos = jnp.full((hd,), 0.6, jnp.float32)
+    sin = jnp.sqrt(1 - cos * cos)
+    length = 65
+    kw = dict(nq=nq, nkv=nkv, eps=1e-5, interpret=True)
+
+    got_h, got_k, got_v, logits = w4a16_llama_token_step(
+        h, wqkv, wo, wgu, wdn, ln, ln, cos, sin, cache,
+        jnp.int32(length), whead=whead, norm_w=norm_w, **kw)
+
+    hh = h
+    for l in range(L):
+        hh, _, _ = w4a16_llama_layer_step(
+            hh, wqkv, wo, wgu, wdn, ln, ln, cos, sin, cache,
+            jnp.int32(l), jnp.int32(length), **kw)
+        hh = hh.astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got_h, np.float32),
+                               np.asarray(hh, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    xf = rms_norm(hh, norm_w, 1e-5)
+    ref_logits = _apply3(whead, xf)
+    np.testing.assert_allclose(np.asarray(logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_megakernel_gate_dense3():
+    """dense3 qualifies only uniformly (body+head same layout) and with
+    even group counts (the kernel unpacks 256-IC chunks)."""
+    cfg = ModelConfig(
+        arch="llama", vocab_size=64, hidden_size=256, intermediate_size=256,
+        num_layers=2, num_heads=2, num_kv_heads=2, head_dim=128,
+        max_position_embeddings=512,
+    )
+    k = jax.random.PRNGKey(2)
+    mk3 = lambda key, ic, oc: _mk_qlin3_l(key, ic, oc, 128, 1)
+    layers3 = {
+        "wqkv": mk3(k, 256, 768), "wo": mk3(k, 256, 256),
+        "wgateup": mk3(k, 256, 512), "down": mk3(k, 256, 256),
+    }
+    cache = jnp.zeros((2, 2, 1, 2, 256, 128), jnp.bfloat16)
+    assert megakernel_supported(cfg, layers3, cache)
+    # mixed W4 body / dense3 member disqualifies
+    mixed = dict(layers3)
+    mixed["down"] = _mk_qlin(k, 256, 256, 128)
+    assert not megakernel_supported(cfg, mixed, cache)
+
+
 def test_token_step_with_inkernel_head():
     """The in-kernel final-norm + lm_head phase == XLA norm + head."""
     nq = nkv = 2

@@ -103,8 +103,51 @@ def test_w3_stacked_apply_and_tile_guard():
         ref = qlinear_apply(qls[i], x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
-    # the folded/tiled repack must refuse the dense-3 layout
-    assert tile_qlinear(stacked, block_n=128, fold_scales=True) is stacked
+    # plain (non-folded) tiling has no dense-3 layout — unchanged
+    assert tile_qlinear(stacked, block_n=128, fold_scales=False) is stacked
+    # the folded/tiled repack blockifies the bitplane rows + appends the
+    # packed qparam band; results must match the plain path bit-for-bit
+    folded = tile_qlinear(stacked, block_n=128, fold_scales=True)
+    assert folded.folded and folded.dense3 and folded.tiled_bn == 128
+    icp3 = 512 * 3 // 32
+    assert folded.qweight.shape == (2, 2, -(-(icp3 + 4) // 8) * 8, 128)
+    for i in range(2):
+        out = qlinear_apply_stacked(folded, jnp.int32(i), x)
+        ref = qlinear_apply(qls[i], x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_w3_folded_kernel_matches_xla():
+    """Interpret-mode folded dense-3 Pallas kernel == XLA dequant (the
+    TPU decode path for W3: streams 0.75x of the W4 code bytes)."""
+    from awq_tpu.ops.w4a16 import w3a16_matmul_stacked_tiled_folded
+
+    L, ic, oc = 2, 512, 256
+    w = jax.random.normal(jax.random.PRNGKey(6), (L, ic, oc), jnp.float32)
+    qls = [quantize_linear(w[i], n_bit=3, group_size=128) for i in range(L)]
+    stacked = QLinear(
+        qweight=jnp.stack([q.qweight for q in qls]),
+        scales=jnp.stack([q.scales for q in qls]),
+        szeros=jnp.stack([q.szeros for q in qls]),
+        w_bit=3, group_size=128, dense3=True,
+    )
+    folded = tile_qlinear(stacked, block_n=128, fold_scales=True)
+    for m in (1, 3):
+        x = jax.random.normal(jax.random.PRNGKey(7 + m), (m, ic),
+                              jnp.float32)
+        for i in range(L):
+            out = w3a16_matmul_stacked_tiled_folded(
+                x, folded.qweight, jnp.int32(i), 128)
+            # bf16 qparam rows in the folded band vs f32 in the plain
+            # path: compare against the bf16-rounded dequant
+            codes = unpack_int3(qls[i].qweight, out_dtype=jnp.float32)
+            s = qls[i].scales.astype(jnp.bfloat16).astype(jnp.float32)
+            z = qls[i].szeros.astype(jnp.bfloat16).astype(jnp.float32)
+            wd = (codes.reshape(4, 128, oc) * s[:, None]).reshape(ic, oc)
+            ref = x @ wd - (x.reshape(m, 4, 128).sum(2) @ z)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=3e-3, atol=3e-3)
 
 
 def test_w3_model_end_to_end(tmp_path):
