@@ -62,8 +62,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from awq_tpu.ops.w4a16 import (QLinear, _unpack_block, _unpack_block3,
-                               _unpack_block_bf16)
+from awq_tpu.ops.w4a16 import (QLinear, _unpack_block, _unpack_block_bf16,
+                               _w3x_code_rows, _w3x_group_block)
 
 
 def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
@@ -172,24 +172,25 @@ def _qdot_rows(x_rows, xsums, wbuf, slot, n_g, bn, row0=0,
             ones, p_s[0:2 * n_g, :bn] * qpf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     if unpack == "dense3":
-        # dense 3-bit phase: 24 bitplane rows per 256-IC chunk unpack to
-        # two groups' [128, bn] codes (UNBIASED 0..7 — no centering, no
-        # +128 folding needed); epilogue identical to pscratch2/3 (raw
-        # parts to even scratch rows, -xsum_g prefilled odd rows, one
-        # [2n_g, bn] multiply against the packed qparam band + one dot).
-        # Streams 0.75x of the W4 code bytes.
-        icp3 = n_g * 12
-        qpf = pltpu.bitcast(wbuf[slot, icp3:icp3 + n_g, :bn],
+        # w3x 3-bit phase: each full 5-group chunk's plane j unpacks to
+        # group 5c+j's [128, bn] bf16 ``128 + code`` block in ONE
+        # shift/and/or + bitcast (W4 bf16-bitpack cost; trailer groups
+        # ARE W4 nibble rows) — everything else is pscratch3 verbatim:
+        # biased dots, -128*xsum FMA, raw parts to even scratch rows,
+        # -xsum_g prefilled odd rows, one [2n_g, bn] qparam multiply +
+        # one m=1 dot. Streams ~0.82x of the W4 code bytes.
+        qrow = _w3x_code_rows(n_g)
+        qpf = pltpu.bitcast(wbuf[slot, qrow:qrow + n_g, :bn],
                             jnp.bfloat16).astype(jnp.float32)
-        for c in range(n_g // 2):
-            wq = _unpack_block3(
-                wbuf[slot, c * 24:(c + 1) * 24, :bn]).astype(jnp.bfloat16)
-            for h in range(2):
-                g = 2 * c + h
-                xg = x_rows[row0 + g][None, :]
-                p_s[2 * g:2 * g + 1, :bn] = jnp.dot(
-                    xg.astype(jnp.bfloat16), wq[h * 128:(h + 1) * 128],
-                    preferred_element_type=jnp.float32)
+        dt = jnp.float32 if exact else jnp.bfloat16
+        read = lambda a, b: wbuf[slot, a:b, :bn]
+        for g in range(n_g):
+            wq = _w3x_group_block(read, n_g, g)
+            xg = x_rows[row0 + g][None, :]
+            part = jnp.dot(xg.astype(jnp.bfloat16).astype(dt),
+                           wq.astype(dt),
+                           preferred_element_type=jnp.float32)
+            p_s[2 * g:2 * g + 1, :bn] = part - 128.0 * xsums[0, g]
         ones = jnp.ones((1, 2 * n_g), jnp.float32)
         return jax.lax.dot_general(
             ones, p_s[0:2 * n_g, :bn] * qpf, (((1,), (0,)), ((), ())),
@@ -768,9 +769,6 @@ def megakernel_supported(cfg, layers, cache) -> bool:
             return False
         if p.dense3 != d3:
             return False
-    if d3 and ((cfg.hidden_size // 128) % 2
-               or (cfg.intermediate_size // 128) % 2):
-        return False      # dense3 unpacks 256-IC chunks (2 groups)
     data = getattr(cache, "data", cache)      # KVCache8 or plain array
     if not isinstance(data, jax.Array):
         return False

@@ -71,18 +71,21 @@ class QLinear:
     # nibble container. w_bit==3 WITHOUT dense3 means 3-bit codes in the
     # int4 nibble container (IC % 256 fallback / legacy checkpoints).
     dense3: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # n_groups: group count of a FOLDED dense3 layout (the w3x row
+    # formula 64*(n_g//5) + 16*(n_g%5) + n_g is not invertible from the
+    # 8-aligned row count alone — e.g. n_g 4 and 5 both pad to 72 rows)
+    n_groups: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def in_features(self) -> int:
         rows = self.qweight.shape[-2]
         if self.folded:
-            # rows = code rows + IC/G qparam rows (+ <8 alignment pad);
-            # each group of G inputs occupies G/8 (W4 nibble) or 3G/32
-            # (dense3 bitplane) code rows + 1 packed qparam row
-            # (bf16 scale | bf16 szero)
-            per_g = (self.group_size * 3 // 32 if self.dense3
-                     else self.group_size // 8) + 1
-            return (rows // per_g) * self.group_size
+            if self.dense3:
+                return self.n_groups * self.group_size
+            # rows = IC/8 code rows + IC/G qparam rows (+ <8 pad): each
+            # group of G inputs occupies G/8 code rows + 1 packed qparam
+            # row (bf16 scale | bf16 szero)
+            return (rows // (self.group_size // 8 + 1)) * self.group_size
         if self.dense3:
             return rows * 32 // 3
         return rows * 8
@@ -553,6 +556,7 @@ def tile_qlinear(ql: QLinear, block_n: int = 512,
             qweight=qt3, scales=ql.scales, szeros=ql.szeros, bias=ql.bias,
             w_bit=ql.w_bit, group_size=ql.group_size, tiled_bn=block_n,
             folded=True, dense3=True,
+            n_groups=ql.in_features // ql.group_size,
         )
     qw = ql.qweight
     stacked = qw.ndim == 3
@@ -613,21 +617,59 @@ _fold_tile_donate = functools.partial(
 )(_fold_tile.__wrapped__)
 
 
+def _w3x_code_rows(n_g: int) -> int:
+    """Code-row count of the folded ``w3x`` 3-bit layout: 64 int32 rows
+    per full 5-group chunk + 16 W4-nibble rows per trailer group."""
+    return 64 * (n_g // 5) + 16 * (n_g % 5)
+
+
 @functools.partial(jax.jit, static_argnames=("block_n",))
 def _fold_tile3(qw: jax.Array, scales: jax.Array, szeros: jax.Array,
                 block_n: int) -> jax.Array:
-    """Dense-3-bit sibling of :func:`_fold_tile`: blockify the bitplane
-    rows (``[L, IC*3//32, OC]`` -> ``[L, NB, IC*3//32, bn]``, NO nibble
-    remap — ``_unpack_block3`` consumes the stored plane rows as-is) and
-    append the same packed bf16 qparam band (one ``s|sz`` int32 row per
-    group). One contiguous HBM stream per matmul at 0.75x of the W4
-    code bytes."""
+    """Fold the dense 3-bit STORAGE codec (``pack_int3`` bitplanes) into
+    the ``w3x`` runtime layout: 5 codes per 16-bit half, 3 bits each
+    (bits ``3j..3j+2``), groups of 128 packed five-at-a-time so plane ``j``
+    of a 64-row chunk IS group ``5c+j``'s ``[128, bn]`` code block —
+    one ``(w >> 3j) & 0x00070007 | 0x43004300`` + bitcast yields bf16
+    ``128 + code`` rows at exactly the W4 bf16-bitpack unpack cost.
+    The first dense3 runtime fold (bitplane rows streamed as stored) hit
+    11.0 vs W4's 5.6 ms/tok on-chip: 0.75x the bytes but 5x the unpack
+    VPU ops exposed ~6 ms of compute. w3x trades 3.0 -> 3.2 bits/code
+    for W4-equal unpack compute. ``n_g % 5`` trailer groups are stored
+    as plain W4 nibble rows (16 rows each, `_unpack_block_bf16` order).
+    Qparam band + <8-row alignment pad as in :func:`_fold_tile`."""
     L, icp3, oc = qw.shape
+    ic = icp3 * 32 // 3
+    n_g = ic // 128
+    fc, tg = divmod(n_g, 5)
     nb = oc // block_n
-    qt = qw.reshape(L, icp3, nb, block_n).transpose(0, 2, 1, 3)
+
+    def layer_rows(qw_l):
+        codes = unpack_int3(qw_l, out_dtype=jnp.int32)      # [IC, OC]
+        rows = []
+        if fc:
+            # code k of group 5c+j -> int32 row k//2, half k%2, bits 3j
+            cf = codes[: fc * 640].reshape(fc, 5, 64, 2, oc)
+            w = jnp.zeros((fc, 64, oc), jnp.int32)
+            for j in range(5):
+                for h in range(2):
+                    w = w | (cf[:, j, :, h] << (16 * h + 3 * j))
+            rows.append(w.reshape(fc * 64, oc))
+        if tg:
+            # trailer: _unpack_block_bf16 nibble order — code 32j+2r+h
+            # -> int32 row r, half h, bits 4j
+            ct = codes[fc * 640:].reshape(tg, 4, 16, 2, oc)
+            wt = jnp.zeros((tg, 16, oc), jnp.int32)
+            for j in range(4):
+                for h in range(2):
+                    wt = wt | (ct[:, j, :, h] << (16 * h + 4 * j))
+            rows.append(wt.reshape(tg * 16, oc))
+        return jnp.concatenate(rows, axis=0)
+
+    wr = jax.lax.map(layer_rows, qw)                        # [L, crows, oc]
+    qt = wr.reshape(L, -1, nb, block_n).transpose(0, 2, 1, 3)
 
     def blkify(a):
-        n_g = a.shape[-2]
         t = a.reshape(L, n_g, nb, block_n).transpose(0, 2, 1, 3)
         return jax.lax.bitcast_convert_type(
             t.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
@@ -650,18 +692,43 @@ def untile_qweight(qweight: jax.Array, block_n: int,
                    dense3: bool = False) -> jax.Array:
     """[(L,) NB, rows, bn] -> [(L,) ICp, OC] (XLA fallback paths).
 
-    ``icp`` strips folded scale rows (rows > IC//8) AND undoes the
-    bf16-bitpack nibble order back to the standard packing (``dense3``
-    skips the remap — the 3-bit plane rows are stored unpermuted)."""
+    ``icp`` strips folded scale rows AND undoes the runtime code layout
+    back to the standard packing: the bf16-bitpack nibble order for W4,
+    or the w3x layout back to the ``pack_int3`` bitplane codec when
+    ``dense3`` (``icp`` is then the STORAGE row count ``IC*3//32``)."""
     if qweight.ndim == 4:
+        if icp and dense3:
+            return jnp.stack([untile_qweight(q, block_n, icp, dense3=True)
+                              for q in qweight])
         L, nb, rows, bn = qweight.shape
         qw = qweight[:, :, :icp or rows]
-        if icp and not dense3:
+        if icp:
             qw = _remap_nibbles(qw, _fold_nibble_maps_inv())
         return qw.transpose(0, 2, 1, 3).reshape(L, -1, nb * bn)
     nb, rows, bn = qweight.shape
+    if icp and dense3:
+        ic = icp * 32 // 3
+        n_g = ic // 128
+        fc, tg = divmod(n_g, 5)
+        w = qweight[:, :_w3x_code_rows(n_g)].transpose(1, 0, 2) \
+            .reshape(-1, nb * bn)                       # [crows, OC]
+        parts = []
+        if fc:
+            wf = w[: fc * 64].reshape(fc, 64, nb * bn)
+            cf = jnp.stack([jnp.stack(
+                [(wf >> (16 * h + 3 * j)) & 7 for h in range(2)], axis=2)
+                for j in range(5)], axis=1)             # [c, j, r, h, OC]
+            parts.append(cf.reshape(fc * 640, nb * bn))
+        if tg:
+            wt = w[fc * 64:].reshape(tg, 16, nb * bn)
+            ctl = jnp.stack([jnp.stack(
+                [(wt >> (16 * h + 4 * j)) & 7 for h in range(2)], axis=2)
+                for j in range(4)], axis=1)             # [t, j, r, h, OC]
+            parts.append(ctl.reshape(tg * 128, nb * bn))
+        codes = jnp.concatenate(parts, axis=0).astype(jnp.uint8)
+        return pack_int3(codes)
     qw = qweight[:, :icp or rows]
-    if icp and not dense3:
+    if icp:
         qw = _remap_nibbles(qw, _fold_nibble_maps_inv())
     return qw.transpose(1, 0, 2).reshape(-1, nb * bn)
 
@@ -802,35 +869,54 @@ def w4a16_matmul_stacked_tiled_folded(
     return out[:m] if m_pad else out
 
 
+def _w3x_group_block(read, n_g: int, g: int):
+    """bf16 ``[128, bn]`` rows of ``128 + code`` for group ``g`` of a w3x
+    block, via ``read(row0, row1) -> [rows, bn] int32`` (a ref slice —
+    keeps each unpack a windowed VMEM read, never the whole block).
+    Codes come out biased exactly like :func:`_unpack_block_bf16`'s, so
+    consumers share the W4 epilogue."""
+    fc = n_g // 5
+    if g < fc * 5:
+        c, j = divmod(g, 5)
+        u = ((read(c * 64, (c + 1) * 64) >> (3 * j)) & 0x00070007) \
+            | 0x43004300
+        return pltpu.bitcast(u, jnp.bfloat16)
+    base = fc * 64 + (g - fc * 5) * 16
+    return _unpack_block_bf16(read(base, base + 16))
+
+
 def _w3a16_kernel_folded(idx_ref, x_ref, qw_ref, o_ref, *,
-                         n_g: int, out_dtype):
-    """Folded dense-3-bit block matmul (group_size == 128): one windowed
-    input carries the bitplane rows (24 per 256-IC chunk = 2 groups) AND
-    the packed bf16 qparam band. Codes are UNBIASED small ints (0..7),
-    so no centering is needed; the szero correction is one
-    [bm, n_g] x [n_g, bn] dot, as in ``_w4a16_kernel_folded``."""
+                         n_g: int, out_dtype, exact: bool):
+    """Folded w3x 3-bit block matmul (group_size == 128): one windowed
+    input carries the w3x code rows AND the packed bf16 qparam band.
+    Biased dots as in the W4 ``pscratch3`` path: the ``128 + code``
+    blocks feed the MXU raw, ``-128 * xsum_g`` corrects the bias, and
+    the szero correction is one [bm, n_g] x [n_g, bn] dot. ``exact``
+    (CPU interpret) dots in f32 — interpret mode accumulates at input
+    precision, which the ~128x biased magnitudes would amplify."""
     del idx_ref
     x = x_ref[:]
-    icp3 = n_g * 12
+    read = lambda a, b: qw_ref[0, 0, a:b, :]
+    qrow = _w3x_code_rows(n_g)
+    dt = jnp.float32 if exact else jnp.bfloat16
+    xr = x.astype(jnp.bfloat16).astype(dt)
+    # sums of the SAME rounded x the dots consume, so the 128-column
+    # cancels to f32 accumulation order
+    xs = jnp.sum(xr.astype(jnp.float32).reshape(x.shape[0], n_g, 128),
+                 axis=2)                                # [m, n_g]
     acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
     sz_rows = []
-    for c in range(n_g // 2):
-        wq = _unpack_block3(
-            qw_ref[0, 0, c * 24:(c + 1) * 24, :]
-        ).astype(jnp.bfloat16)                          # [256, bn]
-        for h in range(2):
-            g = 2 * c + h
-            xg = x[:, g * 128:(g + 1) * 128]
-            part = jnp.dot(xg, wq[h * 128:(h + 1) * 128],
-                           preferred_element_type=jnp.float32)
-            qp = pltpu.bitcast(qw_ref[0, 0, icp3 + g:icp3 + g + 1, :],
-                               jnp.bfloat16)            # [2, bn]: s, sz
-            acc = acc + part * qp[0:1].astype(jnp.float32)
-            sz_rows.append(qp[1:2].astype(jnp.float32))
-    xsums = jnp.sum(
-        x.astype(jnp.float32).reshape(x.shape[0], n_g, 128), axis=2)
+    for g in range(n_g):
+        wq = _w3x_group_block(read, n_g, g)
+        part = jnp.dot(xr[:, g * 128:(g + 1) * 128], wq.astype(dt),
+                       preferred_element_type=jnp.float32)
+        part = part - 128.0 * xs[:, g:g + 1]
+        qp = pltpu.bitcast(qw_ref[0, 0, qrow + g:qrow + g + 1, :],
+                           jnp.bfloat16)                # [2, bn]: s, sz
+        acc = acc + part * qp[0:1].astype(jnp.float32)
+        sz_rows.append(qp[1:2].astype(jnp.float32))
     sz = jnp.concatenate(sz_rows, axis=0)               # [n_g, bn]
-    acc = acc - jnp.dot(xsums, sz, preferred_element_type=jnp.float32)
+    acc = acc - jnp.dot(xs, sz, preferred_element_type=jnp.float32)
     o_ref[:] = acc.astype(out_dtype)
 
 
@@ -840,8 +926,8 @@ def _w3a16_kernel_folded(idx_ref, x_ref, qw_ref, o_ref, *,
 def w3a16_matmul_stacked_tiled_folded(
     x, qweight, layer_idx, block_n: int, block_m: int = 0,
 ):
-    """Stacked matmul over the folded dense-3-bit layout
-    ``qweight [L, NB, IC*3//32 + IC/128 (+pad), bn]``."""
+    """Stacked matmul over the folded w3x 3-bit layout
+    ``qweight [L, NB, _w3x_code_rows(IC/128) + IC/128 (+pad), bn]``."""
     m, ic = x.shape
     _, nb, rows, bn = qweight.shape
     assert bn == block_n, (bn, block_n)
@@ -861,9 +947,10 @@ def w3a16_matmul_stacked_tiled_folded(
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
     )
+    interp = jax.default_backend() == "cpu"
     out = pl.pallas_call(
         functools.partial(_w3a16_kernel_folded, n_g=n_g,
-                          out_dtype=x.dtype),
+                          out_dtype=x.dtype, exact=interp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((x.shape[0], nb * bn), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -871,10 +958,10 @@ def w3a16_matmul_stacked_tiled_folded(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * x.shape[0] * ic * nb * bn,
-            bytes_accessed=ic * nb * bn * 3 // 8,
+            bytes_accessed=ic * nb * bn * 2 // 5,
             transcendentals=0,
         ),
-        interpret=(jax.default_backend() == "cpu"),
+        interpret=interp,
     )(idx, x, qweight)
     return out[:m] if m_pad else out
 

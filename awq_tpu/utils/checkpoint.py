@@ -45,6 +45,7 @@ def _flatten(params: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
                 "tiled_bn": v.tiled_bn,
                 "folded": v.folded,
                 "dense3": v.dense3,
+                "n_groups": v.n_groups,
             }
             flat[name + ".qweight"] = v.qweight
             flat[name + ".scales"] = v.scales
@@ -88,6 +89,7 @@ def _unflatten(flat: Dict[str, np.ndarray], tags: Dict[str, Any]) -> Dict[str, A
                 tiled_bn=tag.get("tiled_bn", 0),
                 folded=tag.get("folded", False),
                 dense3=tag.get("dense3", False),
+                n_groups=tag.get("n_groups", 0),
             ))
         elif kind == "linear":
             put(name, Linear(

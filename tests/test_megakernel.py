@@ -300,10 +300,11 @@ def _apply3(ql: QLinear, x, layer=0):
 
 
 def test_layer_step_dense3_matches_xla():
-    """The dense-3 megakernel phase (true 3-bit bitplane stream, 0.75x of
-    the W4 code bytes) == composed XLA ops."""
+    """The dense-3 (w3x) megakernel phase == composed XLA ops. I=768
+    makes the down matmul's IC span one full 5-group chunk AND a W4
+    trailer group (n_g=6); the H=256 matmuls are trailer-only."""
     nq = nkv = 2
-    hd, L, T, I = 128, 2, 256, 256
+    hd, L, T, I = 128, 2, 256, 768
     H = nq * hd
     ks = jax.random.split(jax.random.PRNGKey(41), 8)
     wqkv = _mk_qlin3_l(ks[0], H, (nq + 2 * nkv) * hd, 128, L)
