@@ -801,6 +801,68 @@ def decode_step_batched(
     layers_all = params["layers"]
     from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked
 
+    # batched whole-token megakernel: the 5-kernel/layer batched step is
+    # launch-bound (~160 launches/step at L=32); one launch streams each
+    # weight block ONCE for the whole batch (ops/megakernel_batched.py)
+    import os as _os
+
+    use_bmega = False
+    if (on_tpu and not is_q8 and cfg.pos_embed == "rope"
+            and cfg.norm == "rmsnorm" and cfg.act == "silu"
+            and not cfg.parallel_block
+            and _os.environ.get("AWQ_TPU_DISABLE_MEGAKERNEL") != "1"):
+        from awq_tpu.ops.megakernel_batched import (
+            megakernel_batched_supported,
+        )
+
+        use_bmega = megakernel_batched_supported(cfg, layers_all, cache, b)
+    if use_bmega:
+        from awq_tpu.ops.cache_append import batched_cache_append
+        from awq_tpu.ops.megakernel_batched import (
+            w4a16_llama_token_step_batched,
+        )
+        from awq_tpu.ops.w4a16 import qlinear_apply as _qla
+        from awq_tpu.ops.w4a16 import qlinear_apply_stacked as _qlas
+
+        la = layers_all
+        mhead = params.get("lm_head")
+        if not (isinstance(mhead, QLinear) and mhead.qweight.ndim == 4
+                and mhead.folded and mhead.bias is None
+                and mhead.tiled_bn <= 512
+                and mhead.dense3 == la["wqkv"].dense3):
+            mhead = None
+        res = w4a16_llama_token_step_batched(
+            h[:, 0], la["wqkv"], la["wo"], la["wgateup"], la["down"],
+            la["ln1"], la["ln2"], cos[lengths], sin[lengths],
+            cache, lengths,
+            nq=nq, nkv=nkv, eps=cfg.rms_eps,
+            whead=mhead,
+            norm_w=params["norm"] if mhead is not None else None,
+        )
+        if mhead is not None:
+            h_new, kn, vn, logits = res
+        else:
+            h_new, kn, vn = res
+        kv_all = jnp.stack([kn, vn], axis=1)       # [L, 2, B, n_kv, hd]
+        cache = batched_cache_append(cache, kv_all.astype(cache.dtype),
+                                     lengths)
+        if mhead is None:
+            hn = _norm(cfg, h_new, params["norm"], params.get("norm_b"))
+            head = params.get("lm_head")
+            if head is None:
+                logits = jnp.matmul(hn, params["embed"].astype(dt).T,
+                                    preferred_element_type=jnp.float32)
+            elif isinstance(head, QLinear):
+                if head.qweight.ndim == 4:
+                    logits = _qlas(head, jnp.int32(0),
+                                   hn).astype(jnp.float32)
+                else:
+                    logits = _qla(head, hn).astype(jnp.float32)
+            else:
+                logits = jnp.matmul(hn, head.astype(dt),
+                                    preferred_element_type=jnp.float32)
+        return logits, cache
+
     small = {k2: v for k2, v in layers_all.items()
              if isinstance(v, jax.Array)}
 

@@ -745,7 +745,7 @@ def _cost(ws, n_layers: int = 1):
                            transcendentals=0)
 
 
-def megakernel_supported(cfg, layers, cache) -> bool:
+def megakernel_supported(cfg, layers, cache, slots: int = 1) -> bool:
     """Static eligibility check (see module docstring)."""
     if cfg.head_dim != 128 or cfg.act != "silu" or cfg.norm != "rmsnorm":
         return False
@@ -774,7 +774,7 @@ def megakernel_supported(cfg, layers, cache) -> bool:
         return False
     if data.dtype not in (jnp.bfloat16, jnp.float16, jnp.float32, jnp.int8):
         return False
-    if data.shape[2] != 1 or data.shape[4] % 256 != 0:
+    if data.shape[2] != slots or data.shape[4] % 256 != 0:
         return False
     if (cfg.hidden_size % 128 or cfg.intermediate_size % 128):
         return False

@@ -1,0 +1,547 @@
+"""Batched whole-token decode megakernel: ALL layers for B rows in ONE
+Pallas launch.
+
+The continuous-batching engine's decode step was launch-bound: ~5
+kernels x 32 layers per step put B=8 at 16.6 ms/step (the weight stream
+alone is ~5.4 ms). This kernel runs the whole batch through ONE weight
+stream — each folded block is DMA'd once and dotted against ``[B, 128]``
+activation tiles, so the per-step weight traffic is the same as a
+SINGLE-token step while producing B tokens. B=8 exactly fills the f32
+(8, 128) VPU/MXU tile, so the epilogue FMAs cost the same as the m=1
+kernel's but do 8 rows of work.
+
+Design vs the single-token kernel (``megakernel.py``, which stays
+untouched — it owns the latency headline):
+
+- Activations live ROW-MAJOR ``[unit*B + b, 128]`` (unit = 128-lane
+  group; for H-dimension tensors unit == attention head since hd=128).
+  Group ``g``'s matmul LHS is then the contiguous ``[B, 128]`` slab at
+  rows ``g*B``, every residual/norm/SwiGLU op is a full-tile
+  elementwise, and dynamic block stores land on 8-aligned rows
+  (B % 8 == 0 required).
+- Per-row state (rope position, cache length, cache rows) differs per
+  batch row: the attention phase transposes the QKV rows to b-major
+  ONCE per layer and runs the flash loop per row (static unroll over
+  B) with that row's ``lengths[b]`` bound; outputs collect b-major and
+  transpose back g-major for the o-proj matmul.
+- The epilogue is the plain biased-dot chain (no pscratch ILP rows):
+  at B=8 each FMA is a full sublane tile, so the m=1 chain cost that
+  motivated pscratch3 is amortized 8x.
+
+No reference counterpart exists: TinyChat serves batch 1 only
+(`tinychat/serve/model_worker_new.py` decodes a single stream).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from awq_tpu.ops.megakernel import _dims_for, megakernel_supported
+from awq_tpu.ops.w4a16 import (QLinear, _unpack_block_bf16, _w3x_code_rows,
+                               _w3x_group_block)
+
+
+def _qdot_rows_b(x_rows, xs_t, wbuf, slot, n_g, bn, B, *, dense3, exact):
+    """One ``[B, bn]`` output block: biased dots over the folded block in
+    ``wbuf[slot]`` against contiguous ``[B, 128]`` LHS slabs.
+
+    ``xs_t [B, n_g]`` are per-(row, group) sums of the bf16-rounded x
+    (the values the MXU consumes), correcting both the +128 unpack bias
+    and the szero term. ``exact`` dots in f32 (CPU interpret mode
+    accumulates at input precision — see megakernel.py pscratch3)."""
+    qrow = _w3x_code_rows(n_g) if dense3 else n_g * 16
+    read = lambda a, b: wbuf[slot, a:b, :bn]
+    dt = jnp.float32 if exact else jnp.bfloat16
+    acc = jnp.zeros((B, bn), jnp.float32)
+    for g in range(n_g):
+        if dense3:
+            wq = _w3x_group_block(read, n_g, g)
+        else:
+            wq = _unpack_block_bf16(read(g * 16, (g + 1) * 16))
+        xg = x_rows[g * B:(g + 1) * B, :]
+        part = jnp.dot(xg.astype(jnp.bfloat16).astype(dt), wq.astype(dt),
+                       preferred_element_type=jnp.float32)
+        part = part - 128.0 * xs_t[:, g:g + 1]
+        qp = pltpu.bitcast(wbuf[slot, qrow + g:qrow + g + 1, :bn],
+                           jnp.bfloat16)               # [2, bn]: s, sz
+        acc = (acc + part * qp[0:1].astype(jnp.float32)
+               - xs_t[:, g:g + 1] * qp[1:2].astype(jnp.float32))
+    return acc
+
+
+def _row_sums_b(x_rows, n_g, B):
+    """g-major rows ``[n_g*B, 128]`` -> per-(row, group) sums
+    ``[B, n_g]`` of the bf16-rounded values (what the dots consume)."""
+    xr = x_rows[0:n_g * B, :].astype(jnp.bfloat16).astype(jnp.float32)
+    s = jnp.sum(xr.reshape(n_g, B, 128), axis=2)       # [n_g, B]
+    return jnp.transpose(s, (1, 0))                    # [B, n_g]
+
+
+def _rms_rows_b(x_rows, g_rows, eps, n_g, B):
+    """Per-batch-row rmsnorm over g-major rows ``[n_g*B, 128]``."""
+    xf = x_rows[0:n_g * B, :].astype(jnp.float32).reshape(n_g, B, 128)
+    ms = jnp.mean(xf * xf, axis=(0, 2), keepdims=True)  # [1, B, 1]
+    out = xf * jax.lax.rsqrt(ms + eps) \
+        * g_rows.astype(jnp.float32)[:, None, :]
+    return out.reshape(n_g * B, 128)
+
+
+def _rope_rows_b(x, cos, sin):
+    """x ``[rows, 128]``, cos/sin ``[1, 128]`` (HF rotate_half)."""
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[:, half:], x[:, :half]], axis=-1)
+    return x * cos + rot * sin
+
+
+def _store_rows_b(dst, acc, j, bn, B):
+    """[B, bn] f32 -> g-major rows at OC block j (8-aligned: B%8==0)."""
+    r = bn // 128
+    for c in range(r):
+        dst[pl.ds((j * r + c) * B, B), :] = acc[:, c * 128:(c + 1) * 128]
+
+
+def _blayer_phases(
+    layer, base2, lengths, B, ln1_row, ln2_row, bq_row, cs_ref,
+    weights, cache_ref, kv_store,
+    hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, h1_s, gu_s, hm_s, oacc_s,
+    wbuf, kbuf, vbuf, wsem, ksem, vsem,
+    *, dims, dense3, has_bias, tail_dma=None,
+):
+    """One decoder layer for B rows. Residual lives in ``hbuf``
+    (g-major); returns nothing (hbuf updated in place via h1/oacc)."""
+    d = dims
+    nq, nkv, hd, eps = d["nq"], d["nkv"], d["hd"], d["eps"]
+    ngh, ngi = d["ngh"], d["ngi"]
+    bt, hc = d["bt"], d["hc"]
+    grp = nq // nkv
+    nr = nq + 2 * nkv
+    exact = d.get("exact", False)
+
+    phases = [
+        (weights[0], d["NBQ"], d["rq"], ngh, d["bnq"]),
+        (weights[1], d["NBO"], d["ro"], ngh, d["bno"]),
+        (weights[2], d["NBG"], d["rg"], ngh, d["bng"]),
+        (weights[3], d["NBD"], d["rd"], ngi, d["bnd"]),
+    ]
+    offs = [0]
+    for _, nb, _, _, _ in phases:
+        offs.append(offs[-1] + nb)
+
+    def wdma(ph, lyr, j, slot):
+        hbm, _, rows, _, bn = phases[ph]
+        return pltpu.make_async_copy(
+            hbm.at[lyr, j], wbuf.at[slot, 0:rows, 0:bn], wsem.at[slot],
+        )
+
+    def run_phase(ph, x_rows, xs_t, store):
+        _, nb, _, n_g, bn = phases[ph]
+        p0 = base2 + offs[ph]
+
+        def body(j, _):
+            slot = jax.lax.rem(j + p0, 2)
+            nxt = jax.lax.rem(j + p0 + 1, 2)
+
+            @pl.when(j + 1 < nb)
+            def _():
+                wdma(ph, layer, j + 1, nxt).start()
+
+            if ph + 1 < len(phases):
+                @pl.when(j + 1 == nb)
+                def _():
+                    wdma(ph + 1, layer, 0, nxt).start()
+            elif tail_dma is not None:
+                @pl.when(j + 1 == nb)
+                def _():
+                    tail_dma(nxt)
+
+            wdma(ph, layer, j, slot).wait()
+            acc = _qdot_rows_b(x_rows, xs_t, wbuf, slot, n_g, bn, B,
+                               dense3=dense3, exact=exact)
+            store(acc, j)
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0, unroll=False)
+
+    # ---- phase 1: rmsnorm + fused QKV --------------------------------------
+    xq_s[:, :] = _rms_rows_b(hbuf, ln1_row, eps, ngh, B)
+    xs = _row_sums_b(xq_s, ngh, B)
+    run_phase(0, xq_s, xs,
+              lambda acc, j: _store_rows_b(qkv_s, acc, j, d["bnq"], B))
+
+    # ---- phase 2: transpose to b-major, rope + per-row flash ---------------
+    # g-major [nr*B, 128] -> b-major [B*nr, 128] (+ qkv bias, broadcast
+    # over rows)
+    qkvg = qkv_s[0:nr * B, :].reshape(nr, B, 128)
+    if has_bias:
+        qkvg = qkvg + bq_row[:, None, :]
+    qkvb_s[:, :] = jnp.transpose(qkvg, (1, 0, 2)).reshape(B * nr, 128)
+
+    scale = 1.0 / (hd ** 0.5)
+    n_chunks = nkv // hc
+
+    def dma(buf, kv, sem, slot, b, c, i):
+        return pltpu.make_async_copy(
+            cache_ref.at[layer, kv, b, pl.ds(c * hc, hc),
+                         pl.ds(i * bt, bt), :],
+            buf.at[slot], sem.at[slot],
+        )
+
+    for b in range(B):
+        length = lengths[b]
+        base = b * nr
+        cos = cs_ref[0, b][None, :]
+        sin = cs_ref[1, b][None, :]
+        q = _rope_rows_b(qkvb_s[base:base + nq, :], cos, sin)
+        k = _rope_rows_b(qkvb_s[base + nq:base + nq + nkv, :], cos, sin)
+        v = qkvb_s[base + nq + nkv:base + nr, :]
+        kv_store(b, k, v)
+        qs = (q * scale).reshape(nkv, grp, hd)
+        nblk = pl.cdiv(length, bt)
+
+        def start_blk(c, i, slot):
+            dma(kbuf, 0, ksem, slot, b, c, i).start()
+            dma(vbuf, 1, vsem, slot, b, c, i).start()
+
+        for c in range(n_chunks):
+            @pl.when(nblk > 0)
+            def _():
+                start_blk(c, 0, 0)
+
+            qc = qs[c * hc:(c + 1) * hc]               # [hc, grp, hd]
+
+            def blk_body(i, carry):
+                m, l, acc = carry
+                slot = i % 2
+
+                @pl.when(i + 1 < nblk)
+                def _():
+                    start_blk(c, i + 1, (i + 1) % 2)
+
+                dma(kbuf, 0, ksem, slot, b, c, i).wait()
+                s = jax.lax.dot_general(
+                    qc, kbuf[slot].astype(jnp.float32),
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )                                      # [hc, grp, bt]
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) \
+                    + i * bt
+                s = jnp.where(col < length, s, -jnp.inf)
+                m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
+                dma(vbuf, 1, vsem, slot, b, c, i).wait()
+                pv = jax.lax.dot_general(
+                    p, vbuf[slot].astype(jnp.float32),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )                                      # [hc, grp, hd]
+                return m_new, l_new, acc * alpha + pv
+
+            m0 = jnp.full((hc, grp, 1), -jnp.inf, jnp.float32)
+            l0 = jnp.zeros((hc, grp, 1), jnp.float32)
+            a0 = jnp.zeros((hc, grp, hd), jnp.float32)
+            m, l, acc = jax.lax.fori_loop(0, nblk, blk_body,
+                                          (m0, l0, a0))
+
+            kc = k[c * hc:(c + 1) * hc]
+            vc = v[c * hc:(c + 1) * hc]
+            s_c = jnp.sum(qc * kc[:, None, :], axis=2, keepdims=True)
+            m_new = jnp.maximum(m, s_c)
+            alpha = jnp.exp(m - m_new)
+            p_c = jnp.exp(s_c - m_new)
+            l = l * alpha + p_c
+            acc = acc * alpha + p_c * vc[:, None, :]
+            rows = (acc / l).reshape(hc * grp, hd)
+            xob_s[b * nq + c * hc * grp:
+                  b * nq + (c + 1) * hc * grp, :] = rows
+
+    # b-major attn rows -> g-major for the o-proj matmul
+    xo_s[:, :] = jnp.transpose(
+        xob_s[0:B * nq, :].reshape(B, nq, 128), (1, 0, 2)
+    ).reshape(nq * B, 128)
+
+    # ---- phase 3: o-proj ----------------------------------------------------
+    xs = _row_sums_b(xo_s, ngh, B)
+    run_phase(1, xo_s, xs,
+              lambda acc, j: _store_rows_b(oacc_s, acc, j, d["bno"], B))
+
+    # ---- phase 4: residual + norm2 + gate/up --------------------------------
+    h1_s[:, :] = hbuf[:, :].astype(jnp.float32) + oacc_s[0:ngh * B, :]
+    xq_s[:, :] = _rms_rows_b(h1_s, ln2_row, eps, ngh, B)
+    xs = _row_sums_b(xq_s, ngh, B)
+    run_phase(2, xq_s, xs,
+              lambda acc, j: _store_rows_b(gu_s, acc, j, d["bng"], B))
+
+    # ---- phase 5: SwiGLU + down + residual ----------------------------------
+    gate = gu_s[0:ngi * B, :]
+    up = gu_s[ngi * B:2 * ngi * B, :]
+    hm_s[:, :] = gate * jax.lax.logistic(gate) * up
+    xs = _row_sums_b(hm_s, ngi, B)
+    run_phase(3, hm_s, xs,
+              lambda acc, j: _store_rows_b(oacc_s, acc, j, d["bnd"], B))
+    # residual is bf16 between layers (parity with the composed model)
+    hbuf[:, :] = (h1_s[:, :] + oacc_s[0:ngh * B, :]).astype(
+        jnp.bfloat16).astype(jnp.float32)
+
+
+def _btoken_kernel(
+    lengths_ref,
+    h_ref, ln_ref, bq_ref, cs_ref, nw_ref,
+    wq_hbm, wo_hbm, wg_hbm, wd_hbm, wh_hbm,
+    cache_ref,
+    out_ref, kn_ref, vn_ref, logits_ref,
+    hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, h1_s, gu_s, hm_s, oacc_s,
+    wbuf, kbuf, vbuf, wsem, ksem, vsem,
+    *, dims, n_layers, B, dense3, has_bias, head,
+):
+    d = dims
+    tot = d["NBQ"] + d["NBO"] + d["NBG"] + d["NBD"]
+    weights = (wq_hbm, wo_hbm, wg_hbm, wd_hbm)
+    lengths = [lengths_ref[b] for b in range(B)]
+
+    pltpu.make_async_copy(
+        wq_hbm.at[0, 0], wbuf.at[0, 0:d["rq"], 0:d["bnq"]], wsem.at[0],
+    ).start()
+    hbuf[:, :] = h_ref[:, :].astype(jnp.float32)
+
+    def layer_body(l, _):
+        base2 = jax.lax.rem(l * tot, 2)
+
+        def kv_store(b, k, v):
+            kn_ref[l, b, :, :] = k.astype(kn_ref.dtype)
+            vn_ref[l, b, :, :] = v.astype(vn_ref.dtype)
+
+        def tail_dma(nxt):
+            @pl.when(l + 1 < n_layers)
+            def _():
+                pltpu.make_async_copy(
+                    wq_hbm.at[l + 1, 0],
+                    wbuf.at[nxt, 0:d["rq"], 0:d["bnq"]], wsem.at[nxt],
+                ).start()
+
+            if head:
+                @pl.when(l + 1 == n_layers)
+                def _():
+                    pltpu.make_async_copy(
+                        wh_hbm.at[0, 0],
+                        wbuf.at[nxt, 0:d["rh"], 0:d["bnh"]],
+                        wsem.at[nxt],
+                    ).start()
+
+        _blayer_phases(
+            l, base2, lengths, B, ln_ref[l, 0], ln_ref[l, 1],
+            bq_ref[0 if not has_bias else l].astype(jnp.float32),
+            cs_ref, weights, cache_ref, kv_store,
+            hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, h1_s, gu_s, hm_s,
+            oacc_s, wbuf, kbuf, vbuf, wsem, ksem, vsem,
+            dims=d, dense3=dense3, has_bias=has_bias, tail_dma=tail_dma,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_layers, layer_body, 0, unroll=False)
+    out_ref[:, :] = hbuf[:, :].astype(out_ref.dtype)
+
+    if head:
+        ngh = d["ngh"]
+        bnh, NBH, rh = d["bnh"], d["NBH"], d["rh"]
+        xq_s[:, :] = _rms_rows_b(hbuf, nw_ref[:, :], d["eps"], ngh, B)
+        xs = _row_sums_b(xq_s, ngh, B)
+        p0 = jnp.asarray(n_layers * tot, jnp.int32)
+
+        def hbody(j, _):
+            slot = jax.lax.rem(j + p0, 2)
+            nxt = jax.lax.rem(j + p0 + 1, 2)
+
+            @pl.when(j + 1 < NBH)
+            def _():
+                pltpu.make_async_copy(
+                    wh_hbm.at[0, j + 1], wbuf.at[nxt, 0:rh, 0:bnh],
+                    wsem.at[nxt],
+                ).start()
+
+            pltpu.make_async_copy(
+                wh_hbm.at[0, j], wbuf.at[slot, 0:rh, 0:bnh],
+                wsem.at[slot],
+            ).wait()
+            acc = _qdot_rows_b(xq_s, xs, wbuf, slot, ngh, bnh, B,
+                               dense3=dense3,
+                               exact=d.get("exact", False))
+            _store_rows_b(logits_ref, acc, j, bnh, B)
+            return 0
+
+        jax.lax.fori_loop(0, NBH, hbody, 0, unroll=False)
+
+
+def megakernel_batched_supported(cfg, layers, cache, batch: int) -> bool:
+    """The batched kernel shares the single-token gate plus: B%8==0 and
+    small (VMEM scratch scales with B), fp16/bf16 cache (no int8 yet),
+    batch matches the cache's slot axis."""
+    data = getattr(cache, "data", cache)
+    if not isinstance(data, jax.Array) or data.dtype == jnp.int8:
+        return False
+    if batch % 8 != 0 or batch > 16 or data.shape[2] != batch:
+        return False
+    if not megakernel_supported(cfg, layers, cache, slots=batch):
+        return False
+    # activation scratch scales with B — re-check the VMEM budget
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    nr_rows = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim // 128
+    needed = ("wqkv", "wo", "wgateup", "down")
+    wrows = max(layers[n].qweight.shape[2] for n in needed)
+    wcols = max(layers[n].tiled_bn for n in needed)
+    act_rows = (6 * H // 128 + 2 * nr_rows + cfg.num_heads
+                + 3 * I // 128) * batch
+    bias_rows = (cfg.num_layers * nr_rows
+                 if layers["wqkv"].bias is not None else nr_rows)
+    scratch = (2 * wrows * wcols * 4 + 4 * 512 * 1024
+               + act_rows * 128 * 4
+               + 2 * cfg.num_layers * H * 4            # norms window
+               + bias_rows * 128 * 4)                  # qkv bias block
+    return scratch <= 15 * 1024 * 1024
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nq", "nkv", "eps", "interpret"))
+def w4a16_llama_token_step_batched(
+    h: jax.Array,            # [B, H] bf16 residual input (post-embed)
+    wqkv: QLinear, wo: QLinear, wgu: QLinear, wdn: QLinear,
+    ln1: jax.Array,          # [L, H]
+    ln2: jax.Array,
+    cos_rows: jax.Array,     # [B, hd] f32 rope rows at each row's position
+    sin_rows: jax.Array,
+    cache: jax.Array,        # [L, 2, B, n_kv, T, hd]
+    lengths: jax.Array,      # [B] per-row cache lengths (write positions)
+    nq: int = 0, nkv: int = 0,
+    eps: float = 1e-5,
+    interpret: bool = False,
+    whead: QLinear = None,
+    norm_w: jax.Array = None,
+):
+    """ALL decoder layers for B rows in one Pallas call. Returns
+    ``(h_new [B, H], k_new [L, B, n_kv, hd], v_new [L, B, n_kv, hd])``
+    (+ ``logits [B, vocab] f32`` with ``whead``/``norm_w``); the caller
+    appends k/v with one batched scatter (``ops/cache_append.py``)."""
+    B, H = h.shape
+    hd = cache.shape[-1]
+    L = cache.shape[0]
+    nkv = nkv or cache.shape[3]
+    nq = nq or H // hd
+    assert B % 8 == 0, B
+    assert wqkv.folded and wo.folded and wgu.folded and wdn.folded
+    dense3 = wqkv.dense3
+    dims = _dims_for((nq, nkv, hd), wqkv, wo, wgu, wdn, cache, eps)
+    dims["exact"] = bool(interpret)
+    ngh, ngi = dims["ngh"], dims["ngi"]
+    nr = nq + 2 * nkv
+
+    # [B, H] -> g-major rows [ngh*B, 128]
+    h_rows = jnp.transpose(h.reshape(B, ngh, 128), (1, 0, 2)) \
+        .reshape(ngh * B, 128)
+    ln = jnp.stack([ln1, ln2], axis=1).reshape(L, 2, ngh, 128)
+    has_bias = wqkv.bias is not None
+    bq = (wqkv.bias.astype(jnp.float32).reshape(L, nr, hd) if has_bias
+          else jnp.zeros((1, nr, hd), jnp.float32))
+    cs = jnp.stack([cos_rows, sin_rows]).astype(jnp.float32)
+    scalars = jnp.asarray(lengths, jnp.int32).reshape(B)
+
+    kv_dt = cache.dtype
+    head = whead is not None
+    if head:
+        assert whead.folded and whead.qweight.ndim == 4
+        dims["bnh"] = whead.tiled_bn
+        dims["NBH"] = whead.out_features // whead.tiled_bn
+        dims["rh"] = whead.qweight.shape[2]
+        vocab = whead.out_features
+        wh_qw = whead.qweight
+        nw = norm_w.astype(jnp.float32).reshape(ngh, 128)
+    else:
+        dims["bnh"] = dims["NBH"] = 0
+        dims["rh"] = 8
+        vocab = 128
+        wh_qw = jnp.zeros((1, 1, 8, 128), jnp.int32)
+        nw = jnp.zeros((ngh, 128), jnp.float32)
+
+    wrows = max(dims["rq"], dims["ro"], dims["rg"], dims["rd"],
+                dims["rh"])
+    wcols = max(dims["bnq"], dims["bno"], dims["bng"], dims["bnd"],
+                dims["bnh"])
+    pinned = lambda g, l: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((ngh * B, 128), pinned),                # h rows
+            pl.BlockSpec((L, 2, ngh, 128), lambda g, l: (0,) * 4),
+            pl.BlockSpec((L if has_bias else 1, nr, hd),
+                         lambda g, l: (0, 0, 0)),                # qkv bias
+            pl.BlockSpec((2, B, hd), lambda g, l: (0, 0, 0)),    # cos|sin
+            pl.BlockSpec((ngh, 128), pinned),                    # final norm
+            pl.BlockSpec(memory_space=pl.ANY),                   # wqkv
+            pl.BlockSpec(memory_space=pl.ANY),                   # wo
+            pl.BlockSpec(memory_space=pl.ANY),                   # wgu
+            pl.BlockSpec(memory_space=pl.ANY),                   # wdn
+            pl.BlockSpec(memory_space=pl.ANY),                   # lm_head
+            pl.BlockSpec(memory_space=pl.ANY),                   # cache
+        ],
+        out_specs=[
+            pl.BlockSpec((ngh * B, 128), pinned),                # h_new
+            pl.BlockSpec((L, B, nkv, hd), lambda g, l: (0,) * 4),
+            pl.BlockSpec((L, B, nkv, hd), lambda g, l: (0,) * 4),
+            pl.BlockSpec((vocab // 128 * B, 128), pinned),       # logits
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ngh * B, 128), jnp.float32),             # hbuf
+            pltpu.VMEM((ngh * B, 128), jnp.float32),             # xq/xm
+            pltpu.VMEM((nr * B, 128), jnp.float32),              # qkv g-major
+            pltpu.VMEM((B * nr, 128), jnp.float32),              # qkv b-major
+            pltpu.VMEM((B * nq, 128), jnp.float32),              # attn b-major
+            pltpu.VMEM((ngh * B, 128), jnp.float32),             # xo g-major
+            pltpu.VMEM((ngh * B, 128), jnp.float32),             # h1
+            pltpu.VMEM((2 * ngi * B, 128), jnp.float32),         # gate|up
+            pltpu.VMEM((ngi * B, 128), jnp.float32),             # hm
+            pltpu.VMEM((ngh * B, 128), jnp.float32),             # o/down acc
+            pltpu.VMEM((2, wrows, wcols), jnp.int32),            # weight dbuf
+            pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
+            pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    by = sum(w.in_features * w.out_features for w in (wqkv, wo, wgu, wdn))
+    cost = pl.CostEstimate(flops=2 * B * L * by * 2,
+                           bytes_accessed=L * by // 2, transcendentals=0)
+    out, kn, vn, logits = pl.pallas_call(
+        functools.partial(_btoken_kernel, dims=dims, n_layers=L, B=B,
+                          dense3=dense3, has_bias=has_bias, head=head),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ngh * B, 128), h.dtype),
+            jax.ShapeDtypeStruct((L, B, nkv, hd), kv_dt),
+            jax.ShapeDtypeStruct((L, B, nkv, hd), kv_dt),
+            jax.ShapeDtypeStruct((vocab // 128 * B, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(
+        scalars, h_rows, ln, bq, cs, nw,
+        wqkv.qweight, wo.qweight, wgu.qweight, wdn.qweight, wh_qw,
+        cache,
+    )
+    h_new = jnp.transpose(out.reshape(ngh, B, 128), (1, 0, 2)) \
+        .reshape(B, H)
+    if head:
+        logits = jnp.transpose(logits.reshape(vocab // 128, B, 128),
+                               (1, 0, 2)).reshape(B, vocab)
+        return h_new, kn, vn, logits
+    return h_new, kn, vn

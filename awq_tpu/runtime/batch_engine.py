@@ -46,7 +46,10 @@ class BatchEngine:
         self,
         cfg: ModelConfig,
         params,
-        n_slots: int = 4,
+        # default 8: multiples of 8 ride the batched whole-token
+        # megakernel on TPU (ops/megakernel_batched.py) — one Pallas
+        # launch per step instead of ~5 x n_layers
+        n_slots: int = 8,
         max_seq_len: int = 2048,
         cache_dtype=jnp.bfloat16,
     ):
