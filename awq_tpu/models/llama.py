@@ -493,6 +493,16 @@ def forward(
             _os.environ.get("AWQ_TPU_DISABLE_MEGAKERNEL") != "1"
             and megakernel_supported(cfg, params["layers"], cache)
         )
+    use_cmega = False
+    if (not use_mega and 1 < s and b == 1 and tp_axis is None
+            and cfg.pos_embed == "rope" and cfg.norm == "rmsnorm"
+            and cfg.act == "silu" and not cfg.parallel_block
+            and not is_q8 and jax.default_backend() == "tpu"
+            and _os.environ.get("AWQ_TPU_DISABLE_MEGAKERNEL") != "1"):
+        from awq_tpu.ops.megakernel_chunk import chunk_megakernel_supported
+
+        use_cmega = chunk_megakernel_supported(cfg, params["layers"],
+                                               cache, s)
     if use_mega:
         # whole-token megakernel: ONE Pallas call runs ALL layers
         # (norm->qkv->rope->flash-attn->o->norm->gate/up->silu->down per
@@ -552,6 +562,38 @@ def forward(
                 cache, kv[..., None, :].astype(cache.dtype),
                 (0, 0, 0, 0, start_pos, 0),
             )
+    elif use_cmega:
+        # chunked-prefill megakernel: a <=32-token window of ONE sequence
+        # (the multi-round chat path) runs all layers in one launch —
+        # the 5-kernel/layer prefill stack was launch-bound at this size
+        # (ops/megakernel_chunk.py). Pad rows sit at the END; the causal
+        # tail keeps them out of real rows, and only the first s k/v
+        # rows are appended.
+        from awq_tpu.ops.megakernel_chunk import (
+            CHUNK_S,
+            w4a16_llama_chunk_step,
+        )
+
+        la = params["layers"]
+        pad = CHUNK_S - s
+        hw = h[0]
+        if pad:
+            hw = jnp.concatenate(
+                [hw, jnp.zeros((pad, hw.shape[-1]), hw.dtype)], axis=0)
+        pos_w = jnp.clip(start_pos + jnp.arange(CHUNK_S), 0,
+                         cos.shape[0] - 1)
+        hn, kn, vn = w4a16_llama_chunk_step(
+            hw, la["wqkv"], la["wo"], la["wgateup"], la["down"],
+            la["ln1"], la["ln2"], cos[pos_w], sin[pos_w], cache,
+            start_pos, nq=cfg.num_heads, nkv=cfg.num_kv_heads,
+            eps=cfg.rms_eps,
+        )
+        h = hn[:s][None]
+        kv = jnp.stack([kn[:, :, :s], vn[:, :, :s]],
+                       axis=1)[:, :, None]        # [L, 2, 1, n_kv, s, hd]
+        new_cache = jax.lax.dynamic_update_slice(
+            cache, kv.astype(cache.dtype), (0, 0, 0, 0, start_pos, 0),
+        )
     elif use_stacked:
         # The cache rides through the scan as a carry; packed weights stay
         # stacked and are indexed INSIDE the Pallas kernels via scalar

@@ -57,7 +57,12 @@ def _qdot_rows_b(x_rows, xs_t, wbuf, slot, n_g, bn, B, *, dense3, exact):
     qrow = _w3x_code_rows(n_g) if dense3 else n_g * 16
     read = lambda a, b: wbuf[slot, a:b, :bn]
     dt = jnp.float32 if exact else jnp.bfloat16
-    acc = jnp.zeros((B, bn), jnp.float32)
+    # 4 independent accumulators: the per-group `acc = acc + ...` chain
+    # is a serial [B, bn] VPU dependency (2 FMAs x n_g) that the m=1
+    # kernel's pscratch trick removed; at B rows a 4-way tree gives the
+    # VPU ILP without scratch rows
+    nacc = min(4, n_g)
+    accs = [jnp.zeros((B, bn), jnp.float32) for _ in range(nacc)]
     for g in range(n_g):
         if dense3:
             wq = _w3x_group_block(read, n_g, g)
@@ -69,8 +74,11 @@ def _qdot_rows_b(x_rows, xs_t, wbuf, slot, n_g, bn, B, *, dense3, exact):
         part = part - 128.0 * xs_t[:, g:g + 1]
         qp = pltpu.bitcast(wbuf[slot, qrow + g:qrow + g + 1, :bn],
                            jnp.bfloat16)               # [2, bn]: s, sz
-        acc = (acc + part * qp[0:1].astype(jnp.float32)
-               - xs_t[:, g:g + 1] * qp[1:2].astype(jnp.float32))
+        accs[g % nacc] = (accs[g % nacc] + part * qp[0:1].astype(jnp.float32)
+                          - xs_t[:, g:g + 1] * qp[1:2].astype(jnp.float32))
+    acc = accs[0]
+    for a in accs[1:]:
+        acc = acc + a
     return acc
 
 
@@ -99,10 +107,13 @@ def _rope_rows_b(x, cos, sin):
 
 
 def _store_rows_b(dst, acc, j, bn, B):
-    """[B, bn] f32 -> g-major rows at OC block j (8-aligned: B%8==0)."""
+    """[B, bn] f32 -> g-major rows at OC block j (8-aligned: B%8==0;
+    casts to the scratch dtype — the chunk kernel keeps its big
+    activation arrays bf16 to fit VMEM)."""
     r = bn // 128
     for c in range(r):
-        dst[pl.ds((j * r + c) * B, B), :] = acc[:, c * 128:(c + 1) * 128]
+        dst[pl.ds((j * r + c) * B, B), :] = \
+            acc[:, c * 128:(c + 1) * 128].astype(dst.dtype)
 
 
 def _blayer_phases(
