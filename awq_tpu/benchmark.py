@@ -124,6 +124,46 @@ def bench_decode(cfg, params, cache, context: int, steps: int, runs: int):
     return {"ms_per_token": ms, "tokens_per_s": 1e3 / ms}
 
 
+def bench_spec_decode(cfg, params, cache, context: int, runs: int,
+                      k: int = 7):
+    """Speculative-verify economics: one s=k+1 verify window (rides the
+    chunked-prefill megakernel) vs k+1 sequential decode steps. Reports
+    the verify-step latency, the per-token cost at full acceptance, and
+    the break-even acceptance rate. New capability — the reference
+    decodes strictly one token per forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from awq_tpu.models import forward
+    from awq_tpu.runtime.generate import cache_bucket
+
+    bucket = cache_bucket(cache.shape[4], context + k + 2)
+    cache = jax.lax.slice_in_dim(cache, 0, bucket, axis=4)
+    toks = jnp.zeros((1, context), jnp.int32)
+    _, cache = forward(params, cfg, toks, cache, jnp.int32(0))
+    window = jnp.zeros((1, k + 1), jnp.int32)
+    one = jnp.zeros((1, 1), jnp.int32)
+
+    def verify():
+        logits, _ = forward(params, cfg, window, cache,
+                            jnp.int32(context), last_only=False)
+        return logits[0, -1, 0].astype(jnp.float32)
+
+    def decode1():
+        logits, _ = forward(params, cfg, one, cache, jnp.int32(context))
+        return logits[0, -1, 0].astype(jnp.float32)
+
+    verify_ms = _marginal_ms(verify, runs)
+    decode_ms = _marginal_ms(decode1, runs)
+    return {
+        "verify_ms": verify_ms,
+        "decode_ms": decode_ms,
+        "k": k,
+        "ms_per_token_full_accept": verify_ms / (k + 1),
+        "breakeven_accept": max(verify_ms / decode_ms - 1.0, 0.0) / k,
+    }
+
+
 def bench_batch_decode(cfg, params, batch: int, context: int, steps: int,
                        runs: int, max_seq: int, kv8: bool = False):
     """Batched decode throughput (continuous-batching steady state): all
@@ -262,7 +302,7 @@ def main(argv=None) -> int:
     p.add_argument("--load_quant", default=None)
     p.add_argument("--mode", default="decode",
                    choices=["decode", "ttft", "chunk_prefill",
-                            "batch_decode", "all"])
+                            "batch_decode", "spec_decode", "all"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max_seq_len", type=int, default=4096)
     p.add_argument("--context", type=int, default=4,
@@ -306,6 +346,12 @@ def main(argv=None) -> int:
         r = bench_ttft(cfg, params, cache, seqs, args.runs)
         for s, t in r.items():
             print(f"[{name}] ttft seq={s}: {t:.1f} ms (on-device, tunnel overhead excluded)")
+    if args.mode == "spec_decode":
+        r = bench_spec_decode(cfg, params, cache, 64, args.runs)
+        print(f"[{name}] spec verify k={r['k']}: {r['verify_ms']:.2f} ms "
+              f"vs decode {r['decode_ms']:.2f} ms/tok -> "
+              f"{r['ms_per_token_full_accept']:.2f} ms/tok at full accept, "
+              f"break-even accept {r['breakeven_accept']:.2f}")
     if args.mode in ("chunk_prefill", "all"):
         hist = [int(s) for s in args.history_lens.split(",")]
         r = bench_chunk_prefill(cfg, params, cache, hist,
