@@ -337,6 +337,28 @@ def _norm(cfg: ModelConfig, x, weight, bias):
     return layer_norm(x, weight, bias, cfg.rms_eps)
 
 
+def _head_logits(params: Params, h: jax.Array, dt) -> jax.Array:
+    """Final-normed hidden states -> f32 logits, dispatching on the head
+    format (tied embedding / stacked-of-1 tiled QLinear / plain QLinear /
+    fp matrix). The single place this dispatch lives — forward, the
+    batched decode step, and the batched-megakernel branch all share it."""
+    from awq_tpu.ops.w4a16 import QLinear, qlinear_apply
+
+    head = params.get("lm_head")
+    if head is None:
+        return jnp.matmul(h, params["embed"].astype(dt).T,
+                          preferred_element_type=jnp.float32)
+    if isinstance(head, QLinear):
+        if head.qweight.ndim == 4:      # stacked-of-1 tiled (fuse_linears)
+            from awq_tpu.ops.w4a16 import qlinear_apply_stacked
+
+            return qlinear_apply_stacked(head, jnp.int32(0),
+                                         h).astype(jnp.float32)
+        return qlinear_apply(head, h).astype(jnp.float32)
+    return jnp.matmul(h, head.astype(dt),
+                      preferred_element_type=jnp.float32)
+
+
 def _layer_forward(
     cfg: ModelConfig,
     lp: Params,                # single-layer params (no leading L)
@@ -794,23 +816,7 @@ def forward(
     if last_only:
         h = h[:, -1:, :]
     h = _norm(cfg, h, params["norm"], params.get("norm_b"))
-    head = params.get("lm_head")
-    from awq_tpu.ops.w4a16 import QLinear as _QL, qlinear_apply as _qla
-
-    if head is None:
-        logits = jnp.matmul(
-            h, params["embed"].astype(dt).T, preferred_element_type=jnp.float32
-        )
-    elif isinstance(head, _QL):
-        if head.qweight.ndim == 4:      # stacked-of-1 tiled (fuse_linears)
-            from awq_tpu.ops.w4a16 import qlinear_apply_stacked as _qlas
-
-            logits = _qlas(head, jnp.int32(0), h).astype(jnp.float32)
-        else:
-            logits = _qla(head, h).astype(jnp.float32)
-    else:
-        logits = jnp.matmul(h, head.astype(dt), preferred_element_type=jnp.float32)
-    return logits, new_cache
+    return _head_logits(params, h, dt), new_cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
@@ -890,19 +896,7 @@ def decode_step_batched(
                                      lengths)
         if mhead is None:
             hn = _norm(cfg, h_new, params["norm"], params.get("norm_b"))
-            head = params.get("lm_head")
-            if head is None:
-                logits = jnp.matmul(hn, params["embed"].astype(dt).T,
-                                    preferred_element_type=jnp.float32)
-            elif isinstance(head, QLinear):
-                if head.qweight.ndim == 4:
-                    logits = _qlas(head, jnp.int32(0),
-                                   hn).astype(jnp.float32)
-                else:
-                    logits = _qla(head, hn).astype(jnp.float32)
-            else:
-                logits = jnp.matmul(hn, head.astype(dt),
-                                    preferred_element_type=jnp.float32)
+            logits = _head_logits(params, hn, dt)
         return logits, cache
 
     small = {k2: v for k2, v in layers_all.items()
@@ -1067,23 +1061,7 @@ def decode_step_batched(
                 cache, row.astype(cache.dtype), (0, 0, i, 0, lengths[i], 0)
             )
     h = _norm(cfg, h, params["norm"], params.get("norm_b"))
-    head = params.get("lm_head")
-    from awq_tpu.ops.w4a16 import QLinear as _QL, qlinear_apply as _qla
-
-    if head is None:
-        logits = jnp.matmul(h, params["embed"].astype(dt).T,
-                            preferred_element_type=jnp.float32)
-    elif isinstance(head, _QL):
-        if head.qweight.ndim == 4:      # stacked-of-1 tiled (fuse_linears)
-            from awq_tpu.ops.w4a16 import qlinear_apply_stacked as _qlas
-
-            logits = _qlas(head, jnp.int32(0), h).astype(jnp.float32)
-        else:
-            logits = _qla(head, h).astype(jnp.float32)
-    else:
-        logits = jnp.matmul(h, head.astype(dt),
-                            preferred_element_type=jnp.float32)
-    return logits[:, 0], cache
+    return _head_logits(params, h, dt)[:, 0], cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))

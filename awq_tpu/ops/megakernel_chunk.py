@@ -65,7 +65,6 @@ def _cchunk_kernel(
     nr = nq + 2 * nkv
     hist = scalars_ref[0]                       # history length
     tot = d["NBQ"] + d["NBO"] + d["NBG"] + d["NBD"]
-    weights = (wq_hbm, wo_hbm, wg_hbm, wd_hbm)
 
     phases = [
         (wq_hbm, d["NBQ"], d["rq"], ngh, d["bnq"]),
@@ -283,8 +282,11 @@ def chunk_megakernel_supported(cfg, layers, cache, s: int) -> bool:
         (5 * H // 128) * 4                    # hbuf/xq/xo/h1/oacc f32
         + (nr_rows + 3 * I // 128) * 2        # qkv/gu/hm bf16
     )
+    bias_rows = (cfg.num_layers * nr_rows
+                 if layers["wqkv"].bias is not None else nr_rows)
     scratch = (2 * wrows * wcols * 4 + 4 * 512 * 1024 + act
-               + 2 * cfg.num_layers * H * 4)
+               + 2 * cfg.num_layers * H * 4
+               + bias_rows * 128 * 4)          # qkv bias block
     return scratch <= 15 * 1024 * 1024
 
 

@@ -1107,11 +1107,13 @@ def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
                 x2, ql.qweight, layer_idx, ql.tiled_bn,
             )
         elif ql.tiled_bn:
-            qw3 = untile_qweight(ql.qweight, ql.tiled_bn,
+            # index the layer FIRST: untiling the whole [L, ...] stack
+            # then slicing would emit L unfold graphs per call
+            qw3 = untile_qweight(ql.qweight[layer_idx], ql.tiled_bn,
                                  icp=ql.in_features * 3 // 32,
                                  dense3=True)
             out = w4a16_matmul_xla(
-                x2, qw3[layer_idx], ql.scales[layer_idx],
+                x2, qw3, ql.scales[layer_idx],
                 ql.szeros[layer_idx], ql.group_size, dense3=True,
             )
         elif jax.default_backend() == "tpu":

@@ -90,11 +90,15 @@ def _qlinear_specs(path: str, ql, tp: int):
                  and ql.scales.shape[1] % tp == 0 else P())
     else:
         qspec, sspec = P(), P()
-    return QLinear(
-        qweight=qspec, scales=sspec, szeros=sspec,
+    # replace() copies ALL static fields: the spec pytree's aux_data must
+    # match the param pytree's exactly or device_put raises a structure
+    # mismatch (a hand-built QLinear silently dropped new statics like
+    # n_groups, breaking multi-chip W3)
+    import dataclasses
+
+    return dataclasses.replace(
+        ql, qweight=qspec, scales=sspec, szeros=sspec,
         bias=None if ql.bias is None else P(),
-        w_bit=ql.w_bit, group_size=ql.group_size,
-        tiled_bn=ql.tiled_bn, folded=ql.folded, dense3=ql.dense3,
     )
 
 

@@ -73,20 +73,35 @@ def generate_speculative(
     steps, drafted, accepted = 1, 0, 0
 
     while len(out) < max_new and (eos is None or out[-1] != eos):
-        draft = ngram_propose(np.asarray(ctx + out, np.int32), k, n)
-        kk = int(min(len(draft), 31, max_t - length - 2, max_new))
-        draft = draft[:max(kk, 0)]
-        window = np.concatenate([[out[-1]], draft]).astype(np.int32)
+        room = max_t - length - 2
+        remaining = max_new - len(out)
+        draft = np.zeros((0,), np.int32)
+        if room >= k and remaining > 1:
+            draft = ngram_propose(np.asarray(ctx + out, np.int32), k, n)
+        true_k = len(draft)
+        if true_k:
+            # FIXED window shape [k+1]: padding the draft keeps forward
+            # at exactly two compiled shapes (s=1 and s=k+1) — variable
+            # draft lengths would each trigger a full-model compile.
+            # Pad positions are excluded from the accept loop below.
+            draft = np.concatenate([draft,
+                                    np.zeros(k - true_k, np.int32)])
+            window = np.concatenate([[out[-1]], draft]).astype(np.int32)
+        else:
+            window = np.asarray([out[-1]], np.int32)
         logits, cache = forward(params, cfg, jnp.asarray(window[None]),
                                 cache, jnp.int32(length),
                                 last_only=False)
         greedy = np.asarray(jnp.argmax(logits[0], axis=-1))  # [s]
+        # don't accept past what the caller asked for — the final window
+        # would otherwise verify (and count) tokens that get discarded
+        m_max = min(true_k, remaining - 1)
         m = 0
-        while m < len(draft) and draft[m] == greedy[m]:
+        while m < m_max and draft[m] == greedy[m]:
             m += 1
         emit = list(draft[:m]) + [int(greedy[m])]
         steps += 1
-        drafted += len(draft)
+        drafted += m_max
         accepted += m
         length += m + 1          # rows for window[0..m] are now valid
         if eos is not None and eos in emit:

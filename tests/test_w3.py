@@ -164,6 +164,30 @@ def test_w3_folded_kernel_matches_xla(ic):
                                        rtol=5e-3, atol=5e-3)
 
 
+def test_w3_folded_shard_specs_roundtrip():
+    """param_pspecs must preserve ALL QLinear statics (n_groups!) or
+    device_put fails on pytree aux-data mismatch — this broke multi-chip
+    W3 until the spec builder switched to dataclasses.replace."""
+    from awq_tpu.parallel.shard import param_pspecs
+
+    w = jax.random.normal(jax.random.PRNGKey(11), (2, 512, 256),
+                          jnp.float32)
+    qls = [quantize_linear(w[i], n_bit=3, group_size=128)
+           for i in range(2)]
+    stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *qls)
+    folded = tile_qlinear(stacked, block_n=128, fold_scales=True)
+    assert folded.n_groups == 4
+    params = {"layers": {"wqkv": folded}}
+    specs = param_pspecs(params, tp=2)
+    # identical treedef (statics live in aux_data) is the property that
+    # device_put(params, NamedSharding-tree) needs
+    t1 = jax.tree_util.tree_structure(
+        params, is_leaf=lambda x: x is None)
+    t2 = jax.tree_util.tree_structure(
+        specs, is_leaf=lambda x: x is None)
+    assert t1 == t2
+
+
 def test_w3_model_end_to_end(tmp_path):
     """quantize_params(w_bit=3) -> forward -> checkpoint roundtrip."""
     from awq_tpu.models import forward, init_kv_cache
