@@ -855,7 +855,7 @@ def decode_step_batched(
     import os as _os
 
     use_bmega = False
-    if (on_tpu and not is_q8 and cfg.pos_embed == "rope"
+    if (on_tpu and cfg.pos_embed == "rope"
             and cfg.norm == "rmsnorm" and cfg.act == "silu"
             and not cfg.parallel_block
             and _os.environ.get("AWQ_TPU_DISABLE_MEGAKERNEL") != "1"):
@@ -882,18 +882,36 @@ def decode_step_batched(
         res = w4a16_llama_token_step_batched(
             h[:, 0], la["wqkv"], la["wo"], la["wgateup"], la["down"],
             la["ln1"], la["ln2"], cos[lengths], sin[lengths],
-            cache, lengths,
+            cache.data if is_q8 else cache, lengths,
             nq=nq, nkv=nkv, eps=cfg.rms_eps,
             whead=mhead,
             norm_w=params["norm"] if mhead is not None else None,
+            cache_scales=(cache.scales.reshape(
+                *cache.scales.shape[:4], max_t // 256, 256)
+                if is_q8 else None),
         )
         if mhead is not None:
             h_new, kn, vn, logits = res
         else:
             h_new, kn, vn = res
         kv_all = jnp.stack([kn, vn], axis=1)       # [L, 2, B, n_kv, hd]
-        cache = batched_cache_append(cache, kv_all.astype(cache.dtype),
-                                     lengths)
+        if is_q8:
+            kvq, kvs = quantize_kv(kv_all)
+            # B dynamic_update_slice writes, as in the scan path below
+            # (advanced-index scatters on the multi-GB cache take XLA
+            # minutes to compile)
+            for i in range(b):
+                qrow = kvq[:, :, i][:, :, None, :, None, :]
+                srow = kvs[:, :, i][:, :, None, :, None]
+                cache = KVCache8(
+                    data=jax.lax.dynamic_update_slice(
+                        cache.data, qrow, (0, 0, i, 0, lengths[i], 0)),
+                    scales=jax.lax.dynamic_update_slice(
+                        cache.scales, srow, (0, 0, i, 0, lengths[i])),
+                )
+        else:
+            cache = batched_cache_append(
+                cache, kv_all.astype(cache.dtype), lengths)
         if mhead is None:
             hn = _norm(cfg, h_new, params["norm"], params.get("norm_b"))
             logits = _head_logits(params, hn, dt)

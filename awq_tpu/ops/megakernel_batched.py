@@ -118,9 +118,9 @@ def _store_rows_b(dst, acc, j, bn, B):
 
 def _blayer_phases(
     layer, base2, lengths, B, ln1_row, ln2_row, bq_row, cs_ref,
-    weights, cache_ref, kv_store,
+    weights, cache_ref, kvs_ref, kv_store,
     hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, h1_s, gu_s, hm_s, oacc_s,
-    wbuf, kbuf, vbuf, wsem, ksem, vsem,
+    wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
     *, dims, dense3, has_bias, tail_dma=None,
 ):
     """One decoder layer for B rows. Residual lives in ``hbuf``
@@ -194,11 +194,19 @@ def _blayer_phases(
 
     scale = 1.0 / (hd ** 0.5)
     n_chunks = nkv // hc
+    q8 = d["q8"]
 
     def dma(buf, kv, sem, slot, b, c, i):
         return pltpu.make_async_copy(
             cache_ref.at[layer, kv, b, pl.ds(c * hc, hc),
                          pl.ds(i * bt, bt), :],
+            buf.at[slot], sem.at[slot],
+        )
+
+    def sdma(buf, kv, sem, slot, b, c, i):
+        # int8 cache: per-(head, position) dequant scales ride alongside
+        return pltpu.make_async_copy(
+            kvs_ref.at[layer, kv, b, pl.ds(c * hc, hc), i],
             buf.at[slot], sem.at[slot],
         )
 
@@ -217,6 +225,9 @@ def _blayer_phases(
         def start_blk(c, i, slot):
             dma(kbuf, 0, ksem, slot, b, c, i).start()
             dma(vbuf, 1, vsem, slot, b, c, i).start()
+            if q8:
+                sdma(ksbuf, 0, kssem, slot, b, c, i).start()
+                sdma(vsbuf, 1, vssem, slot, b, c, i).start()
 
         for c in range(n_chunks):
             @pl.when(nblk > 0)
@@ -234,8 +245,14 @@ def _blayer_phases(
                     start_blk(c, i + 1, (i + 1) % 2)
 
                 dma(kbuf, 0, ksem, slot, b, c, i).wait()
+                if q8:
+                    sdma(ksbuf, 0, kssem, slot, b, c, i).wait()
+                    kf = (kbuf[slot].astype(jnp.float32)
+                          * ksbuf[slot][..., None])
+                else:
+                    kf = kbuf[slot].astype(jnp.float32)
                 s = jax.lax.dot_general(
-                    qc, kbuf[slot].astype(jnp.float32),
+                    qc, kf,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )                                      # [hc, grp, bt]
@@ -247,8 +264,14 @@ def _blayer_phases(
                 p = jnp.exp(s - m_new)
                 l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
                 dma(vbuf, 1, vsem, slot, b, c, i).wait()
+                if q8:
+                    sdma(vsbuf, 1, vssem, slot, b, c, i).wait()
+                    vf = (vbuf[slot].astype(jnp.float32)
+                          * vsbuf[slot][..., None])
+                else:
+                    vf = vbuf[slot].astype(jnp.float32)
                 pv = jax.lax.dot_general(
-                    p, vbuf[slot].astype(jnp.float32),
+                    p, vf,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )                                      # [hc, grp, hd]
@@ -305,10 +328,10 @@ def _btoken_kernel(
     lengths_ref,
     h_ref, ln_ref, bq_ref, cs_ref, nw_ref,
     wq_hbm, wo_hbm, wg_hbm, wd_hbm, wh_hbm,
-    cache_ref,
+    cache_ref, kvs_ref,
     out_ref, kn_ref, vn_ref, logits_ref,
     hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, h1_s, gu_s, hm_s, oacc_s,
-    wbuf, kbuf, vbuf, wsem, ksem, vsem,
+    wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
     *, dims, n_layers, B, dense3, has_bias, head,
 ):
     d = dims
@@ -348,9 +371,10 @@ def _btoken_kernel(
         _blayer_phases(
             l, base2, lengths, B, ln_ref[l, 0], ln_ref[l, 1],
             bq_ref[0 if not has_bias else l].astype(jnp.float32),
-            cs_ref, weights, cache_ref, kv_store,
+            cs_ref, weights, cache_ref, kvs_ref, kv_store,
             hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, h1_s, gu_s, hm_s,
-            oacc_s, wbuf, kbuf, vbuf, wsem, ksem, vsem,
+            oacc_s, wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem,
+            kssem, vssem,
             dims=d, dense3=dense3, has_bias=has_bias, tail_dma=tail_dma,
         )
         return 0
@@ -394,7 +418,7 @@ def megakernel_batched_supported(cfg, layers, cache, batch: int) -> bool:
     small (VMEM scratch scales with B), fp16/bf16 cache (no int8 yet),
     batch matches the cache's slot axis."""
     data = getattr(cache, "data", cache)
-    if not isinstance(data, jax.Array) or data.dtype == jnp.int8:
+    if not isinstance(data, jax.Array):
         return False
     if batch % 8 != 0 or batch > 16 or data.shape[2] != batch:
         return False
@@ -433,6 +457,7 @@ def w4a16_llama_token_step_batched(
     interpret: bool = False,
     whead: QLinear = None,
     norm_w: jax.Array = None,
+    cache_scales: jax.Array = None,   # [L, 2, B, n_kv, T//256, 256] f32
 ):
     """ALL decoder layers for B rows in one Pallas call. Returns
     ``(h_new [B, H], k_new [L, B, n_kv, hd], v_new [L, B, n_kv, hd])``
@@ -461,7 +486,10 @@ def w4a16_llama_token_step_batched(
     cs = jnp.stack([cos_rows, sin_rows]).astype(jnp.float32)
     scalars = jnp.asarray(lengths, jnp.int32).reshape(B)
 
-    kv_dt = cache.dtype
+    if cache_scales is None:
+        cache_scales = jnp.zeros((1, 2, B, 8, 1, 256), jnp.float32)
+    # int8 cache: k/v come back fp — the caller quantizes + appends
+    kv_dt = jnp.bfloat16 if cache.dtype == jnp.int8 else cache.dtype
     head = whead is not None
     if head:
         assert whead.folded and whead.qweight.ndim == 4
@@ -499,6 +527,7 @@ def w4a16_llama_token_step_batched(
             pl.BlockSpec(memory_space=pl.ANY),                   # wdn
             pl.BlockSpec(memory_space=pl.ANY),                   # lm_head
             pl.BlockSpec(memory_space=pl.ANY),                   # cache
+            pl.BlockSpec(memory_space=pl.ANY),                   # kv scales
         ],
         out_specs=[
             pl.BlockSpec((ngh * B, 128), pinned),                # h_new
@@ -520,6 +549,10 @@ def w4a16_llama_token_step_batched(
             pltpu.VMEM((2, wrows, wcols), jnp.int32),            # weight dbuf
             pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
             pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
+            pltpu.VMEM((2, dims["hc"], dims["bt"]), jnp.float32),  # k scales
+            pltpu.VMEM((2, dims["hc"], dims["bt"]), jnp.float32),  # v scales
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -547,7 +580,7 @@ def w4a16_llama_token_step_batched(
     )(
         scalars, h_rows, ln, bq, cs, nw,
         wqkv.qweight, wo.qweight, wgu.qweight, wdn.qweight, wh_qw,
-        cache,
+        cache, cache_scales,
     )
     h_new = jnp.transpose(out.reshape(ngh, B, 128), (1, 0, 2)) \
         .reshape(B, H)

@@ -106,6 +106,31 @@ def test_batched_token_step_with_head():
             np.asarray(rl[0], np.float32), rtol=3e-2, atol=3e-2)
 
 
+def test_batched_token_step_int8_cache_matches_fp():
+    """int8-KV batched step == fp-cache run on the dequantized values
+    (within int8 quantization error)."""
+    from awq_tpu.models.llama import quantize_kv
+
+    B, nq, nkv, p, cache, h, lengths, cos, sin = _setup()
+    kv = cache.astype(jnp.float32)
+    kvq, kvs = quantize_kv(kv)
+    kv_deq = (kvq.astype(jnp.float32) * kvs[..., None]).astype(
+        jnp.bfloat16)
+    T = cache.shape[4]
+    args = dict(nq=nq, nkv=nkv, eps=1e-5, interpret=True)
+    got = w4a16_llama_token_step_batched(
+        h, p["wqkv"], p["wo"], p["wgu"], p["wdn"], p["ln1"], p["ln2"],
+        cos, sin, kvq, lengths,
+        cache_scales=kvs.reshape(*kvs.shape[:4], T // 256, 256), **args)
+    ref = w4a16_llama_token_step_batched(
+        h, p["wqkv"], p["wo"], p["wgu"], p["wdn"], p["ln1"], p["ln2"],
+        cos, sin, kv_deq, lengths, **args)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(r, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_batched_supported_gate():
     cfg = ModelConfig(
         arch="llama", vocab_size=64, hidden_size=256,
@@ -120,9 +145,10 @@ def test_batched_supported_gate():
     mk_cache = lambda b, dt: jnp.zeros((2, 2, b, 2, 256, 128), dt)
     assert megakernel_batched_supported(cfg, layers, mk_cache(8, jnp.bfloat16), 8)
     assert megakernel_batched_supported(cfg, layers, mk_cache(16, jnp.bfloat16), 16)
+    # int8 caches ride the kernel too (scale DMAs + in-kernel dequant)
+    assert megakernel_batched_supported(cfg, layers, mk_cache(8, jnp.int8), 8)
     # B must be a multiple of 8 (row stores land on sublane tiles), the
-    # cache slot axis must match, int8 caches not supported yet
+    # cache slot axis must match
     assert not megakernel_batched_supported(cfg, layers, mk_cache(4, jnp.bfloat16), 4)
     assert not megakernel_batched_supported(cfg, layers, mk_cache(24, jnp.bfloat16), 24)
     assert not megakernel_batched_supported(cfg, layers, mk_cache(8, jnp.bfloat16), 16)
-    assert not megakernel_batched_supported(cfg, layers, mk_cache(8, jnp.int8), 8)
