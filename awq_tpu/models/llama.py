@@ -1125,6 +1125,55 @@ def decode_step_paged(
     layers_all = params["layers"]
     from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked
 
+    # paged batched megakernel (B<=16): one launch per step over the
+    # page pool — block i of row b reads page tables[b, i]
+    use_pmega = False
+    if (on_tpu and cfg.pos_embed == "rope" and cfg.norm == "rmsnorm"
+            and cfg.act == "silu" and not cfg.parallel_block
+            and _os.environ.get("AWQ_TPU_DISABLE_MEGAKERNEL") != "1"):
+        from awq_tpu.ops.megakernel_batched import (
+            megakernel_paged_supported,
+        )
+
+        use_pmega = megakernel_paged_supported(cfg, layers_all, pool, b)
+    if use_pmega:
+        from awq_tpu.ops.megakernel_batched import (
+            w4a16_llama_token_step_batched,
+        )
+
+        la = layers_all
+        mhead = params.get("lm_head")
+        if not (isinstance(mhead, QLinear) and mhead.qweight.ndim == 4
+                and mhead.folded and mhead.bias is None
+                and mhead.tiled_bn <= 512
+                and mhead.dense3 == la["wqkv"].dense3):
+            mhead = None
+        res = w4a16_llama_token_step_batched(
+            h[:, 0], la["wqkv"], la["wo"], la["wgateup"], la["down"],
+            la["ln1"], la["ln2"], cos[lengths], sin[lengths],
+            pool, lengths,
+            nq=nq, nkv=nkv, eps=cfg.rms_eps,
+            whead=mhead,
+            norm_w=params["norm"] if mhead is not None else None,
+            tables=tables,
+        )
+        if mhead is not None:
+            h_new, kn, vn, logits = res
+        else:
+            h_new, kn, vn = res
+        kv_all2 = jnp.stack([kn, vn], axis=1).astype(pool.dtype)
+        rows = jnp.arange(b)
+        w_pages = tables[rows, lengths // page]
+        w_offs = lengths % page
+        for i in range(b):
+            row = kv_all2[:, :, i][:, :, None, :, None, :]
+            pool = jax.lax.dynamic_update_slice(
+                pool, row, (0, 0, w_pages[i], 0, w_offs[i], 0))
+        if mhead is None:
+            hn = _norm(cfg, h_new, params["norm"], params.get("norm_b"))
+            logits = _head_logits(params, hn, dt)
+        return logits, pool
+
     small = {k2: v for k2, v in layers_all.items()
              if isinstance(v, jax.Array)}
 
@@ -1248,23 +1297,7 @@ def decode_step_paged(
             pool, row, (0, 0, w_pages[i], 0, w_offs[i], 0)
         )
     h = _norm(cfg, h, params["norm"], params.get("norm_b"))
-    head = params.get("lm_head")
-    from awq_tpu.ops.w4a16 import QLinear as _QL, qlinear_apply as _qla
-
-    if head is None:
-        logits = jnp.matmul(h, params["embed"].astype(dt).T,
-                            preferred_element_type=jnp.float32)
-    elif isinstance(head, _QL):
-        if head.qweight.ndim == 4:      # stacked-of-1 tiled (fuse_linears)
-            from awq_tpu.ops.w4a16 import qlinear_apply_stacked as _qlas
-
-            logits = _qlas(head, jnp.int32(0), h).astype(jnp.float32)
-        else:
-            logits = _qla(head, h).astype(jnp.float32)
-    else:
-        logits = jnp.matmul(h, head.astype(dt),
-                            preferred_element_type=jnp.float32)
-    return logits[:, 0], pool
+    return _head_logits(params, h, dt)[:, 0], pool
 
 
 def quantize_params(

@@ -121,10 +121,15 @@ def _blayer_phases(
     weights, cache_ref, kvs_ref, kv_store,
     hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, h1_s, gu_s, hm_s, oacc_s,
     wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
-    *, dims, dense3, has_bias, tail_dma=None,
+    *, dims, dense3, has_bias, tail_dma=None, page_of=None,
 ):
     """One decoder layer for B rows. Residual lives in ``hbuf``
-    (g-major); returns nothing (hbuf updated in place via h1/oacc)."""
+    (g-major); returns nothing (hbuf updated in place via h1/oacc).
+
+    ``page_of(b, i)`` (paged mode) maps a row's block index to a
+    physical page id in the pool — the cache operand is then the page
+    pool ``[L, 2, n_pages, n_kv, page, hd]`` and block i of row b reads
+    page ``tables[b, i]`` at offset 0 (page size == bt)."""
     d = dims
     nq, nkv, hd, eps = d["nq"], d["nkv"], d["hd"], d["eps"]
     ngh, ngi = d["ngh"], d["ngi"]
@@ -197,11 +202,13 @@ def _blayer_phases(
     q8 = d["q8"]
 
     def dma(buf, kv, sem, slot, b, c, i):
-        return pltpu.make_async_copy(
-            cache_ref.at[layer, kv, b, pl.ds(c * hc, hc),
-                         pl.ds(i * bt, bt), :],
-            buf.at[slot], sem.at[slot],
-        )
+        if page_of is not None:
+            src = cache_ref.at[layer, kv, page_of(b, i),
+                               pl.ds(c * hc, hc), pl.ds(0, bt), :]
+        else:
+            src = cache_ref.at[layer, kv, b, pl.ds(c * hc, hc),
+                               pl.ds(i * bt, bt), :]
+        return pltpu.make_async_copy(src, buf.at[slot], sem.at[slot])
 
     def sdma(buf, kv, sem, slot, b, c, i):
         # int8 cache: per-(head, position) dequant scales ride alongside
@@ -332,12 +339,15 @@ def _btoken_kernel(
     out_ref, kn_ref, vn_ref, logits_ref,
     hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, h1_s, gu_s, hm_s, oacc_s,
     wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
-    *, dims, n_layers, B, dense3, has_bias, head,
+    *, dims, n_layers, B, dense3, has_bias, head, max_pages=0,
 ):
     d = dims
     tot = d["NBQ"] + d["NBO"] + d["NBG"] + d["NBD"]
     weights = (wq_hbm, wo_hbm, wg_hbm, wd_hbm)
     lengths = [lengths_ref[b] for b in range(B)]
+    # paged mode: scalars carry [B] lengths then [B*max_pages] tables
+    page_of = (None if not max_pages else
+               (lambda b, i: lengths_ref[B + b * max_pages + i]))
 
     pltpu.make_async_copy(
         wq_hbm.at[0, 0], wbuf.at[0, 0:d["rq"], 0:d["bnq"]], wsem.at[0],
@@ -376,6 +386,7 @@ def _btoken_kernel(
             oacc_s, wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem,
             kssem, vssem,
             dims=d, dense3=dense3, has_bias=has_bias, tail_dma=tail_dma,
+            page_of=page_of,
         )
         return 0
 
@@ -441,6 +452,33 @@ def megakernel_batched_supported(cfg, layers, cache, batch: int) -> bool:
     return scratch <= 15 * 1024 * 1024
 
 
+def megakernel_paged_supported(cfg, layers, pool, batch: int) -> bool:
+    """Paged-mode gate: fp pool with 256-position pages; B%8==0 and
+    B<=16 (activation scratch scales with B — B=32 exceeds VMEM at 7B
+    and takes the 5-kernel paged path), plus the batched VMEM budget."""
+    if not isinstance(pool, jax.Array) or pool.dtype == jnp.int8:
+        return False
+    if pool.shape[4] != 256:
+        return False
+    if batch % 8 != 0 or batch > 16:
+        return False
+    if not megakernel_supported(cfg, layers, pool, slots=pool.shape[2]):
+        return False
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    nr_rows = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim // 128
+    needed = ("wqkv", "wo", "wgateup", "down")
+    wrows = max(layers[n].qweight.shape[2] for n in needed)
+    wcols = max(layers[n].tiled_bn for n in needed)
+    act_rows = (6 * H // 128 + 2 * nr_rows + cfg.num_heads
+                + 3 * I // 128) * batch
+    bias_rows = (cfg.num_layers * nr_rows
+                 if layers["wqkv"].bias is not None else nr_rows)
+    scratch = (2 * wrows * wcols * 4 + 4 * 512 * 1024
+               + act_rows * 128 * 4 + 2 * cfg.num_layers * H * 4
+               + bias_rows * 128 * 4)
+    return scratch <= 15 * 1024 * 1024
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nq", "nkv", "eps", "interpret"))
 def w4a16_llama_token_step_batched(
@@ -458,6 +496,9 @@ def w4a16_llama_token_step_batched(
     whead: QLinear = None,
     norm_w: jax.Array = None,
     cache_scales: jax.Array = None,   # [L, 2, B, n_kv, T//256, 256] f32
+    tables: jax.Array = None,         # [B, max_pages] page ids (PAGED mode:
+                                      # ``cache`` is then the page pool
+                                      # [L, 2, n_pages, n_kv, 256, hd])
 ):
     """ALL decoder layers for B rows in one Pallas call. Returns
     ``(h_new [B, H], k_new [L, B, n_kv, hd], v_new [L, B, n_kv, hd])``
@@ -485,6 +526,12 @@ def w4a16_llama_token_step_batched(
           else jnp.zeros((1, nr, hd), jnp.float32))
     cs = jnp.stack([cos_rows, sin_rows]).astype(jnp.float32)
     scalars = jnp.asarray(lengths, jnp.int32).reshape(B)
+    max_pages = 0
+    if tables is not None:
+        assert cache.shape[4] == dims["bt"], "page size must equal bt"
+        max_pages = tables.shape[1]
+        scalars = jnp.concatenate(
+            [scalars, tables.astype(jnp.int32).reshape(-1)])
 
     if cache_scales is None:
         cache_scales = jnp.zeros((1, 2, B, 8, 1, 256), jnp.float32)
@@ -564,7 +611,8 @@ def w4a16_llama_token_step_batched(
                            bytes_accessed=L * by // 2, transcendentals=0)
     out, kn, vn, logits = pl.pallas_call(
         functools.partial(_btoken_kernel, dims=dims, n_layers=L, B=B,
-                          dense3=dense3, has_bias=has_bias, head=head),
+                          dense3=dense3, has_bias=has_bias, head=head,
+                          max_pages=max_pages),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ngh * B, 128), h.dtype),

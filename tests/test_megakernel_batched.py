@@ -131,6 +131,38 @@ def test_batched_token_step_int8_cache_matches_fp():
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_batched_token_step_paged_matches_contiguous():
+    """Paged mode (block-table DMA over a shuffled page pool) == the
+    contiguous cache run, bit for bit."""
+    B, nq, nkv, p, cache, h, lengths, cos, sin = _setup()
+    L, _, _, _, T, hd = cache.shape
+    page = 256
+    npg = T // page                                 # pages per row
+    n_pages = 1 + B * npg                           # + trash page 0
+    # scatter each row's cache blocks to shuffled physical pages
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(B * npg) + 1
+    tables = np.zeros((B, npg), np.int32)
+    pool = np.zeros((L, 2, n_pages, nkv, page, hd), np.float32)
+    cnp = np.asarray(cache, np.float32)
+    for b in range(B):
+        for i in range(npg):
+            pid = perm[b * npg + i]
+            tables[b, i] = pid
+            pool[:, :, pid] = cnp[:, :, b, :, i * page:(i + 1) * page]
+    pool = jnp.asarray(pool).astype(cache.dtype)
+    args = dict(nq=nq, nkv=nkv, eps=1e-5, interpret=True)
+
+    got = w4a16_llama_token_step_batched(
+        h, p["wqkv"], p["wo"], p["wgu"], p["wdn"], p["ln1"], p["ln2"],
+        cos, sin, pool, lengths, tables=jnp.asarray(tables), **args)
+    ref = w4a16_llama_token_step_batched(
+        h, p["wqkv"], p["wo"], p["wgu"], p["wdn"], p["ln1"], p["ln2"],
+        cos, sin, cache, lengths, **args)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
 def test_batched_supported_gate():
     cfg = ModelConfig(
         arch="llama", vocab_size=64, hidden_size=256,
