@@ -97,6 +97,39 @@ class InferenceEngine:
             out["text"] = self.tokenizer.decode(list(map(int, out["output_ids"])))
         return out
 
+    def generate_speculative(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        stop_ids: Sequence[int] = (),
+        k: int = 7,
+        n: int = 3,
+        continue_dialogue: bool = True,
+    ) -> Dict[str, Any]:
+        """Greedy generation with prompt-lookup speculative verification
+        (``runtime/speculative.py``): up to ``k`` drafted tokens verified
+        per forward, output identical to :meth:`generate` with
+        ``GenConfig(greedy=True)``. History KV is reused via
+        ``start_pos`` like :meth:`generate`."""
+        from awq_tpu.runtime.speculative import generate_speculative
+
+        tokens = jnp.asarray([list(prompt_ids)], jnp.int32)
+        if (self.start_pos + tokens.shape[1] + max_new_tokens
+                > self.max_seq_len):
+            self.reset()
+        eos = int(stop_ids[0]) if len(stop_ids) else None
+        out_ids, stats = generate_speculative(
+            self.params, self.cfg, tokens, self.cache, max_new_tokens,
+            k=k, n=n, eos=eos, start_pos=self.start_pos,
+        )
+        self.cache = stats.pop("cache")
+        if continue_dialogue:
+            self.start_pos += tokens.shape[1] + len(out_ids)
+        out: Dict[str, Any] = {"output_ids": out_ids, "stats": stats}
+        if self.tokenizer is not None:
+            out["text"] = self.tokenizer.decode(list(map(int, out_ids)))
+        return out
+
     def stream(
         self, gen: GenConfig, stop_ids: Sequence[int] = (), stream_interval: int = 2
     ) -> StreamGenerator:

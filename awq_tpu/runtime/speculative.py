@@ -55,19 +55,22 @@ def ngram_propose(ctx: np.ndarray, k: int, n: int = 3,
 def generate_speculative(
     params, cfg, tokens: jax.Array, cache, max_new: int,
     k: int = 7, n: int = 3, eos: Optional[int] = None,
+    start_pos: int = 0,
 ) -> Tuple[List[int], dict]:
     """Greedy generation with n-gram speculative verification.
 
-    ``tokens [1, S0]`` is the prompt. Returns ``(new_tokens, stats)``
-    with ``stats = {steps, drafted, accepted}`` — tokens/step =
+    ``tokens [1, S0]`` is the (possibly incremental — ``start_pos`` for
+    dialogue KV reuse) prompt. Returns ``(new_tokens, stats)`` with
+    ``stats = {steps, drafted, accepted}`` — tokens/step =
     ``(len(new_tokens)) / steps`` is the speedup over one-per-step.
     """
     from awq_tpu.models import forward
 
     ctx = list(np.asarray(tokens[0]))
-    logits, cache = forward(params, cfg, tokens, cache, jnp.int32(0))
+    logits, cache = forward(params, cfg, tokens, cache,
+                            jnp.int32(start_pos))
     nxt = int(np.asarray(jnp.argmax(logits[0, -1])))
-    length = tokens.shape[1]
+    length = start_pos + tokens.shape[1]
     out: List[int] = [nxt]
     max_t = _cache_len(cache)
     steps, drafted, accepted = 1, 0, 0
@@ -111,7 +114,8 @@ def generate_speculative(
             break
 
     return out[:max_new], dict(steps=steps, drafted=drafted,
-                               accepted=accepted, length=length)
+                               accepted=accepted, length=length,
+                               cache=cache)
 
 
 def _cache_len(cache):

@@ -27,6 +27,34 @@ def test_ngram_propose():
     assert list(d2) == [9, 9]
 
 
+def test_engine_generate_speculative():
+    """Engine-level API: same output as Engine.generate(greedy), KV
+    reuse across dialogue rounds."""
+    from awq_tpu.config import GenConfig, RuntimeConfig
+    from awq_tpu.runtime.engine import InferenceEngine
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=64, hidden_size=256,
+        intermediate_size=256, num_layers=2, num_heads=2, num_kv_heads=2,
+        head_dim=128, max_position_embeddings=256, dtype="float32",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(2)),
+                             QuantConfig(w_bit=4, group_size=128))
+    rt = RuntimeConfig(max_seq_len=128, max_batch_size=1)
+    prompt = list(np.tile([7, 8, 9, 10], 4))
+
+    e1 = InferenceEngine(cfg, params, rt, cache_dtype=jnp.float32)
+    ref = e1.generate(prompt, GenConfig(greedy=True, max_new_tokens=12))
+    e2 = InferenceEngine(cfg, params, rt, cache_dtype=jnp.float32)
+    got = e2.generate_speculative(prompt, 12, k=5)
+    assert list(map(int, got["output_ids"])) == \
+        list(map(int, ref["output_ids"]))
+    assert e2.start_pos == e1.start_pos
+    # second round reuses history KV from the same start_pos
+    got2 = e2.generate_speculative([3, 4, 5], 6, k=5)
+    assert len(got2["output_ids"]) == 6
+
+
 def test_speculative_matches_vanilla_greedy():
     cfg = ModelConfig(
         arch="llama", vocab_size=64, hidden_size=256,
