@@ -77,7 +77,8 @@ class PagedBatchEngine(BatchEngine):
         self,
         cfg: ModelConfig,
         params,
-        n_slots: int = 4,
+        # multiples of 8 (up to 16) ride the paged batched megakernel
+        n_slots: int = 8,
         max_seq_len: int = 2048,
         cache_dtype=jnp.bfloat16,
         page_size: int = 256,
