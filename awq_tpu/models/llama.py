@@ -198,7 +198,8 @@ def init_qparams(
 
 def fuse_linears(params: Params, cfg: ModelConfig,
                  consume: bool = False,
-                 tile: Optional[bool] = None) -> Params:
+                 tile: Optional[bool] = None,
+                 block_n: int = 512) -> Params:
     """Concatenate wq/wk/wv -> ``wqkv`` and gate/up -> ``wgateup`` along the
     output-channel axis (counterpart of the reference's QKV fusion in
     ``make_quant_attn``, ``tinychat/modules/fused_attn.py:549-634``, and the
@@ -258,8 +259,8 @@ def fuse_linears(params: Params, cfg: ModelConfig,
                 # manual-DMA loop wants (ops/megakernel.py).
                 if consume:
                     del layers[name]  # free the original before the fold copy
-                layers[name] = tile_qlinear(p, block_n=512, fold_scales=True,
-                                            donate=consume)
+                layers[name] = tile_qlinear(p, block_n=block_n,
+                                            fold_scales=True, donate=consume)
                 del p
     out = dict(params)
     out["layers"] = layers
@@ -270,8 +271,8 @@ def fuse_linears(params: Params, cfg: ModelConfig,
         # (a fp16 7B head is ~260 MB/token of pure HBM reads)
         # bn <= 512 keeps the head phase inside the megakernel's shared
         # weight buffer (wcols)
-        bn = next((b for b in (512, 256, 128)
-                   if head.out_features % b == 0), 0)
+        bn = next((b for b in (block_n, 512, 256, 128)
+                   if b <= 512 and head.out_features % b == 0), 0)
         if bn:
             out["lm_head"] = tile_qlinear(
                 jax.tree_util.tree_map(lambda a: a[None], head),

@@ -407,8 +407,11 @@ def _stacked_prefill_kernel(
 
     # bf16 MXU dots with f32 accumulation — an f32 score dot runs at
     # 1/4-1/8 the MXU rate (3-pass) and was the measured prefill TTFT
-    # bottleneck (61 of 277 ms at S=2048)
-    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    # bottleneck (61 of 277 ms at S=2048). log2(e) folds into the q
+    # scale so the softmax runs on native exp2 (saves the per-element
+    # multiply inside every exp on the VPU-bound score path).
+    q = (q_ref[0, 0].astype(jnp.float32)
+         * (scale * 1.4426950408889634)).astype(jnp.bfloat16)
     bq, hd = q.shape
     q0 = start_pos + qb * block_q                    # global pos of row 0
     hi = q0 + bq                                     # exclusive causal max
@@ -442,11 +445,20 @@ def _stacked_prefill_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                            # [bq, bt]
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
-        s = jnp.where(cols <= rows, s, -jnp.inf)
+
+        # only blocks overlapping the causal diagonal need the mask;
+        # interior blocks (every col <= the block's min row) skip the
+        # iota/compare/select — ~3 of the ~9 VPU passes per element
+        def _mask(s):
+            cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    + i * block_t)
+            return jnp.where(cols <= rows, s, -jnp.inf)
+
+        s = jax.lax.cond((i + 1) * block_t - 1 <= q0, lambda s: s,
+                         _mask, s)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         dma(vbuf, 1, vsem, slot, i).wait()
         pv = jax.lax.dot_general(

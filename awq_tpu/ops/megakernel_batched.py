@@ -35,6 +35,7 @@ No reference counterpart exists: TinyChat serves batch 1 only
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -118,8 +119,8 @@ def _store_rows_b(dst, acc, j, bn, B):
 
 def _blayer_phases(
     layer, base2, lengths, B, ln1_row, ln2_row, bq_row, cs_ref,
-    weights, cache_ref, kvs_ref, kv_store,
-    hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, h1_s, gu_s, hm_s, oacc_s,
+    weights, cache_ref, kvs_ref, kv_store, kv_flush,
+    hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, gu_s, hm_s, oacc_s,
     wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
     *, dims, dense3, has_bias, tail_dma=None, page_of=None,
 ):
@@ -184,7 +185,11 @@ def _blayer_phases(
         jax.lax.fori_loop(0, nb, body, 0, unroll=False)
 
     # ---- phase 1: rmsnorm + fused QKV --------------------------------------
-    xq_s[:, :] = _rms_rows_b(hbuf, ln1_row, eps, ngh, B)
+    # matmul-input scratch (xq/qkv/xo/gu/hm) is bf16: every consumer dot
+    # rounds its LHS to bf16 anyway, and halving these buffers is what
+    # lets B=32 fit the VMEM budget. Residual state (hbuf/h1/oacc) stays
+    # f32.
+    xq_s[:, :] = _rms_rows_b(hbuf, ln1_row, eps, ngh, B).astype(xq_s.dtype)
     xs = _row_sums_b(xq_s, ngh, B)
     run_phase(0, xq_s, xs,
               lambda acc, j: _store_rows_b(qkv_s, acc, j, d["bnq"], B))
@@ -195,7 +200,8 @@ def _blayer_phases(
     qkvg = qkv_s[0:nr * B, :].reshape(nr, B, 128)
     if has_bias:
         qkvg = qkvg + bq_row[:, None, :]
-    qkvb_s[:, :] = jnp.transpose(qkvg, (1, 0, 2)).reshape(B * nr, 128)
+    qkvb_s[:, :] = jnp.transpose(qkvg, (1, 0, 2)).reshape(
+        B * nr, 128).astype(qkvb_s.dtype)
 
     scale = 1.0 / (hd ** 0.5)
     n_chunks = nkv // hc
@@ -300,12 +306,13 @@ def _blayer_phases(
             acc = acc * alpha + p_c * vc[:, None, :]
             rows = (acc / l).reshape(hc * grp, hd)
             xob_s[b * nq + c * hc * grp:
-                  b * nq + (c + 1) * hc * grp, :] = rows
+                  b * nq + (c + 1) * hc * grp, :] = rows.astype(xob_s.dtype)
 
+    kv_flush()
     # b-major attn rows -> g-major for the o-proj matmul
     xo_s[:, :] = jnp.transpose(
         xob_s[0:B * nq, :].reshape(B, nq, 128), (1, 0, 2)
-    ).reshape(nq * B, 128)
+    ).reshape(nq * B, 128).astype(xo_s.dtype)
 
     # ---- phase 3: o-proj ----------------------------------------------------
     xs = _row_sums_b(xo_s, ngh, B)
@@ -313,21 +320,24 @@ def _blayer_phases(
               lambda acc, j: _store_rows_b(oacc_s, acc, j, d["bno"], B))
 
     # ---- phase 4: residual + norm2 + gate/up --------------------------------
-    h1_s[:, :] = hbuf[:, :].astype(jnp.float32) + oacc_s[0:ngh * B, :]
-    xq_s[:, :] = _rms_rows_b(h1_s, ln2_row, eps, ngh, B)
+    # residual accumulates into hbuf in place (h1 == hbuf + oacc was a
+    # dedicated 512 KB buffer; in-place frees it for the VMEM budget)
+    hbuf[:, :] = hbuf[:, :] + oacc_s[0:ngh * B, :]
+    xq_s[:, :] = _rms_rows_b(hbuf, ln2_row, eps, ngh, B).astype(xq_s.dtype)
     xs = _row_sums_b(xq_s, ngh, B)
     run_phase(2, xq_s, xs,
               lambda acc, j: _store_rows_b(gu_s, acc, j, d["bng"], B))
 
     # ---- phase 5: SwiGLU + down + residual ----------------------------------
-    gate = gu_s[0:ngi * B, :]
-    up = gu_s[ngi * B:2 * ngi * B, :]
-    hm_s[:, :] = gate * jax.lax.logistic(gate) * up
+    # silu in f32 (bf16 logistic loses ~2 mantissa bits where it matters)
+    gate = gu_s[0:ngi * B, :].astype(jnp.float32)
+    up = gu_s[ngi * B:2 * ngi * B, :].astype(jnp.float32)
+    hm_s[:, :] = (gate * jax.lax.logistic(gate) * up).astype(hm_s.dtype)
     xs = _row_sums_b(hm_s, ngi, B)
     run_phase(3, hm_s, xs,
               lambda acc, j: _store_rows_b(oacc_s, acc, j, d["bnd"], B))
     # residual is bf16 between layers (parity with the composed model)
-    hbuf[:, :] = (h1_s[:, :] + oacc_s[0:ngh * B, :]).astype(
+    hbuf[:, :] = (hbuf[:, :] + oacc_s[0:ngh * B, :]).astype(
         jnp.bfloat16).astype(jnp.float32)
 
 
@@ -337,13 +347,27 @@ def _btoken_kernel(
     wq_hbm, wo_hbm, wg_hbm, wd_hbm, wh_hbm,
     cache_ref, kvs_ref,
     out_ref, kn_ref, vn_ref, logits_ref,
-    hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, h1_s, gu_s, hm_s, oacc_s,
-    wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
+    hbuf, xq_s, pool_s, oacc_s,
+    wbuf, kbuf, vbuf, ksbuf, vsbuf, kstage, vstage, lstage,
+    wsem, ksem, vsem, kssem, vssem, st_sem,
     *, dims, n_layers, B, dense3, has_bias, head, max_pages=0,
 ):
     d = dims
     tot = d["NBQ"] + d["NBO"] + d["NBG"] + d["NBD"]
     weights = (wq_hbm, wo_hbm, wg_hbm, wd_hbm)
+    # one bf16 pool backs {qkv g-/b-major, attn out b-major, attn out
+    # g-major} AND {gate|up, hm}: the attention-phase views all die
+    # before phase 4 writes gate|up, and gate|up/hm die before the next
+    # layer's phase 2 — aliasing saves ~2.2 MB at B=32, the margin that
+    # fits the 16 MB scoped-VMEM cap
+    nr = d["nq"] + 2 * d["nkv"]
+    nq, ngh, ngi = d["nq"], d["ngh"], d["ngi"]
+    qkv_s = pool_s.at[0:nr * B, :]
+    qkvb_s = pool_s.at[nr * B:2 * nr * B, :]
+    xob_s = pool_s.at[2 * nr * B:(2 * nr + nq) * B, :]
+    xo_s = pool_s.at[(2 * nr + nq) * B:(2 * nr + nq + ngh) * B, :]
+    gu_s = pool_s.at[0:2 * ngi * B, :]
+    hm_s = pool_s.at[2 * ngi * B:3 * ngi * B, :]
     lengths = [lengths_ref[b] for b in range(B)]
     # paged mode: scalars carry [B] lengths then [B*max_pages] tables
     page_of = (None if not max_pages else
@@ -357,9 +381,20 @@ def _btoken_kernel(
     def layer_body(l, _):
         base2 = jax.lax.rem(l * tot, 2)
 
+        # kn/vn/logits live in HBM (pinned VMEM output blocks cost
+        # 2*L*B*nkv*hd + vocab rows — what blocked B=32); rows collect
+        # in small staging buffers and DMA out per layer / head block
         def kv_store(b, k, v):
-            kn_ref[l, b, :, :] = k.astype(kn_ref.dtype)
-            vn_ref[l, b, :, :] = v.astype(vn_ref.dtype)
+            kstage[b, :, :] = k.astype(kstage.dtype)
+            vstage[b, :, :] = v.astype(vstage.dtype)
+
+        def kv_flush():
+            ck = pltpu.make_async_copy(kstage, kn_ref.at[l], st_sem.at[0])
+            cv = pltpu.make_async_copy(vstage, vn_ref.at[l], st_sem.at[1])
+            ck.start()
+            cv.start()
+            ck.wait()
+            cv.wait()
 
         def tail_dma(nxt):
             @pl.when(l + 1 < n_layers)
@@ -381,8 +416,8 @@ def _btoken_kernel(
         _blayer_phases(
             l, base2, lengths, B, ln_ref[l, 0], ln_ref[l, 1],
             bq_ref[0 if not has_bias else l].astype(jnp.float32),
-            cs_ref, weights, cache_ref, kvs_ref, kv_store,
-            hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, h1_s, gu_s, hm_s,
+            cs_ref, weights, cache_ref, kvs_ref, kv_store, kv_flush,
+            hbuf, xq_s, qkv_s, qkvb_s, xob_s, xo_s, gu_s, hm_s,
             oacc_s, wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem,
             kssem, vssem,
             dims=d, dense3=dense3, has_bias=has_bias, tail_dma=tail_dma,
@@ -396,7 +431,8 @@ def _btoken_kernel(
     if head:
         ngh = d["ngh"]
         bnh, NBH, rh = d["bnh"], d["NBH"], d["rh"]
-        xq_s[:, :] = _rms_rows_b(hbuf, nw_ref[:, :], d["eps"], ngh, B)
+        xq_s[:, :] = _rms_rows_b(hbuf, nw_ref[:, :], d["eps"], ngh,
+                                 B).astype(xq_s.dtype)
         xs = _row_sums_b(xq_s, ngh, B)
         p0 = jnp.asarray(n_layers * tot, jnp.int32)
 
@@ -418,65 +454,76 @@ def _btoken_kernel(
             acc = _qdot_rows_b(xq_s, xs, wbuf, slot, ngh, bnh, B,
                                dense3=dense3,
                                exact=d.get("exact", False))
-            _store_rows_b(logits_ref, acc, j, bnh, B)
+            # logits output lives in HBM: stage the block's rows in
+            # VMEM and DMA them to their g-major row range
+            _store_rows_b(lstage, acc, 0, bnh, B)
+            r = bnh // 128
+            cl = pltpu.make_async_copy(
+                lstage, logits_ref.at[pl.ds(j * r * B, r * B), :],
+                st_sem.at[2],
+            )
+            cl.start()
+            cl.wait()
             return 0
 
         jax.lax.fori_loop(0, NBH, hbody, 0, unroll=False)
 
 
-def megakernel_batched_supported(cfg, layers, cache, batch: int) -> bool:
-    """The batched kernel shares the single-token gate plus: B%8==0 and
-    small (VMEM scratch scales with B), fp16/bf16 cache (no int8 yet),
-    batch matches the cache's slot axis."""
-    data = getattr(cache, "data", cache)
-    if not isinstance(data, jax.Array):
-        return False
-    if batch % 8 != 0 or batch > 16 or data.shape[2] != batch:
-        return False
-    if not megakernel_supported(cfg, layers, cache, slots=batch):
-        return False
-    # activation scratch scales with B — re-check the VMEM budget
+def _bscratch_bytes(cfg, layers, batch: int) -> int:
+    """VMEM scratch bytes for the batched kernel at ``batch`` rows:
+    weight double-buffer + k/v stream buffers + activation scratch
+    (residual state f32, matmul-input scratch bf16) + norms window +
+    qkv bias block."""
     H, I = cfg.hidden_size, cfg.intermediate_size
     nr_rows = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim // 128
     needed = ("wqkv", "wo", "wgateup", "down")
     wrows = max(layers[n].qweight.shape[2] for n in needed)
     wcols = max(layers[n].tiled_bn for n in needed)
-    act_rows = (6 * H // 128 + 2 * nr_rows + cfg.num_heads
-                + 3 * I // 128) * batch
+    f32_rows = 2 * (H // 128) * batch               # hbuf, oacc
+    bf16_rows = ((H // 128) * batch                 # xq
+                 # shared pool: {qkv g/b-major, attn b/g-major} |
+                 # {gate|up, hm}
+                 + max(2 * nr_rows + cfg.num_heads + H // 128,
+                       3 * (I // 128)) * batch)
     bias_rows = (cfg.num_layers * nr_rows
                  if layers["wqkv"].bias is not None else nr_rows)
-    scratch = (2 * wrows * wcols * 4 + 4 * 512 * 1024
-               + act_rows * 128 * 4
-               + 2 * cfg.num_layers * H * 4            # norms window
-               + bias_rows * 128 * 4)                  # qkv bias block
-    return scratch <= 15 * 1024 * 1024
+    return (2 * wrows * wcols * 4 + 4 * 512 * 1024
+            + f32_rows * 128 * 4 + bf16_rows * 128 * 2
+            + 2 * cfg.num_layers * H * 4            # norms window
+            + bias_rows * 128 * 4                   # qkv bias block
+            + 2 * batch * cfg.num_kv_heads * cfg.head_dim * 2  # k/v staging
+            + 2 * (H // 128) * batch * 128 * 2      # h in/out blocks
+            + 4 * batch * 128 * 4)                  # logits staging
+
+
+def megakernel_batched_supported(cfg, layers, cache, batch: int) -> bool:
+    """The batched kernel shares the single-token gate plus: B%8==0,
+    B<=64 (the attention phase statically unrolls over rows — compile
+    time and VMEM scratch scale with B; the kernel raises its own
+    scoped-vmem limit, measured fine through B=64 at the 7B geometry:
+    2355 tok/s aggregate), batch matches the cache's slot axis."""
+    data = getattr(cache, "data", cache)
+    if not isinstance(data, jax.Array):
+        return False
+    if batch % 8 != 0 or batch > 64 or data.shape[2] != batch:
+        return False
+    if not megakernel_supported(cfg, layers, cache, slots=batch):
+        return False
+    return _bscratch_bytes(cfg, layers, batch) <= 80 * 1024 * 1024
 
 
 def megakernel_paged_supported(cfg, layers, pool, batch: int) -> bool:
     """Paged-mode gate: fp pool with 256-position pages; B%8==0 and
-    B<=16 (activation scratch scales with B — B=32 exceeds VMEM at 7B
-    and takes the 5-kernel paged path), plus the batched VMEM budget."""
+    B<=64, plus the batched VMEM budget."""
     if not isinstance(pool, jax.Array) or pool.dtype == jnp.int8:
         return False
     if pool.shape[4] != 256:
         return False
-    if batch % 8 != 0 or batch > 16:
+    if batch % 8 != 0 or batch > 64:
         return False
     if not megakernel_supported(cfg, layers, pool, slots=pool.shape[2]):
         return False
-    H, I = cfg.hidden_size, cfg.intermediate_size
-    nr_rows = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim // 128
-    needed = ("wqkv", "wo", "wgateup", "down")
-    wrows = max(layers[n].qweight.shape[2] for n in needed)
-    wcols = max(layers[n].tiled_bn for n in needed)
-    act_rows = (6 * H // 128 + 2 * nr_rows + cfg.num_heads
-                + 3 * I // 128) * batch
-    bias_rows = (cfg.num_layers * nr_rows
-                 if layers["wqkv"].bias is not None else nr_rows)
-    scratch = (2 * wrows * wcols * 4 + 4 * 512 * 1024
-               + act_rows * 128 * 4 + 2 * cfg.num_layers * H * 4
-               + bias_rows * 128 * 4)
-    return scratch <= 15 * 1024 * 1024
+    return _bscratch_bytes(cfg, layers, batch) <= 80 * 1024 * 1024
 
 
 @functools.partial(jax.jit,
@@ -557,6 +604,21 @@ def w4a16_llama_token_step_batched(
                 dims["rh"])
     wcols = max(dims["bnq"], dims["bno"], dims["bng"], dims["bnd"],
                 dims["bnh"])
+    hc, bt = dims["hc"], dims["bt"]
+    kv_isz = jnp.dtype(cache.dtype).itemsize
+    # exact bytes of the scratch_shapes below + the pinned in/out blocks
+    # (used to size the kernel's scoped-vmem limit)
+    scratch_bytes = (
+        ngh * B * 128 * (4 + 2 + 4 + 4)        # hbuf, xq, oacc, h in/out
+        + max((2 * nr + nq + ngh) * B, 3 * ngi * B) * 128 * 2   # pool
+        + 2 * wrows * wcols * 4                # weight double-buffer
+        + 2 * 2 * hc * bt * hd * kv_isz        # k/v stream buffers
+        + 2 * 2 * hc * bt * 4                  # k/v scale buffers
+        + 2 * B * nkv * hd * 2                 # k/v staging
+        + max(dims["bnh"] // 128, 1) * B * 128 * 4    # logits staging
+        + L * 2 * ngh * 128 * 4                # ln window
+        + (L if has_bias else 1) * nr * hd * 4  # qkv bias window
+    )
     pinned = lambda g, l: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -578,31 +640,35 @@ def w4a16_llama_token_step_batched(
         ],
         out_specs=[
             pl.BlockSpec((ngh * B, 128), pinned),                # h_new
-            pl.BlockSpec((L, B, nkv, hd), lambda g, l: (0,) * 4),
-            pl.BlockSpec((L, B, nkv, hd), lambda g, l: (0,) * 4),
-            pl.BlockSpec((vocab // 128 * B, 128), pinned),       # logits
+            pl.BlockSpec(memory_space=pl.ANY),                   # k_new (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),                   # v_new (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),                   # logits (HBM)
         ],
         scratch_shapes=[
+            # residual state f32; matmul-input scratch bf16 (consumer
+            # dots round to bf16 regardless — halves VMEM, admits B=32)
             pltpu.VMEM((ngh * B, 128), jnp.float32),             # hbuf
-            pltpu.VMEM((ngh * B, 128), jnp.float32),             # xq/xm
-            pltpu.VMEM((nr * B, 128), jnp.float32),              # qkv g-major
-            pltpu.VMEM((B * nr, 128), jnp.float32),              # qkv b-major
-            pltpu.VMEM((B * nq, 128), jnp.float32),              # attn b-major
-            pltpu.VMEM((ngh * B, 128), jnp.float32),             # xo g-major
-            pltpu.VMEM((ngh * B, 128), jnp.float32),             # h1
-            pltpu.VMEM((2 * ngi * B, 128), jnp.float32),         # gate|up
-            pltpu.VMEM((ngi * B, 128), jnp.float32),             # hm
+            pltpu.VMEM((ngh * B, 128), jnp.bfloat16),            # xq/xm
+            # shared pool: {qkv g-/b-major, attn out b-/g-major} |
+            # {gate|up, hm}
+            pltpu.VMEM((max((2 * nr + nq + ngh) * B, 3 * ngi * B), 128),
+                       jnp.bfloat16),
             pltpu.VMEM((ngh * B, 128), jnp.float32),             # o/down acc
             pltpu.VMEM((2, wrows, wcols), jnp.int32),            # weight dbuf
             pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
             pltpu.VMEM((2, dims["hc"], dims["bt"], hd), cache.dtype),
             pltpu.VMEM((2, dims["hc"], dims["bt"]), jnp.float32),  # k scales
             pltpu.VMEM((2, dims["hc"], dims["bt"]), jnp.float32),  # v scales
+            pltpu.VMEM((B, nkv, hd), kv_dt),                     # k staging
+            pltpu.VMEM((B, nkv, hd), kv_dt),                     # v staging
+            pltpu.VMEM((max(dims["bnh"] // 128, 1) * B, 128),
+                       jnp.float32),                             # logits stg
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),                       # k/v/logits out
         ],
     )
 
@@ -622,6 +688,17 @@ def w4a16_llama_token_step_batched(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the default 16 MB scoped-vmem cap is a compiler default,
+            # not the physical VMEM size: B>=24 activation scratch needs
+            # more and measured fine (B=32/bn=512 runs at 17 ms/step
+            # with a 32 MB cap; bn=256 under 16 MB was 7% slower).
+            # Estimate + fixed headroom for the compiler's own stack.
+            # headroom for the compiler's own stack scales with the
+            # B-unrolled attention phase (measured ~5 MB at B=32,
+            # ~10 MB at B=64 beyond the explicit buffers)
+            vmem_limit_bytes=int(os.environ.get("AWQ_TPU_VMEM_LIMIT", 0))
+            or min(scratch_bytes + 8 * 1024 * 1024 + B * 192 * 1024,
+                   96 * 1024 * 1024),
         ),
         cost_estimate=cost,
         interpret=interpret,

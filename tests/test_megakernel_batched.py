@@ -177,10 +177,15 @@ def test_batched_supported_gate():
     mk_cache = lambda b, dt: jnp.zeros((2, 2, b, 2, 256, 128), dt)
     assert megakernel_batched_supported(cfg, layers, mk_cache(8, jnp.bfloat16), 8)
     assert megakernel_batched_supported(cfg, layers, mk_cache(16, jnp.bfloat16), 16)
+    # aliased bf16 scratch pool + per-kernel raised scoped-vmem limit
+    # admit B=24..64 (measured on-chip at the 7B geometry)
+    assert megakernel_batched_supported(cfg, layers, mk_cache(24, jnp.bfloat16), 24)
+    assert megakernel_batched_supported(cfg, layers, mk_cache(32, jnp.bfloat16), 32)
+    assert megakernel_batched_supported(cfg, layers, mk_cache(64, jnp.bfloat16), 64)
     # int8 caches ride the kernel too (scale DMAs + in-kernel dequant)
     assert megakernel_batched_supported(cfg, layers, mk_cache(8, jnp.int8), 8)
-    # B must be a multiple of 8 (row stores land on sublane tiles), the
-    # cache slot axis must match
+    # B must be a multiple of 8 (row stores land on sublane tiles) and
+    # <=64, the cache slot axis must match
     assert not megakernel_batched_supported(cfg, layers, mk_cache(4, jnp.bfloat16), 4)
-    assert not megakernel_batched_supported(cfg, layers, mk_cache(24, jnp.bfloat16), 24)
+    assert not megakernel_batched_supported(cfg, layers, mk_cache(72, jnp.bfloat16), 72)
     assert not megakernel_batched_supported(cfg, layers, mk_cache(8, jnp.bfloat16), 16)
