@@ -68,8 +68,23 @@ def main(argv=None) -> int:
     lcfg = ModelConfig(**GEOMETRIES[args.llm], dtype="bfloat16")
     qcfg = QuantConfig(w_bit=4, group_size=128)
     if args.precision == "W4A16":
-        lparams = fuse_linears(init_qparams(lcfg, qcfg, jax.random.PRNGKey(1)),
-                               lcfg)
+        # same deploy layout as bench.py::_build_params (quantized lm_head
+        # + fused QKV/gate-up + folded tiles, one compiled build program)
+        # so VLM decode rides the whole-token megakernel with the
+        # in-kernel head — production VLM serving quantizes the head too
+        from awq_tpu.ops.w4a16 import quantize_linear, strip_unfolded_qparams
+
+        def build(key):
+            p = init_qparams(lcfg, qcfg, key)
+            p["lm_head"] = quantize_linear(
+                p["lm_head"].astype(jnp.float32), n_bit=qcfg.w_bit,
+                group_size=qcfg.group_size)
+            p = fuse_linears(p, lcfg)
+            if jax.default_backend() == "tpu":
+                p = strip_unfolded_qparams(p)
+            return p
+
+        lparams = jax.jit(build)(jax.random.PRNGKey(1))
     else:
         lparams = init_params(lcfg, jax.random.PRNGKey(1))
 
