@@ -111,6 +111,12 @@ class RuntimeConfig:
     max_seq_len: int = 2048
     max_batch_size: int = 1
     prefill_chunk: int = 0  # 0 => whole-prompt prefill
+    # quantize the fp16 lm_head to W4 at engine construction so decode
+    # runs the whole model (head included) inside the megakernel — on
+    # Llama-3's 128k vocab the fp16 head alone streams ~1 GB/token.
+    # Off by default: it perturbs logits slightly (the reference keeps
+    # lm_head fp16 too), so opt in from serving/demo entrypoints.
+    quantize_head: bool = False
 
 
 def _get(d: Mapping[str, Any], *names, default=None):

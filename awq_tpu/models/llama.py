@@ -281,6 +281,32 @@ def fuse_linears(params: Params, cfg: ModelConfig,
     return out
 
 
+def quantize_head(params: Params, cfg: ModelConfig) -> Params:
+    """Real-quantize a plain fp ``lm_head`` to the body's W4/W3 format.
+
+    The reference keeps lm_head fp16 (``qmodule.py`` never quantizes it),
+    which on Llama-3's 128k vocab streams ~1 GB/token at decode. Call
+    BEFORE :func:`fuse_linears` so the head gets the stacked-of-1 folded
+    tiling and runs inside the megakernel. No-op unless the body is
+    quantized (bit width / group size are inferred from a body QLinear)
+    and the head is a plain array whose IC divides the group size.
+    """
+    from awq_tpu.ops.w4a16 import QLinear, quantize_linear
+
+    head = params.get("lm_head")
+    if head is None or isinstance(head, QLinear):
+        return params
+    body = next((p for p in params["layers"].values()
+                 if isinstance(p, QLinear)), None)
+    if body is None or head.ndim != 2 or head.shape[0] % body.group_size:
+        return params
+    out = dict(params)
+    out["lm_head"] = quantize_linear(
+        head.astype(jnp.float32), n_bit=body.w_bit,
+        group_size=body.group_size)
+    return out
+
+
 class KVCache8(NamedTuple):
     """int8 KV cache: data + per-(layer, kv, row, head, position) scales.
 

@@ -52,10 +52,14 @@ class BatchEngine:
         n_slots: int = 8,
         max_seq_len: int = 2048,
         cache_dtype=jnp.bfloat16,
+        quantize_head: bool = False,
     ):
         self.cfg = cfg
         from awq_tpu.models.llama import fuse_linears
+        from awq_tpu.models.llama import quantize_head as _qhead
 
+        if quantize_head:
+            params = _qhead(params, cfg)
         self.params = fuse_linears(params, cfg)
         self.n_slots = n_slots
         self._init_cache(cfg, n_slots, max_seq_len, cache_dtype)

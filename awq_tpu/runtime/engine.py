@@ -30,12 +30,14 @@ class InferenceEngine:
         cache_dtype=jnp.bfloat16,
     ):
         self.cfg = cfg
-        from awq_tpu.models.llama import fuse_linears
+        from awq_tpu.models.llama import fuse_linears, quantize_head
 
+        self.rt = runtime or RuntimeConfig()
         # fused QKV/gate-up + folded tiled weights -> the decode
         # megakernel path (one launch per token on TPU)
+        if self.rt.quantize_head:
+            params = quantize_head(params, cfg)
         self.params = fuse_linears(params, cfg)
-        self.rt = runtime or RuntimeConfig()
         self.tokenizer = tokenizer
         t = min(self.rt.max_seq_len, cfg.max_position_embeddings)
         if cache_dtype in ("int8", jnp.int8):

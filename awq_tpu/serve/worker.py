@@ -159,6 +159,9 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=21002)
     ap.add_argument("--max_seq_len", type=int, default=2048)
     ap.add_argument("--limit_concurrency", type=int, default=1)
+    ap.add_argument("--q_head", action="store_true",
+                    help="W4-quantize the fp16 lm_head (decode's head GEMV "
+                         "then rides the megakernel; slight logit change)")
     args = ap.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -169,15 +172,16 @@ def main(argv=None) -> int:
     from awq_tpu.utils.checkpoint import load_checkpoint
 
     params, cfg, _ = load_checkpoint(args.load_quant)
-    from awq_tpu.models.llama import fuse_linears
-
-    params = fuse_linears(params, cfg)
+    # InferenceEngine fuses (and optionally head-quantizes) on construction
     tok = AutoTokenizer.from_pretrained(
         args.model_path or args.load_quant, use_fast=True,
         trust_remote_code=True,
     )
     engine = InferenceEngine(
-        cfg, params, RuntimeConfig(max_seq_len=args.max_seq_len), tokenizer=tok
+        cfg, params,
+        RuntimeConfig(max_seq_len=args.max_seq_len,
+                      quantize_head=args.q_head),
+        tokenizer=tok,
     )
     engine.warmup()
     w = ModelWorker(

@@ -129,3 +129,47 @@ def test_vlm_prompter_routing():
     assert t.startswith("<|im_start|>system\n")
     assert "<|im_start|>user\n<image>" in t
     assert t.endswith("<|im_start|>assistant\n")
+
+
+def test_engine_quantize_head():
+    """RuntimeConfig.quantize_head: the fp lm_head is W4-quantized + tiled
+    at engine construction; greedy output stays sensible and close to the
+    fp-head engine (heads differ only by quantization error)."""
+    from awq_tpu.config import QuantConfig
+    from awq_tpu.models import init_qparams
+    from awq_tpu.ops.w4a16 import QLinear
+
+    cfg = tiny_cfg()
+    qcfg = QuantConfig(w_bit=4, group_size=32)
+    params = init_qparams(cfg, qcfg, jax.random.PRNGKey(0))
+    assert not isinstance(params["lm_head"], QLinear)
+
+    eng_q = InferenceEngine(
+        cfg, params, RuntimeConfig(max_seq_len=64, quantize_head=True),
+        cache_dtype=jnp.float32,
+    )
+    assert isinstance(eng_q.params["lm_head"], QLinear)
+    # fuse_linears retiles the quantized head into the stacked-of-1
+    # folded layout the megakernel's head phase reads
+    assert eng_q.params["lm_head"].qweight.ndim == 4
+
+    eng_f = InferenceEngine(
+        cfg, params, RuntimeConfig(max_seq_len=64),
+        cache_dtype=jnp.float32,
+    )
+    assert not isinstance(eng_f.params["lm_head"], QLinear)
+
+    gen = GenConfig(greedy=True, max_new_tokens=6)
+    rq = eng_q.generate([1, 2, 3], gen)
+    assert len(rq["output_ids"]) >= 1   # generation runs end to end
+
+    # the quantized head's logits track the fp head's (random tiny-model
+    # logits are closely spaced, so argmax may flip — compare the vectors)
+    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+    cq = init_kv_cache(cfg, 1, 64, jnp.float32)
+    lq, _ = forward(eng_q.params, cfg, toks, cq, jnp.int32(0))
+    lf, _ = forward(eng_f.params, cfg, toks, cq, jnp.int32(0))
+    a = np.asarray(lq[0, -1], np.float64)
+    b = np.asarray(lf[0, -1], np.float64)
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.99, cos
