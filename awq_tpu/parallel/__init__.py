@@ -14,4 +14,5 @@ from awq_tpu.parallel.tp import (  # noqa: F401
     tp_decode_scan,
     tp_forward,
     tp_local_cfg,
+    tp_prefill_sp,
 )

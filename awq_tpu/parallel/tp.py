@@ -187,3 +187,145 @@ def tp_decode_scan(
         )
 
     return run(params, cache, first_token, start_pos, key, stop_ids, seen0)
+
+
+def tp_prefill_sp(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    tokens: jax.Array,           # [B, S] int32, S % tp == 0
+    cache: jax.Array,            # [L, 2, B, n_kv, T, hd] plain fp cache
+    start_pos: jax.Array,
+    mesh: Mesh,
+    last_only: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sequence-parallel TP prefill (Megatron-SP layout).
+
+    ``tp_forward`` keeps the residual stream replicated across tp and
+    all-reduces (psum) after every row-parallel contraction. Here the
+    residual stream is TOKEN-sharded over tp instead: each layer
+    all-gathers the rms-normed activations into the column-parallel
+    matmuls and reduce-scatters (``psum_scatter``) the row-parallel
+    outputs back to the token shard. An all-reduce IS a reduce-scatter +
+    all-gather, so collective bytes per layer are identical — but every
+    elementwise op (norms, silu, residual adds, rope on q) and the
+    residual stream's live memory run on S/tp tokens per device, which
+    is what makes long-context prefill fit on a pod slice (the reference
+    has no distributed backend at all — SURVEY §2.3).
+
+    Restrictions: the llama family shape (rope + rmsnorm + silu,
+    non-parallel block), unfused linears, plain fp cache, and S % tp == 0.
+    """
+    from awq_tpu.models.llama import _dtype, _head_logits, _norm
+    from awq_tpu.models.layers import apply_rope, attention, rope_table
+    from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked
+    from awq_tpu.models.layers import linear_apply
+
+    tp = _mesh_tp(mesh)
+    check_tp_compatible(params, cfg, tp)
+    assert cfg.pos_embed == "rope" and cfg.norm == "rmsnorm" \
+        and cfg.act == "silu" and not cfg.parallel_block, \
+        "sequence-parallel prefill supports the llama-family shape"
+    assert isinstance(cache, jax.Array), "plain fp cache only"
+    for n in ("wo", "down"):
+        p = params["layers"][n]
+        rb = p.bias if isinstance(p, QLinear) else getattr(p, "b", None)
+        assert rb is None, (
+            f"row-parallel {n} bias would be reduce-scattered tp times")
+    b, s = tokens.shape
+    assert s % tp == 0, f"seq {s} must divide tp={tp}"
+    lcfg = tp_local_cfg(cfg, tp)
+    pspecs = param_pspecs(params, tp)
+    cspecs = cache_specs(cache, shard_kv=tp > 1)
+    dt = _dtype(cfg)
+    max_t = cache.shape[4]
+    s_loc = s // tp
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(pspecs, P("dp", None), cspecs, P()),
+        out_specs=(P("dp", None, "tp"), cspecs),
+        check_vma=False,
+    )
+    def run(params, tokens, cache, start_pos):
+        rank = jax.lax.axis_index("tp")
+        nq, nkv, hd = lcfg.num_heads, lcfg.num_kv_heads, lcfg.head_dim
+        layers_all = params["layers"]
+        small = {k2: v for k2, v in layers_all.items()
+                 if isinstance(v, jax.Array)}
+
+        # --- embedding on the LOCAL token shard ---
+        tok_loc = jax.lax.dynamic_slice(
+            tokens, (0, rank * s_loc), (tokens.shape[0], s_loc))
+        embed = params["embed"]
+        if embed.shape[0] != cfg.vocab_size:     # vocab-sharded
+            # one mesh axis plays both roles: device r holds vocab shard r
+            # AND token shard r, so a plain psum of local lookups would sum
+            # DIFFERENT token slices. Masked lookup of the FULL token row
+            # against the local vocab shard, then reduce-scatter over
+            # tokens: sums the vocab partials AND lands each device on its
+            # own token shard in one collective.
+            vshard = embed.shape[0]
+            loc = tokens - rank * vshard
+            ok = (loc >= 0) & (loc < vshard)
+            h = jnp.where(
+                ok[..., None], embed[jnp.clip(loc, 0, vshard - 1)], 0)
+            h = jax.lax.psum_scatter(
+                h, "tp", scatter_dimension=1, tiled=True).astype(dt)
+        else:
+            h = embed[tok_loc].astype(dt)
+
+        cos, sin = rope_table(cfg, max_t)
+        positions = start_pos + jnp.arange(s)
+
+        def lin(name, idx, xx):
+            p = layers_all[name]
+            if isinstance(p, QLinear):
+                return qlinear_apply_stacked(p, idx, xx)
+            lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
+            return linear_apply(lp1, xx)
+
+        def body(carry, idx):
+            h, cache = carry
+            lp = {k2: v[idx] for k2, v in small.items() if v is not None}
+            x = _norm(cfg, h, lp["ln1"], lp.get("ln1_b"))
+            # SP -> TP boundary: gather the token shards into the full
+            # sequence for the column-parallel qkv matmuls
+            xg = jax.lax.all_gather(x, "tp", axis=1, tiled=True)
+            lb = xg.shape[0]          # local (dp-sharded) batch
+            q = lin("wq", idx, xg).reshape(lb, s, nq, hd)
+            k = lin("wk", idx, xg).reshape(lb, s, nkv, hd)
+            v = lin("wv", idx, xg).reshape(lb, s, nkv, hd)
+            q, k = apply_rope(q, k, cos, sin, positions)
+            kv_new = jnp.stack([
+                jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+            ])[None].astype(cache.dtype)          # [1,2,B,nkv,S,hd]
+            cache = jax.lax.dynamic_update_slice(
+                cache, kv_new, (idx, 0, 0, 0, start_pos, 0))
+            attn = attention(q, cache[idx, 0], cache[idx, 1], start_pos)
+            # TP -> SP boundary: row-parallel wo WITHOUT bias/psum; the
+            # reduce-scatter sums the partial products AND re-shards the
+            # tokens in one collective
+            o_part = lin("wo", idx, attn)         # [B, S, H] partial sum
+            h = h + jax.lax.psum_scatter(
+                o_part, "tp", scatter_dimension=1, tiled=True)
+            x2 = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
+            xg2 = jax.lax.all_gather(x2, "tp", axis=1, tiled=True)
+            g = lin("gate", idx, xg2)
+            u = lin("up", idx, xg2)
+            hm = jax.nn.silu(g.astype(jnp.float32)).astype(xg2.dtype) * u
+            d_part = lin("down", idx, hm)         # [B, S, H] partial sum
+            h = h + jax.lax.psum_scatter(
+                d_part, "tp", scatter_dimension=1, tiled=True)
+            return (h, cache), None
+
+        (h, cache), _ = jax.lax.scan(
+            body, (h, cache), jnp.arange(cfg.num_layers))
+        h = _norm(cfg, h, params["norm"], params.get("norm_b"))
+        # final gather back to the full sequence for the (vocab-sharded)
+        # output head
+        h = jax.lax.all_gather(h, "tp", axis=1, tiled=True)
+        if last_only:
+            h = h[:, -1:, :]
+        return _head_logits(params, h, dt), cache
+
+    return run(params, tokens, cache, start_pos)

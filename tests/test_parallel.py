@@ -176,3 +176,45 @@ def test_graft_entry_and_dryrun():
     assert logits.shape[-1] == 512
 
     mod.dryrun_multichip(8)
+
+
+def test_tp_sequence_parallel_prefill_parity():
+    """tp_prefill_sp (token-sharded residual, all-gather -> column-
+    parallel, reduce-scatter <- row-parallel) matches tp_forward and the
+    single-device forward on logits and cache."""
+    from awq_tpu.parallel import tp_forward
+    from awq_tpu.parallel.tp import tp_prefill_sp
+
+    cfg = _cfg()
+    params = quantize_params(
+        init_params(cfg, jax.random.PRNGKey(7)),
+        QuantConfig(w_bit=4, group_size=128),
+    )
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(8), (2, 16), 0, cfg.vocab_size)
+    cache = init_kv_cache(cfg, 2, 64, jnp.float32)
+
+    ref_logits, ref_cache = forward(params, cfg, tokens, cache, jnp.int32(0))
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2))
+    sp_logits, sp_cache = tp_prefill_sp(
+        params, cfg, tokens, cache, jnp.int32(0), mesh)
+    assert sp_logits.shape == ref_logits.shape
+    assert jnp.allclose(ref_logits, sp_logits, atol=2e-3, rtol=2e-3), (
+        jnp.abs(ref_logits - sp_logits).max())
+    ref_k = jax.lax.dynamic_slice_in_dim(ref_cache, 0, 16, axis=4)
+    sp_k = jax.lax.dynamic_slice_in_dim(sp_cache, 0, 16, axis=4)
+    assert jnp.allclose(ref_k, sp_k, atol=2e-3, rtol=2e-3)
+
+    # and against the psum TP path (same mesh, same shards)
+    tp_logits, _ = tp_forward(params, cfg, tokens, cache, jnp.int32(0), mesh)
+    assert jnp.allclose(tp_logits, sp_logits, atol=2e-3, rtol=2e-3)
+
+    # different mesh shape (dp=4, tp=2): batch sharding independent of
+    # the token sharding (tp=4 would split wo's 2 quant groups)
+    mesh4 = make_mesh(MeshConfig(dp=4, tp=2))
+    tokens4 = jnp.tile(tokens, (2, 1))
+    cache4 = init_kv_cache(cfg, 4, 64, jnp.float32)
+    sp4_logits, _ = tp_prefill_sp(
+        params, cfg, tokens4, cache4, jnp.int32(0), mesh4)
+    assert jnp.allclose(ref_logits, sp4_logits[:2], atol=2e-3, rtol=2e-3)
