@@ -40,6 +40,14 @@ GEOMETRIES: Dict[str, dict] = {
         num_kv_heads=8, head_dim=128, max_position_embeddings=8192,
         rope_theta=500000.0,
     ),
+    # Qwen2.5-7B: QKV biases ride inside the megakernel (the reference's
+    # fused path serves qwen2 natively, tinychat/models/qwen2.py:118-283)
+    "qwen2-7b": dict(
+        arch="qwen2", vocab_size=152064, hidden_size=3584,
+        intermediate_size=18944, num_layers=28, num_heads=28,
+        num_kv_heads=4, head_dim=128, max_position_embeddings=8192,
+        rope_theta=1000000.0, qkv_bias=True,
+    ),
     "tiny": dict(
         arch="llama", vocab_size=1024, hidden_size=512,
         intermediate_size=1024, num_layers=4, num_heads=8, num_kv_heads=8,
@@ -52,7 +60,8 @@ def _sync(x):
     return np.asarray(x)  # host fetch = the only reliable sync (see bench.py)
 
 
-def build_model(geometry: str, precision: str, load_quant, max_seq: int):
+def build_model(geometry: str, precision: str, load_quant, max_seq: int,
+                mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -73,6 +82,21 @@ def build_model(geometry: str, precision: str, load_quant, max_seq: int):
             params = init_qparams(cfg, qcfg, jax.random.PRNGKey(0))
         else:
             params = init_params(cfg, jax.random.PRNGKey(0))
+    if mesh is not None:
+        # multi-chip: the sharded TP deploy layout (fused + folded tiled
+        # per-device shards, quantized lm_head) — parallel/deploy.py
+        from jax.sharding import NamedSharding
+        from awq_tpu.parallel import build_tp_params
+        from awq_tpu.parallel.shard import cache_pspec
+
+        dep = build_tp_params(
+            params, cfg, mesh,
+            quantize_head=precision in ("W4A16", "W3A16"))
+        tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
+        cache = jax.device_put(
+            init_kv_cache(cfg, 1, max_seq, jnp.bfloat16),
+            NamedSharding(mesh, cache_pspec(shard_kv=tp > 1)))
+        return cfg, dep, cache
     from awq_tpu.models.llama import fuse_linears
     from awq_tpu.ops.w4a16 import (
         QLinear, quantize_linear, strip_unfolded_qparams,
@@ -90,7 +114,8 @@ def build_model(geometry: str, precision: str, load_quant, max_seq: int):
     return cfg, params, cache
 
 
-def bench_decode(cfg, params, cache, context: int, steps: int, runs: int):
+def bench_decode(cfg, params, cache, context: int, steps: int, runs: int,
+                 mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -101,13 +126,27 @@ def bench_decode(cfg, params, cache, context: int, steps: int, runs: int):
     bucket = cache_bucket(cache.shape[4], context + steps + 1)
     cache = jax.lax.slice_in_dim(cache, 0, bucket, axis=4)
     toks = jnp.zeros((1, context), jnp.int32)
-    logits, cache = forward(params, cfg, toks, cache, jnp.int32(0))
+    if mesh is not None:
+        from awq_tpu.parallel import tp_forward
+
+        logits, cache = tp_forward(params, cfg, toks, cache, jnp.int32(0),
+                                   mesh)
+    else:
+        logits, cache = forward(params, cfg, toks, cache, jnp.int32(0))
     first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
     gen = GenConfig(greedy=True)
     stop = jnp.asarray([-1], jnp.int32)
     seen = jnp.zeros((1, cfg.vocab_size), bool)
 
     def burst():
+        if mesh is not None:
+            from awq_tpu.parallel import tp_decode_scan
+
+            t, _, _ = tp_decode_scan(
+                params, cfg, cache, first, jnp.int32(context),
+                jax.random.PRNGKey(0), stop, seen, gen, steps, mesh,
+            )
+            return t
         t, _, _ = decode_scan(
             params, cfg, cache, first, jnp.int32(context),
             jax.random.PRNGKey(0), stop, seen, gen, steps, cfg.vocab_size,
@@ -122,6 +161,34 @@ def bench_decode(cfg, params, cache, context: int, steps: int, runs: int):
         times.append(time.perf_counter() - t0)
     ms = np.mean(times) / steps * 1e3
     return {"ms_per_token": ms, "tokens_per_s": 1e3 / ms}
+
+
+def bench_scaling(geometry: str, precision: str, load_quant, max_seq: int,
+                  context: int, steps: int, runs: int, tp_max: int):
+    """Tensor-parallel scaling efficiency: single-stream decode rate at
+    tp=1 vs tp=N, each on the TP deploy layout. Efficiency is
+    ``rate(tpN) / (N * rate(tp1))`` for the SAME model — i.e. how much of
+    the ideal N-chip speedup survives the collectives. The BASELINE north
+    star asks ≥85% from 1 chip -> 1 host -> 2+ hosts; this harness is the
+    measurement tool (on the CI CPU mesh it validates compile+run; the
+    number is meaningful on real multi-chip ICI)."""
+    import jax
+
+    from awq_tpu.parallel import MeshConfig, make_mesh
+
+    n_dev = len(jax.devices())
+    tps = sorted({1, min(tp_max, n_dev)})
+    out = {}
+    for tp in tps:
+        mesh = make_mesh(MeshConfig(dp=1, tp=tp),
+                         devices=jax.devices()[:tp])
+        cfg, dep, cache = build_model(
+            geometry, precision, load_quant, max_seq, mesh=mesh)
+        r = bench_decode(cfg, dep, cache, context, steps, runs, mesh=mesh)
+        out[tp] = r["tokens_per_s"]
+    base = out[tps[0]]
+    eff = {tp: out[tp] / (tp * base) for tp in tps}
+    return {"tokens_per_s": out, "efficiency": eff}
 
 
 def bench_spec_decode(cfg, params, cache, context: int, runs: int,
@@ -248,7 +315,7 @@ def _marginal_ms(fn, runs: int, n_hi: int = 6):
     return max((ts[n_hi] - ts[1]) / (n_hi - 1) * 1e3, 0.0)
 
 
-def bench_ttft(cfg, params, cache, seq_lens, runs: int):
+def bench_ttft(cfg, params, cache, seq_lens, runs: int, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -262,7 +329,13 @@ def bench_ttft(cfg, params, cache, seq_lens, runs: int):
         toks = jnp.zeros((1, s), jnp.int32)
 
         def prefill():
-            logits, _ = forward(params, cfg, toks, c, jnp.int32(0))
+            if mesh is not None:
+                from awq_tpu.parallel import tp_forward
+
+                logits, _ = tp_forward(params, cfg, toks, c, jnp.int32(0),
+                                       mesh)
+            else:
+                logits, _ = forward(params, cfg, toks, c, jnp.int32(0))
             return logits[0, -1, 0].astype(jnp.float32)
 
         out[s] = _marginal_ms(prefill, runs)
@@ -302,7 +375,14 @@ def main(argv=None) -> int:
     p.add_argument("--load_quant", default=None)
     p.add_argument("--mode", default="decode",
                    choices=["decode", "ttft", "chunk_prefill",
-                            "batch_decode", "spec_decode", "all"])
+                            "batch_decode", "spec_decode", "scaling",
+                            "all"])
+    p.add_argument("--mesh", type=str, default=None,
+                   help="'dp,tp' (or 'tp'): run decode/ttft through the "
+                        "sharded TP deploy layout")
+    p.add_argument("--tp_max", type=int, default=0,
+                   help="scaling mode: largest tp to measure (default: "
+                        "all devices)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max_seq_len", type=int, default=4096)
     p.add_argument("--context", type=int, default=4,
@@ -320,17 +400,33 @@ def main(argv=None) -> int:
                         "slots at the same HBM footprint)")
     args = p.parse_args(argv)
 
+    name = f"{args.geometry}/{args.precision}"
+    if args.mode == "scaling":
+        import jax
+
+        tp_max = args.tp_max or len(jax.devices())
+        r = bench_scaling(args.geometry, args.precision, args.load_quant,
+                          args.max_seq_len, args.context, args.steps,
+                          args.runs, tp_max)
+        for tp, rate in r["tokens_per_s"].items():
+            print(f"[{name}] scaling tp={tp}: {rate:.1f} tok/s "
+                  f"(efficiency {r['efficiency'][tp] * 100:.0f}%)")
+        return 0
+
+    from awq_tpu.parallel import parse_mesh_arg
+
+    mesh = parse_mesh_arg(args.mesh)
     cfg, params, cache = build_model(
-        args.geometry, args.precision, args.load_quant, args.max_seq_len
+        args.geometry, args.precision, args.load_quant, args.max_seq_len,
+        mesh=mesh,
     )
     if args.prefill_a8:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, prefill_a8=True)
-    name = f"{args.geometry}/{args.precision}"
     if args.mode in ("decode", "all"):
         r = bench_decode(cfg, params, cache, args.context, args.steps,
-                         args.runs)
+                         args.runs, mesh=mesh)
         print(f"[{name}] decode: {r['ms_per_token']:.2f} ms/token "
               f"({r['tokens_per_s']:.1f} tok/s)")
     if args.mode == "batch_decode":
@@ -343,7 +439,7 @@ def main(argv=None) -> int:
     if args.mode in ("ttft", "all"):
         seqs = [int(s) for s in args.seq_lens.split(",")
                 if int(s) <= args.max_seq_len]
-        r = bench_ttft(cfg, params, cache, seqs, args.runs)
+        r = bench_ttft(cfg, params, cache, seqs, args.runs, mesh=mesh)
         for s, t in r.items():
             print(f"[{name}] ttft seq={s}: {t:.1f} ms (on-device, tunnel overhead excluded)")
     if args.mode == "spec_decode":

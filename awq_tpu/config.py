@@ -117,6 +117,14 @@ class RuntimeConfig:
     # Off by default: it perturbs logits slightly (the reference keeps
     # lm_head fp16 too), so opt in from serving/demo entrypoints.
     quantize_head: bool = False
+    # a jax.sharding.Mesh with a 'tp' axis: the engine builds the
+    # TP deploy layout (parallel/deploy.py) and serves through
+    # shard_map'd kernels — the multi-chip path for models that don't
+    # fit one chip (the reference splits decoder blocks across GPUs via
+    # accelerate device maps, awq/entry.py:166-186; here weights/KV
+    # shard Megatron-style over ICI). Engines require dp == 1 (the
+    # batch axis is the engine's slot axis, not a mesh axis).
+    mesh: Optional[Any] = None
 
 
 def _get(d: Mapping[str, Any], *names, default=None):

@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--system", type=str, default=None)
     p.add_argument("--single_round", action="store_true",
                    help="drop history KV each round (no chunked prefill)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="'dp,tp' (or 'tp') device mesh: serve through the "
+                        "sharded TP deploy layout (dp must be 1)")
     return p
 
 
@@ -65,16 +68,19 @@ def main(argv=None) -> int:
         print("error: --model_path or --load_quant required", file=sys.stderr)
         return 2
 
-    from awq_tpu.models.llama import fuse_linears
-
-    params = fuse_linears(params, cfg)  # fewer kernel launches per token
-
     tok = AutoTokenizer.from_pretrained(
         args.model_path or args.load_quant, use_fast=True,
         trust_remote_code=True,
     )
+    from awq_tpu.parallel import parse_mesh_arg
+
+    # the engine fuses/tiles on construction (or builds the sharded TP
+    # deploy layout when a mesh is given — multi-chip serving for models
+    # that don't fit one chip)
     engine = InferenceEngine(
-        cfg, params, RuntimeConfig(max_seq_len=args.max_seq_len),
+        cfg, params,
+        RuntimeConfig(max_seq_len=args.max_seq_len,
+                      mesh=parse_mesh_arg(args.mesh)),
         tokenizer=tok,
     )
     gen = GenConfig(

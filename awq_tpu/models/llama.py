@@ -222,7 +222,10 @@ def fuse_linears(params: Params, cfg: ModelConfig,
 
     layers = params["layers"] if consume else dict(params["layers"])
     if "wqkv" in layers or "wq" not in layers:
-        return params  # already fused
+        # already fused — but still tile a plain 2D QLinear lm_head (the
+        # quantize_head -> fuse_linears sequence on pre-fused params would
+        # otherwise silently skip the in-kernel head)
+        return _tile_head(dict(params), cfg, tile, block_n)
 
     def cat(parts):
         a = parts[0]
@@ -249,9 +252,20 @@ def fuse_linears(params: Params, cfg: ModelConfig,
         layers["wgateup"] = cat([layers.pop("gate"), layers.pop("up")])
     # block-contiguous weight layout: each kernel N block becomes one
     # contiguous HBM stream (~777 vs ~453 GB/s measured on v5e)
-    from awq_tpu.ops.w4a16 import tile_qlinear
+    from awq_tpu.ops.w4a16 import folded_rows, tile_qlinear
 
     if tile:
+        # the megakernel streams every phase through ONE shared
+        # [2, max_rows, max_bn] VMEM buffer; a tall reduction (e.g.
+        # qwen2's 18944-wide `down`) at bn=512 would blow the ~14 MB
+        # budget and silently forfeit the megakernel — shrink the
+        # UNIFORM block width until the double-buffer fits ~8 MB
+        max_rows = max(
+            (folded_rows(p.in_features, p.group_size, p.dense3)
+             for p in layers.values() if isinstance(p, QLinear)),
+            default=0)
+        while block_n > 128 and 2 * max_rows * block_n * 4 > 8 * 2 ** 20:
+            block_n //= 2
         for name, p in list(layers.items()):
             if isinstance(p, QLinear):
                 # fold_scales packs scales/szeros into the blocks: one HBM
@@ -264,21 +278,27 @@ def fuse_linears(params: Params, cfg: ModelConfig,
                 del p
     out = dict(params)
     out["layers"] = layers
-    head = out.get("lm_head")
+    return _tile_head(out, cfg, tile, block_n)
+
+
+def _tile_head(params: Params, cfg: ModelConfig, tile: bool,
+               block_n: int) -> Params:
+    """Repack a plain 2D QLinear ``lm_head`` as a stacked-of-1 folded tiled
+    QLinear so decode's logits GEMV rides the same streaming kernel (a fp16
+    7B head is ~260 MB/token of pure HBM reads). bn <= 512 keeps the head
+    phase inside the megakernel's shared weight buffer (wcols)."""
+    from awq_tpu.ops.w4a16 import QLinear, tile_qlinear
+
+    head = params.get("lm_head")
     if tile and isinstance(head, QLinear) and head.qweight.ndim == 2:
-        # quantized output head: store as a stacked-of-1 folded tiled
-        # QLinear so decode's logits GEMV rides the same streaming kernel
-        # (a fp16 7B head is ~260 MB/token of pure HBM reads)
-        # bn <= 512 keeps the head phase inside the megakernel's shared
-        # weight buffer (wcols)
         bn = next((b for b in (block_n, 512, 256, 128)
                    if b <= 512 and head.out_features % b == 0), 0)
         if bn:
-            out["lm_head"] = tile_qlinear(
+            params["lm_head"] = tile_qlinear(
                 jax.tree_util.tree_map(lambda a: a[None], head),
                 block_n=bn, fold_scales=True,
             )
-    return out
+    return params
 
 
 def quantize_head(params: Params, cfg: ModelConfig) -> Params:
@@ -289,7 +309,8 @@ def quantize_head(params: Params, cfg: ModelConfig) -> Params:
     BEFORE :func:`fuse_linears` so the head gets the stacked-of-1 folded
     tiling and runs inside the megakernel. No-op unless the body is
     quantized (bit width / group size are inferred from a body QLinear)
-    and the head is a plain array whose IC divides the group size.
+    and the head is a plain array whose IC is a multiple of the group
+    size.
     """
     from awq_tpu.ops.w4a16 import QLinear, quantize_linear
 
@@ -846,21 +867,35 @@ def forward(
     return _head_logits(params, h, dt), new_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"),
+                   donate_argnums=(3,))
 def decode_step_batched(
     params: Params,
     cfg: ModelConfig,
     tokens: jax.Array,          # [B] one token per row
     cache: jax.Array,           # [L, 2, B, n_kv, T, hd]
     lengths: jax.Array,         # [B] current per-row lengths (write pos)
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One decode step with PER-ROW positions — the continuous-batching
     step (new capability; the reference engine is batch-1). Returns
-    ``(logits [B, V], cache)``. Rows write/read at their own lengths."""
+    ``(logits [B, V], cache)``. Rows write/read at their own lengths.
+
+    ``tp_axis``: running inside ``shard_map`` (parallel/tp.py) with the
+    LOCAL cfg/shards, same contract as :func:`forward` — Megatron psums
+    after wo/down, masked-psum embedding, vocab-sharded logits out."""
     b = tokens.shape[0]
     dt = _dtype(cfg)
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    h = params["embed"][tokens][:, None].astype(dt)      # [B, 1, H]
+    if tp_axis is not None and params["embed"].shape[0] != cfg.vocab_size:
+        emb = params["embed"]
+        shard = emb.shape[0]
+        loc = tokens - jax.lax.axis_index(tp_axis) * shard
+        ok = (loc >= 0) & (loc < shard)
+        h = jnp.where(ok[..., None], emb[jnp.clip(loc, 0, shard - 1)], 0)
+        h = jax.lax.psum(h, tp_axis)[:, None].astype(dt)
+    else:
+        h = params["embed"][tokens][:, None].astype(dt)  # [B, 1, H]
     is_q8 = isinstance(cache, KVCache8)
     max_t = cache_seq_len(cache)
     cos, sin = rope_table(cfg, max_t)
@@ -884,7 +919,7 @@ def decode_step_batched(
     use_bmega = False
     if (on_tpu and cfg.pos_embed == "rope"
             and cfg.norm == "rmsnorm" and cfg.act == "silu"
-            and not cfg.parallel_block
+            and not cfg.parallel_block and tp_axis is None
             and _os.environ.get("AWQ_TPU_DISABLE_MEGAKERNEL") != "1"):
         from awq_tpu.ops.megakernel_batched import (
             megakernel_batched_supported,
@@ -954,8 +989,32 @@ def decode_step_batched(
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
         return linear_apply(lp1, xx)
 
+    def lin_row(name, idx, xx):
+        """Row-parallel linear under explicit TP: psum the IC-sharded
+        partial sum, bias added once after (mirrors forward())."""
+        if tp_axis is None:
+            return lin(name, idx, xx)
+        import dataclasses as _dc
+
+        p = layers_all[name]
+        bias = None
+        if isinstance(p, QLinear):
+            if p.bias is not None:
+                bias, p = p.bias[idx], _dc.replace(p, bias=None)
+            out = qlinear_apply_stacked(p, idx, xx)
+        else:
+            lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
+            if getattr(lp1, "b", None) is not None:
+                bias, lp1 = lp1.b, _dc.replace(lp1, b=None)
+            out = linear_apply(lp1, xx)
+        out = jax.lax.psum(out, tp_axis)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
     rows = jnp.arange(b)
     if cfg.pos_embed == "alibi":
+        assert tp_axis is None, "tp_axis does not support ALiBi archs"
         from awq_tpu.models.layers import alibi_slopes
 
         # per-head linear key-position bias (forward() applies the same
@@ -1037,7 +1096,7 @@ def decode_step_batched(
         else:
             attn = xla_attn(q, k[:, 0], v[:, 0], cache[idx, 0],
                             cache[idx, 1])
-        attn_out = lin("wo", idx, attn)
+        attn_out = lin_row("wo", idx, attn)
         if cfg.parallel_block:
             xm = x if cfg.single_ln else _norm(cfg, h, lp["ln2"],
                                                lp.get("ln2_b"))
@@ -1064,7 +1123,7 @@ def decode_step_batched(
             if lp.get("act_scale") is not None:
                 hm = (hm.astype(jnp.float32) / lp["act_scale"]
                       ).astype(hm.dtype)
-        m = lin("down", idx, hm)
+        m = lin_row("down", idx, hm)
         h = (h + attn_out + m) if cfg.parallel_block else (h + m)
         if is_q8:
             kq, ks_ = quantize_kv(k)                  # [B,1,n_kv,*]

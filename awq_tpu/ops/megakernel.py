@@ -47,9 +47,11 @@ Design notes:
   with the token kernel it is ONE batched scatter for all layers.
 
 Constraints (callers fall back to the 5-kernel path otherwise):
-batch 1, single token, rmsnorm+SwiGLU (llama/mistral), full-dim RoPE,
-head_dim == 128, group_size == 128, no attention/MLP biases, fp16/bf16
-cache, folded tiled stacked QLinears.
+batch 1, single token, rmsnorm+SwiGLU (llama/mistral/qwen2), full-dim
+RoPE, head_dim == 128, group_size == 128, no o/gate/up/down biases (a
+QKV bias — qwen2, ``tinychat/models/qwen2.py:118-283`` — IS supported:
+one [nr, hd] bias row block added between the QKV matmul and RoPE),
+fp16/bf16/int8 cache, folded tiled stacked QLinears.
 """
 
 from __future__ import annotations

@@ -623,6 +623,14 @@ def _w3x_code_rows(n_g: int) -> int:
     return 64 * (n_g // 5) + 16 * (n_g % 5)
 
 
+def folded_rows(ic: int, group_size: int, dense3: bool = False) -> int:
+    """Row count of a folded tiled block (codes + qparam band + 8-align
+    pad) — what the megakernel's shared weight buffer must hold."""
+    n_g = ic // group_size
+    rows = (_w3x_code_rows(n_g) if dense3 else ic // 8) + n_g
+    return rows + (-rows % 8)
+
+
 @functools.partial(jax.jit, static_argnames=("block_n",))
 def _fold_tile3(qw: jax.Array, scales: jax.Array, szeros: jax.Array,
                 block_n: int) -> jax.Array:

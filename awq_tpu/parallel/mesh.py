@@ -56,6 +56,18 @@ def pick_mesh_shape(
     return MeshConfig(dp=n // tp, tp=tp)
 
 
+def parse_mesh_arg(s: Optional[str]) -> Optional[Mesh]:
+    """CLI ``--mesh 'dp,tp'`` (or just ``'tp'``) -> Mesh; None/'' -> None.
+
+    The serving/demo counterpart of the reference's
+    ``CUDA_VISIBLE_DEVICES`` heuristic (``awq/utils/parallel.py:6-28``)."""
+    if not s:
+        return None
+    parts = [int(x) for x in s.split(",")]
+    dp, tp = (1, parts[0]) if len(parts) == 1 else parts
+    return make_mesh(MeshConfig(dp=dp, tp=tp))
+
+
 def make_mesh(
     cfg: Optional[MeshConfig] = None,
     devices: Optional[Sequence[jax.Device]] = None,

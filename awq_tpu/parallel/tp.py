@@ -15,14 +15,16 @@ vocab-sharded logits before sampling (runtime/generate.py).
 Replaces what the reference would need NCCL + per-module hooks for
 (``awq/utils/parallel.py:6-28``) with mesh collectives riding ICI.
 
-Layout requirements (asserted):
-- plain stacked QLinear layout (``tiled_bn == 0``): the folded tile
-  interleaves packed scale rows into the reduction axis, which cannot be
-  split across devices. Folding is a single-chip HBM-streaming
-  optimization; under TP each device's matmul is 1/tp-sized anyway.
-- unfused linears (no ``wqkv``/``wgateup``): an OC shard of a fused
-  concat mixes q|k|v (or gate|up) columns across devices.
-- head counts and group counts divisible by ``tp``.
+Two parameter layouts are accepted:
+- RAW plain stacked QLinears (``tiled_bn == 0``, unfused) — validated by
+  :func:`check_tp_compatible`. Naively sharding a folded/fused layout
+  would split interleaved qparam rows / mix q|k|v columns, so raw input
+  must be plain; head counts and group counts must divide by ``tp``.
+- a :class:`~awq_tpu.parallel.deploy.TPParams` bundle from
+  ``build_tp_params`` — the FAST deploy layout (fused + folded + tiled),
+  correct under sharding because each device's shard was constructed AS
+  its local fused fold (parallel/deploy.py). This is the layout that
+  keeps the streaming-kernel decode numbers on multi-chip.
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from awq_tpu.config import GenConfig, ModelConfig
+from awq_tpu.parallel.deploy import TPParams
 from awq_tpu.parallel.shard import cache_pspec, param_pspecs
 
 
@@ -119,6 +122,19 @@ def _mesh_tp(mesh: Mesh) -> int:
     return dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
 
 
+def _resolve_params(params, cfg: ModelConfig, tp: int):
+    """(params pytree, pspecs) from either a raw PLAIN-layout pytree
+    (validated strictly) or a :class:`TPParams` deploy bundle (specs were
+    constructed alongside the layout — trusted)."""
+    if isinstance(params, TPParams):
+        if params.tp != tp:
+            raise ValueError(
+                f"TPParams built for tp={params.tp}, mesh has tp={tp}")
+        return params.params, params.pspecs
+    check_tp_compatible(params, cfg, tp)
+    return params, param_pspecs(params, tp)
+
+
 def tp_forward(
     params: Dict[str, Any],
     cfg: ModelConfig,
@@ -131,9 +147,8 @@ def tp_forward(
     """One forward step through shard_map; logits return as a GLOBAL
     [B, S(, 1), V] array (vocab-sharded across tp under the hood)."""
     tp = _mesh_tp(mesh)
-    check_tp_compatible(params, cfg, tp)
+    params, pspecs = _resolve_params(params, cfg, tp)
     lcfg = tp_local_cfg(cfg, tp)
-    pspecs = param_pspecs(params, tp)
     cspecs = cache_specs(cache, shard_kv=tp > 1)
 
     from awq_tpu.models import forward
@@ -169,9 +184,8 @@ def tp_decode_scan(
     from awq_tpu.runtime.generate import decode_scan
 
     tp = _mesh_tp(mesh)
-    check_tp_compatible(params, cfg, tp)
+    params, pspecs = _resolve_params(params, cfg, tp)
     lcfg = tp_local_cfg(cfg, tp)
-    pspecs = param_pspecs(params, tp)
     cspecs = cache_specs(cache, shard_kv=tp > 1)
 
     @functools.partial(
@@ -187,6 +201,38 @@ def tp_decode_scan(
         )
 
     return run(params, cache, first_token, start_pos, key, stop_ids, seen0)
+
+
+def tp_decode_step_batched(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    tokens: jax.Array,           # [B] one token per row
+    cache: jax.Array,            # [L, 2, B, n_kv, T, hd]
+    lengths: jax.Array,          # [B] per-row lengths (write positions)
+    mesh: Mesh,
+) -> Tuple[jax.Array, Any]:
+    """One continuous-batching decode step (per-row positions) through
+    shard_map — the multi-chip ``BatchEngine`` step. Logits return as a
+    GLOBAL [B, V] array; the cache is donated (multi-GB at B>=8)."""
+    from awq_tpu.models.llama import decode_step_batched
+
+    tp = _mesh_tp(mesh)
+    params, pspecs = _resolve_params(params, cfg, tp)
+    lcfg = tp_local_cfg(cfg, tp)
+    cspecs = cache_specs(cache, shard_kv=tp > 1)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(pspecs, P("dp"), cspecs, P("dp")),
+        out_specs=(P("dp", "tp"), cspecs),
+        check_vma=False,
+    )
+    def run(params, tokens, cache, lengths):
+        return decode_step_batched(params, lcfg, tokens, cache, lengths,
+                                   tp_axis="tp")
+
+    return run(params, tokens, cache, lengths)
 
 
 def tp_prefill_sp(
@@ -221,7 +267,7 @@ def tp_prefill_sp(
     from awq_tpu.models.layers import linear_apply
 
     tp = _mesh_tp(mesh)
-    check_tp_compatible(params, cfg, tp)
+    params, pspecs = _resolve_params(params, cfg, tp)
     assert cfg.pos_embed == "rope" and cfg.norm == "rmsnorm" \
         and cfg.act == "silu" and not cfg.parallel_block, \
         "sequence-parallel prefill supports the llama-family shape"
@@ -232,9 +278,8 @@ def tp_prefill_sp(
         assert rb is None, (
             f"row-parallel {n} bias would be reduce-scattered tp times")
     b, s = tokens.shape
-    assert s % tp == 0, f"seq {s} must divide tp={tp}"
+    assert s % tp == 0, f"tp={tp} must divide seq {s}"
     lcfg = tp_local_cfg(cfg, tp)
-    pspecs = param_pspecs(params, tp)
     cspecs = cache_specs(cache, shard_kv=tp > 1)
     dt = _dtype(cfg)
     max_t = cache.shape[4]
@@ -292,9 +337,17 @@ def tp_prefill_sp(
             # sequence for the column-parallel qkv matmuls
             xg = jax.lax.all_gather(x, "tp", axis=1, tiled=True)
             lb = xg.shape[0]          # local (dp-sharded) batch
-            q = lin("wq", idx, xg).reshape(lb, s, nq, hd)
-            k = lin("wk", idx, xg).reshape(lb, s, nkv, hd)
-            v = lin("wv", idx, xg).reshape(lb, s, nkv, hd)
+            if "wqkv" in layers_all:  # deploy layout: per-rank fused concat
+                qkv = lin("wqkv", idx, xg)
+                q, k, v = jnp.split(
+                    qkv, [nq * hd, (nq + nkv) * hd], axis=-1)
+                q = q.reshape(lb, s, nq, hd)
+                k = k.reshape(lb, s, nkv, hd)
+                v = v.reshape(lb, s, nkv, hd)
+            else:
+                q = lin("wq", idx, xg).reshape(lb, s, nq, hd)
+                k = lin("wk", idx, xg).reshape(lb, s, nkv, hd)
+                v = lin("wv", idx, xg).reshape(lb, s, nkv, hd)
             q, k = apply_rope(q, k, cos, sin, positions)
             kv_new = jnp.stack([
                 jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
@@ -310,8 +363,12 @@ def tp_prefill_sp(
                 o_part, "tp", scatter_dimension=1, tiled=True)
             x2 = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
             xg2 = jax.lax.all_gather(x2, "tp", axis=1, tiled=True)
-            g = lin("gate", idx, xg2)
-            u = lin("up", idx, xg2)
+            if "wgateup" in layers_all:
+                gu = lin("wgateup", idx, xg2)
+                g, u = jnp.split(gu, 2, axis=-1)
+            else:
+                g = lin("gate", idx, xg2)
+                u = lin("up", idx, xg2)
             hm = jax.nn.silu(g.astype(jnp.float32)).astype(xg2.dtype) * u
             d_part = lin("down", idx, hm)         # [B, S, H] partial sum
             h = h + jax.lax.psum_scatter(
@@ -321,11 +378,15 @@ def tp_prefill_sp(
         (h, cache), _ = jax.lax.scan(
             body, (h, cache), jnp.arange(cfg.num_layers))
         h = _norm(cfg, h, params["norm"], params.get("norm_b"))
-        # final gather back to the full sequence for the (vocab-sharded)
-        # output head
-        h = jax.lax.all_gather(h, "tp", axis=1, tiled=True)
         if last_only:
-            h = h[:, -1:, :]
+            # the global last token lives in rank tp-1's shard: gather the
+            # per-shard LAST rows only ([B, tp, H] instead of the full
+            # [B, S, H] sequence) and keep rank tp-1's
+            h = jax.lax.all_gather(h[:, -1:, :], "tp", axis=1,
+                                   tiled=True)[:, -1:, :]
+        else:
+            # full sequence for the (vocab-sharded) output head
+            h = jax.lax.all_gather(h, "tp", axis=1, tiled=True)
         return _head_logits(params, h, dt), cache
 
     return run(params, tokens, cache, start_pos)

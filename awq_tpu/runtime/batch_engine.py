@@ -53,16 +53,44 @@ class BatchEngine:
         max_seq_len: int = 2048,
         cache_dtype=jnp.bfloat16,
         quantize_head: bool = False,
+        runtime=None,   # Optional[RuntimeConfig]: mesh + quantize_head
     ):
         self.cfg = cfg
         from awq_tpu.models.llama import fuse_linears
         from awq_tpu.models.llama import quantize_head as _qhead
 
-        if quantize_head:
-            params = _qhead(params, cfg)
-        self.params = fuse_linears(params, cfg)
+        self.mesh = getattr(runtime, "mesh", None)
+        if runtime is not None and runtime.quantize_head:
+            quantize_head = True
+        if self.mesh is not None:
+            from awq_tpu.parallel import build_tp_params
+
+            shape = dict(zip(self.mesh.axis_names,
+                             self.mesh.devices.shape))
+            if shape.get("dp", 1) != 1:
+                raise ValueError(
+                    "BatchEngine requires a dp=1 mesh (slots are the "
+                    f"batch axis); got {dict(shape)}")
+            if cache_dtype in ("int8", jnp.int8):
+                raise NotImplementedError(
+                    "int8 KV cache under a mesh is not supported yet")
+            self.params = build_tp_params(
+                params, cfg, self.mesh, quantize_head=quantize_head)
+        else:
+            if quantize_head:
+                params = _qhead(params, cfg)
+            self.params = fuse_linears(params, cfg)
         self.n_slots = n_slots
         self._init_cache(cfg, n_slots, max_seq_len, cache_dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from awq_tpu.parallel.shard import cache_pspec
+
+            tp = dict(zip(self.mesh.axis_names,
+                          self.mesh.devices.shape)).get("tp", 1)
+            self.cache = jax.device_put(
+                self.cache,
+                NamedSharding(self.mesh, cache_pspec(shard_kv=tp > 1)))
         self.lengths = np.zeros(n_slots, np.int32)     # host copy
         self.tokens = np.zeros(n_slots, np.int32)      # next input per slot
         # per-slot sampling params (requests carry their own GenConfig)
@@ -100,9 +128,16 @@ class BatchEngine:
             lambda a: jax.lax.slice_in_dim(a, slot, slot + 1, axis=2),
             self.cache,
         )
-        logits, row = forward(
-            self.params, self.cfg, toks, row, jnp.int32(0)
-        )
+        if self.mesh is not None:
+            from awq_tpu.parallel import tp_forward
+
+            logits, row = tp_forward(
+                self.params, self.cfg, toks, row, jnp.int32(0), self.mesh
+            )
+        else:
+            logits, row = forward(
+                self.params, self.cfg, toks, row, jnp.int32(0)
+            )
         self.cache = jax.tree_util.tree_map(
             lambda full, part: jax.lax.dynamic_update_slice(
                 full, part, (0, 0, slot) + (0,) * (full.ndim - 3)
@@ -113,6 +148,15 @@ class BatchEngine:
 
     def _decode(self) -> jnp.ndarray:
         """One batched decode step over all slots -> logits [n_slots, V]."""
+        if self.mesh is not None:
+            from awq_tpu.parallel import tp_decode_step_batched
+
+            logits, self.cache = tp_decode_step_batched(
+                self.params, self.cfg,
+                jnp.asarray(self.tokens), self.cache,
+                jnp.asarray(self.lengths), self.mesh,
+            )
+            return logits
         logits, self.cache = decode_step_batched(
             self.params, self.cfg,
             jnp.asarray(self.tokens), self.cache,

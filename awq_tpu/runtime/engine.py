@@ -33,13 +33,45 @@ class InferenceEngine:
         from awq_tpu.models.llama import fuse_linears, quantize_head
 
         self.rt = runtime or RuntimeConfig()
+        self.mesh = self.rt.mesh
+        self.tokenizer = tokenizer
+        t = min(self.rt.max_seq_len, cfg.max_position_embeddings)
+        if self.mesh is not None:
+            # multi-chip serving: the TP deploy layout (fused + folded +
+            # tiled shards) under shard_map — parallel/deploy.py. The
+            # reference's counterpart splits decoder BLOCKS across GPUs
+            # via accelerate hooks (awq/entry.py:166-186); here weights
+            # and KV shard Megatron-style over ICI.
+            from jax.sharding import NamedSharding
+            from awq_tpu.parallel import build_tp_params
+            from awq_tpu.parallel.shard import cache_pspec
+
+            shape = dict(zip(self.mesh.axis_names,
+                             self.mesh.devices.shape))
+            if shape.get("dp", 1) != 1:
+                raise ValueError(
+                    "engines require a dp=1 mesh (the batch axis is the "
+                    "engine's slot axis); got "
+                    f"{dict(shape)}")
+            tp = shape.get("tp", 1)
+            if cache_dtype in ("int8", jnp.int8):
+                raise NotImplementedError(
+                    "int8 KV cache under a mesh is not supported yet")
+            self.params = build_tp_params(
+                params, cfg, self.mesh,
+                quantize_head=self.rt.quantize_head)
+            self.cache = jax.device_put(
+                init_kv_cache(cfg, self.rt.max_batch_size, t, cache_dtype),
+                NamedSharding(self.mesh,
+                              cache_pspec(shard_kv=tp > 1)),
+            )
+            self.start_pos = 0
+            return
         # fused QKV/gate-up + folded tiled weights -> the decode
         # megakernel path (one launch per token on TPU)
         if self.rt.quantize_head:
             params = quantize_head(params, cfg)
         self.params = fuse_linears(params, cfg)
-        self.tokenizer = tokenizer
-        t = min(self.rt.max_seq_len, cfg.max_position_embeddings)
         if cache_dtype in ("int8", jnp.int8):
             from awq_tpu.models.llama import init_kv_cache8
 
@@ -62,15 +94,21 @@ class InferenceEngine:
 
         return cache_seq_len(self.cache)
 
+    def _forward(self, tokens, cache, start_pos):
+        if self.mesh is not None:
+            from awq_tpu.parallel import tp_forward
+
+            return tp_forward(self.params, self.cfg, tokens, cache,
+                              start_pos, self.mesh)
+        return forward(self.params, self.cfg, tokens, cache, start_pos)
+
     def warmup(self, seq_len: int = 64):
         """Trigger compilation of prefill + decode (reference warmup:
         ``tinychat/demo.py:242``)."""
         toks = jnp.zeros((self.rt.max_batch_size, seq_len), jnp.int32)
-        logits, _ = forward(self.params, self.cfg, toks, self.cache, jnp.int32(0))
+        logits, _ = self._forward(toks, self.cache, jnp.int32(0))
         logits.block_until_ready()
-        logits, _ = forward(
-            self.params, self.cfg, toks[:, :1], self.cache, jnp.int32(seq_len)
-        )
+        logits, _ = self._forward(toks[:, :1], self.cache, jnp.int32(seq_len))
         logits.block_until_ready()
 
     def generate(
@@ -89,6 +127,7 @@ class InferenceEngine:
         out = generate(
             self.params, self.cfg, tokens, self.cache, gen,
             stop_ids=stop_ids, start_pos=self.start_pos, key=key,
+            mesh=self.mesh,
         )
         self.cache = out["cache"]
         n_new = int(out["n_valid"][0])
@@ -115,6 +154,10 @@ class InferenceEngine:
         ``start_pos`` like :meth:`generate`."""
         from awq_tpu.runtime.speculative import generate_speculative
 
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "speculative decoding under a mesh is not wired yet; "
+                "use generate()")
         tokens = jnp.asarray([list(prompt_ids)], jnp.int32)
         if (self.start_pos + tokens.shape[1] + max_new_tokens
                 > self.max_seq_len):
@@ -138,4 +181,5 @@ class InferenceEngine:
         return StreamGenerator(
             self.params, self.cfg, self.tokenizer, gen, self.cache,
             stop_ids=stop_ids, stream_interval=stream_interval,
+            mesh=self.mesh,
         )

@@ -110,8 +110,15 @@ def generate(
     start_pos: int = 0,
     key: Optional[jax.Array] = None,
     track_seen: bool = True,
+    mesh=None,
 ) -> Dict[str, Any]:
-    """Prefill + scan-decode. Returns dict with output ids and timing."""
+    """Prefill + scan-decode. Returns dict with output ids and timing.
+
+    ``mesh``: run through the explicit-shard TP path (parallel/tp.py) —
+    ``params`` should then be a :class:`~awq_tpu.parallel.deploy.TPParams`
+    deploy bundle (or plain-layout params) and ``cache`` sharded on the
+    mesh. Prefill rides ``tp_forward``, the decode burst
+    ``tp_decode_scan`` — the same one-executable-per-burst structure."""
     key = jax.random.PRNGKey(0) if key is None else key
     b, s = tokens.shape
     vocab = cfg.vocab_size
@@ -128,9 +135,16 @@ def generate(
         )
 
     t0 = time.perf_counter()
-    logits, cache = forward(
-        params, cfg, tokens, cache, jnp.int32(start_pos)
-    )
+    if mesh is not None:
+        from awq_tpu.parallel import tp_forward
+
+        logits, cache = tp_forward(
+            params, cfg, tokens, cache, jnp.int32(start_pos), mesh
+        )
+    else:
+        logits, cache = forward(
+            params, cfg, tokens, cache, jnp.int32(start_pos)
+        )
     key, sub = jax.random.split(key)
     seen = jnp.zeros((b, vocab), bool)
     if track_seen and gen.repetition_penalty != 1.0:
@@ -142,12 +156,22 @@ def generate(
     n = max(gen.max_new_tokens - 1, 0)
     stop = jnp.asarray(list(stop_ids) or [-1], jnp.int32)
     t1 = time.perf_counter()
-    toks, dones, cache = decode_scan(
-        params, cfg, cache, first,
-        jnp.int32(start_pos + s), key, stop,
-        seen.at[jnp.arange(b), first].set(True),
-        gen, n, vocab,
-    )
+    if mesh is not None:
+        from awq_tpu.parallel import tp_decode_scan
+
+        toks, dones, cache = tp_decode_scan(
+            params, cfg, cache, first,
+            jnp.int32(start_pos + s), key, stop,
+            seen.at[jnp.arange(b), first].set(True),
+            gen, n, mesh,
+        )
+    else:
+        toks, dones, cache = decode_scan(
+            params, cfg, cache, first,
+            jnp.int32(start_pos + s), key, stop,
+            seen.at[jnp.arange(b), first].set(True),
+            gen, n, vocab,
+        )
     toks.block_until_ready()
     decode_time = time.perf_counter() - t1
 
@@ -197,11 +221,21 @@ class StreamGenerator:
         cache: jax.Array,
         stop_ids: Sequence[int] = (),
         stream_interval: int = 2,
+        mesh=None,
     ):
         self.params, self.cfg, self.tok = params, cfg, tokenizer
         self.gen, self.cache = gen, cache
         self.stop_ids = list(stop_ids)
         self.stream_interval = stream_interval
+        self.mesh = mesh
+
+    def _forward(self, tokens, cache, start_pos):
+        if self.mesh is not None:
+            from awq_tpu.parallel import tp_forward
+
+            return tp_forward(self.params, self.cfg, tokens, cache,
+                              start_pos, self.mesh)
+        return forward(self.params, self.cfg, tokens, cache, start_pos)
 
     def __call__(
         self, input_ids: List[int], start_pos: int = 0, key=None
@@ -218,8 +252,8 @@ class StreamGenerator:
         token_times: List[float] = []
 
         t0 = time.perf_counter()
-        logits, self.cache = forward(
-            self.params, cfg, tokens, self.cache, jnp.int32(start_pos)
+        logits, self.cache = self._forward(
+            tokens, self.cache, jnp.int32(start_pos)
         )
         key, sub = jax.random.split(key)
         tok = sample_logits(logits[:, -1], sub, gen, seen)
@@ -233,8 +267,8 @@ class StreamGenerator:
                 break
             t1 = time.perf_counter()
             seen = seen.at[0, tok_i].set(True)
-            logits, self.cache = forward(
-                self.params, cfg, tok[:, None], self.cache, jnp.int32(pos)
+            logits, self.cache = self._forward(
+                tok[:, None], self.cache, jnp.int32(pos)
             )
             key, sub = jax.random.split(key)
             tok = sample_logits(logits[:, -1], sub, gen, seen)

@@ -162,6 +162,9 @@ def main(argv=None) -> int:
     ap.add_argument("--q_head", action="store_true",
                     help="W4-quantize the fp16 lm_head (decode's head GEMV "
                          "then rides the megakernel; slight logit change)")
+    ap.add_argument("--mesh", type=str, default=None,
+                    help="'dp,tp' (or 'tp') device mesh: serve through the "
+                         "sharded TP deploy layout (dp must be 1)")
     args = ap.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -177,10 +180,13 @@ def main(argv=None) -> int:
         args.model_path or args.load_quant, use_fast=True,
         trust_remote_code=True,
     )
+    from awq_tpu.parallel import parse_mesh_arg
+
     engine = InferenceEngine(
         cfg, params,
         RuntimeConfig(max_seq_len=args.max_seq_len,
-                      quantize_head=args.q_head),
+                      quantize_head=args.q_head,
+                      mesh=parse_mesh_arg(args.mesh)),
         tokenizer=tok,
     )
     engine.warmup()

@@ -94,7 +94,7 @@ def _alarm(signum, frame):
 def _parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--geometry", default=None,
-                    choices=["llama2-7b", "llama3-8b", "tiny"],
+                    choices=["llama2-7b", "llama3-8b", "qwen2-7b", "tiny"],
                     help="model geometry (default llama3-8b — the "
                          "BASELINE.json headline metric — on TPU, tiny "
                          "elsewhere)")
@@ -292,6 +292,15 @@ GEOMETRIES = {
         num_kv_heads=8, head_dim=128, max_position_embeddings=8192,
         rope_theta=500000.0,
     ), 6.29, "llama3_8b_w4a16_decode_latency"),
+    # Qwen2.5-7B: QKV biases ride the megakernel (reference parity:
+    # tinychat/models/qwen2.py:118-283; no published qwen2 decode number
+    # in its READMEs, so no vs_baseline ratio)
+    "qwen2-7b": (dict(
+        arch="qwen2", vocab_size=152064, hidden_size=3584,
+        intermediate_size=18944, num_layers=28, num_heads=28,
+        num_kv_heads=4, head_dim=128, max_position_embeddings=8192,
+        rope_theta=1000000.0, qkv_bias=True,
+    ), 0.0, "qwen2_7b_w4a16_decode_latency"),
     "tiny": (dict(
         arch="llama", vocab_size=1024, hidden_size=512,
         intermediate_size=1024, num_layers=4, num_heads=8, num_kv_heads=8,

@@ -48,3 +48,33 @@ def pytest_sessionstart(session):
     assert len(jax.devices()) >= 8 or os.environ.get(
         "AWQ_TPU_TEST_PLATFORM"
     ), "expected 8 virtual CPU devices"
+
+
+# ---- per-test timeout -------------------------------------------------------
+# One hung Pallas interpret test must not stall the whole suite (the heavy
+# tier is ~19 min on this 1-core VM; pytest-xdist would not help here).
+# SIGALRM can't interrupt a C-level XLA compile, but it catches the usual
+# failure mode: a Python-level interpret loop that stopped converging.
+import signal  # noqa: E402
+
+import pytest  # noqa: E402
+
+_TEST_TIMEOUT = int(os.environ.get("AWQ_TPU_TEST_TIMEOUT", "900"))
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    if not (_TEST_TIMEOUT and hasattr(signal, "SIGALRM")):
+        return (yield)
+
+    def _timeout(signum, frame):
+        raise TimeoutError(
+            f"test exceeded AWQ_TPU_TEST_TIMEOUT={_TEST_TIMEOUT}s")
+
+    old = signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(_TEST_TIMEOUT)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

@@ -38,7 +38,7 @@ from awq_tpu.models.hf_import import import_hf_model  # noqa: E402
 from awq_tpu.models.llama import pseudo_quantize_params  # noqa: E402
 from awq_tpu.quant.awq import clips_by_layer, run_awq  # noqa: E402
 
-W_BIT, GROUP = 4, 32
+GROUP = 32  # w_bit is a test parameter (INT4 + INT3 parity)
 
 
 def _stub_module(name, path=None):
@@ -129,7 +129,7 @@ def _catch_layer0_input(model, samples):
     return caught["inp"], kw
 
 
-def _run_reference(ref, model, samples):
+def _run_reference(ref, model, samples, w_bit):
     q_config = dict(zero_point=True, q_group_size=GROUP)
     h, layer_kwargs = _catch_layer0_input(model, samples)
     per_layer = []
@@ -151,13 +151,13 @@ def _run_reference(ref, model, samples):
         input_feat = {k: torch.cat(v, dim=0) for k, v in feats.items()}
 
         scales_list = ref.auto_scale.auto_scale_block(
-            layer, dict(layer_kwargs), w_bit=W_BIT, q_config=q_config,
+            layer, dict(layer_kwargs), w_bit=w_bit, q_config=q_config,
             input_feat=input_feat,
         )
         ref.auto_scale.apply_scale(layer, scales_list,
                                    input_feat_dict=input_feat)
         clip_list = ref.auto_clip.auto_clip_block(
-            layer, w_bit=W_BIT, q_config=q_config, input_feat=input_feat
+            layer, w_bit=w_bit, q_config=q_config, input_feat=input_feat
         )
         # snapshot post-scale/pre-clip weights + the post-scale features:
         # needed to evaluate the reference's clip objective for BOTH
@@ -167,7 +167,7 @@ def _run_reference(ref, model, samples):
         ref.auto_clip.apply_clip(layer, clip_list)
         qweights = {
             n: ref.quantizer.pseudo_quantize_tensor(
-                m.weight.data.clone(), n_bit=W_BIT, **q_config
+                m.weight.data.clone(), n_bit=w_bit, **q_config
             )
             for n, m in named.items()
         }
@@ -177,7 +177,7 @@ def _run_reference(ref, model, samples):
     return per_layer
 
 
-def _clip_err(ref, w2d, feat, max_val):
+def _clip_err(ref, w2d, feat, max_val, w_bit):
     """The reference clip objective (`auto_clip.py:34-54`) evaluated at a
     given per-group ``max_val [co, n_g]``; returns err [co, n_g].
 
@@ -195,7 +195,7 @@ def _clip_err(ref, w2d, feat, max_val):
     mv = max_val.double().reshape(co, 1, n_g, 1)
     cur_w = torch.clamp(w4, -mv, mv)
     q_w = ref.quantizer.pseudo_quantize_tensor(
-        cur_w, n_bit=W_BIT, zero_point=True, q_group_size=GROUP
+        cur_w, n_bit=w_bit, zero_point=True, q_group_size=GROUP
     )
     cur_out = (x * q_w).sum(-1)
     return (cur_out - org_out).pow(2).mean(dim=1)
@@ -211,7 +211,11 @@ LIN_NAME_MAP = {
 }
 
 
-def test_awq_search_matches_reference(ref, cpu_cuda_shim):
+@pytest.mark.parametrize("w_bit", [4, 3])
+def test_awq_search_matches_reference(ref, cpu_cuda_shim, w_bit):
+    """INT4 AND INT3: the reference ships INT3-g128 search results in
+    its model zoo (README.md:158-173) but no 3-bit runtime; the search
+    semantics must match at both widths."""
     model = _tiny_hf_llama()
     samples = np.random.RandomState(0).randint(
         0, 256, (2, 256)).astype(np.int64)  # 512 calib tokens total
@@ -219,10 +223,10 @@ def test_awq_search_matches_reference(ref, cpu_cuda_shim):
     # ours first: import_hf_model reads weights BEFORE the reference
     # pipeline mutates them in place
     cfg, params = import_hf_model(model, dtype="float32")
-    qcfg = QuantConfig(w_bit=W_BIT, group_size=GROUP)
+    qcfg = QuantConfig(w_bit=w_bit, group_size=GROUP)
     params_awq, result = run_awq(params, cfg, jnp.asarray(samples), qcfg)
 
-    ref_layers = _run_reference(ref, model, samples)
+    ref_layers = _run_reference(ref, model, samples, w_bit)
 
     # --- searched scales -------------------------------------------------
     ours_by_layer = defaultdict(list)
@@ -263,11 +267,11 @@ def test_awq_search_matches_reference(ref, cpu_cuda_shim):
 
             err_mine = _clip_err(
                 ref, rl["w_preclip"][ref_name], rl["feats"][ref_name],
-                torch.from_numpy(mine.T.copy()),
+                torch.from_numpy(mine.T.copy()), w_bit,
             ).numpy()
             err_ref = _clip_err(
                 ref, rl["w_preclip"][ref_name], rl["feats"][ref_name],
-                mv_ref[..., 0],
+                mv_ref[..., 0], w_bit,
             ).numpy()
             assert err_mine.sum() <= err_ref.sum() * 1.03, (
                 i, ref_name, float(err_mine.sum() / err_ref.sum())
@@ -297,7 +301,7 @@ def test_awq_search_matches_reference(ref, cpu_cuda_shim):
                 # one asymmetric-quant code step per group ~= (max-min)/15
                 ic, oc = theirs.shape
                 g = theirs.reshape(ic // GROUP, GROUP, oc)
-                step = (g.max(1) - g.min(1)) / (2 ** W_BIT - 1)  # [n_g, oc]
+                step = (g.max(1) - g.min(1)) / (2 ** w_bit - 1)  # [n_g, oc]
                 step_full = np.repeat(step, GROUP, axis=0)
                 diff = np.abs(mine - theirs)
                 assert (diff[bad] <= step_full[bad] * 1.05 + 1e-7).all(), (
