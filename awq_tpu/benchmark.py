@@ -288,6 +288,42 @@ def bench_batch_decode(cfg, params, batch: int, context: int, steps: int,
             "tokens_per_s": batch * 1e3 / step_ms}
 
 
+def bench_batch_spec(cfg, params, batch: int, context: int, steps: int,
+                     max_seq: int, spec_k: int = 7):
+    """Continuous batching WITH speculative verify vs without, through
+    the actual BatchEngine (round-4: spec moved into the batched
+    engine, where accepted tokens multiply across slots). Greedy, a
+    cyclic prompt so prompt-lookup has structure to draft from; reports
+    aggregate tok/s and the realized acceptance rate."""
+    import time as _time
+
+    import jax
+
+    from awq_tpu.config import GenConfig
+    from awq_tpu.runtime.batch_engine import BatchEngine
+
+    prompt = (list(range(7, 7 + 24)) * (context // 24 + 1))[:context]
+    gen = GenConfig(greedy=True, max_new_tokens=steps)
+    out = {}
+    for mode, k in (("plain", 0), ("spec", spec_k)):
+        eng = BatchEngine(cfg, params, n_slots=batch, max_seq_len=max_seq,
+                          spec_k=k)
+        # warmup burst (compiles prefill + step shapes)
+        eng.submit(prompt, GenConfig(greedy=True, max_new_tokens=4))
+        eng.run()
+        for _ in range(batch):
+            eng.submit(prompt, gen)
+        t0 = _time.perf_counter()
+        done = eng.run()
+        dt = _time.perf_counter() - t0
+        n_tok = sum(len(r.out_ids) for r in done.values()
+                    if len(r.out_ids) > 4)
+        out[mode] = dict(tokens_per_s=n_tok / dt, wall_s=dt, k=k)
+    out["speedup"] = (out["spec"]["tokens_per_s"]
+                      / out["plain"]["tokens_per_s"])
+    return out
+
+
 def _marginal_ms(fn, runs: int, n_hi: int = 6):
     """On-device latency of ``fn`` by burst-slope timing: the tunneled
     platform adds a ~30 ms fixed dispatch+fetch cost to every single-shot
@@ -398,6 +434,9 @@ def main(argv=None) -> int:
     p.add_argument("--kv8", action="store_true",
                    help="int8 KV cache (halved cache bytes -> 2x batch "
                         "slots at the same HBM footprint)")
+    p.add_argument("--spec", action="store_true",
+                   help="batch_decode: BatchEngine with speculative "
+                        "verify (spec_k=7) vs without")
     args = p.parse_args(argv)
 
     name = f"{args.geometry}/{args.precision}"
@@ -429,7 +468,15 @@ def main(argv=None) -> int:
                          args.runs, mesh=mesh)
         print(f"[{name}] decode: {r['ms_per_token']:.2f} ms/token "
               f"({r['tokens_per_s']:.1f} tok/s)")
-    if args.mode == "batch_decode":
+    if args.mode == "batch_decode" and args.spec:
+        r = bench_batch_spec(cfg, params, args.batch, max(args.context, 64),
+                             args.steps, args.max_seq_len)
+        print(f"[{name}] batch={args.batch} engine decode: "
+              f"plain {r['plain']['tokens_per_s']:.1f} tok/s vs "
+              f"spec(k={r['spec']['k']}) "
+              f"{r['spec']['tokens_per_s']:.1f} tok/s "
+              f"({r['speedup']:.2f}x)")
+    elif args.mode == "batch_decode":
         r = bench_batch_decode(cfg, params, args.batch, args.context,
                                args.steps, args.runs, args.max_seq_len,
                                kv8=args.kv8)

@@ -1169,6 +1169,138 @@ def decode_step_batched(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def verify_step_batched(
+    params: Params,
+    cfg: ModelConfig,
+    windows: jax.Array,         # [B, W] int32: [cur_token, d1..d_{W-1}]
+    cache: jax.Array,           # [L, 2, B, n_kv, T, hd] plain fp cache
+    lengths: jax.Array,         # [B] per-row write positions
+) -> Tuple[jax.Array, jax.Array]:
+    """One speculative VERIFY step for a batch: every row's ``W``-token
+    window forwards at its own positions, returning ``logits [B, W, V]``
+    (all positions — the caller accepts the longest prefix where
+    ``argmax(logits[:, j-1]) == windows[:, j]``).
+
+    The batched sibling of the verify forward in
+    ``runtime/speculative.py`` (which rides batch-1 ``forward``); rows at
+    different lengths verify together, which is where free accepted
+    tokens multiply. KV rows for all W positions are written
+    optimistically — the static cache masks by length, so rejected rows
+    are dead until overwritten (same rollback-free design as batch-1).
+    No reference counterpart: TinyChat decodes one token per forward.
+    """
+    b, w = windows.shape
+    dt = _dtype(cfg)
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    assert not isinstance(cache, KVCache8), "spec verify: fp cache only"
+    max_t = cache_seq_len(cache)
+    h = params["embed"][windows].astype(dt)              # [B, W, H]
+    cos, sin = rope_table(cfg, max_t)
+    positions = lengths[:, None] + jnp.arange(w)[None]   # [B, W]
+
+    if cfg.pos_embed == "learned":
+        off = 2 if cfg.arch == "opt" else 0
+        h = h + params["pos_embed"][positions + off].astype(dt)
+    assert cfg.pos_embed in ("rope", "learned", "none"), cfg.pos_embed
+
+    on_tpu = jax.default_backend() == "tpu"
+    layers_all = params["layers"]
+    from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked
+
+    small = {k2: v for k2, v in layers_all.items()
+             if isinstance(v, jax.Array)}
+
+    def lin(name, idx, xx):
+        p = layers_all[name]
+        if isinstance(p, QLinear) and on_tpu:
+            return qlinear_apply_stacked(p, idx, xx)
+        lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
+        return linear_apply(lp1, xx)
+
+    def xla_attn(q, k_new, v_new, kc, vc):
+        """q/k_new/v_new [B, W, n*, hd]; prefix cache kc/vc
+        [B, n_kv, T, hd]. Per-row prefix mask (t < lengths[b]) plus an
+        in-window causal tail."""
+        groups = nq // nkv
+        qf = jnp.swapaxes(q, 1, 2).reshape(b, nkv, groups, w, hd) \
+            .astype(jnp.float32)
+        scores = jnp.einsum("bkgwh,bkth->bkgwt", qf,
+                            kc.astype(jnp.float32)) / jnp.sqrt(hd)
+        mask = jnp.arange(max_t)[None, None, None, None, :] < \
+            lengths[:, None, None, None, None]
+        scores = jnp.where(mask, scores, -jnp.inf)
+        kw = jnp.swapaxes(k_new, 1, 2).astype(jnp.float32)  # [B,nkv,W,hd]
+        s_win = jnp.einsum("bkgwh,bkjh->bkgwj", qf, kw) / jnp.sqrt(hd)
+        causal = jnp.arange(w)[None, :] <= jnp.arange(w)[:, None]  # [W,W] j<=i
+        s_win = jnp.where(causal[None, None, None], s_win, -jnp.inf)
+        scores = jnp.concatenate([scores, s_win], axis=-1)
+        p = jax.nn.softmax(scores, axis=-1)
+        vw = jnp.swapaxes(v_new, 1, 2).astype(jnp.float32)
+        o = jnp.einsum("bkgwt,bkth->bkgwh", p[..., :max_t],
+                       vc.astype(jnp.float32)) \
+            + jnp.einsum("bkgwj,bkjh->bkgwh", p[..., max_t:], vw)
+        return jnp.swapaxes(o.reshape(b, nq, w, hd), 1, 2) \
+            .reshape(b, w, nq * hd).astype(dt)
+
+    def body(carry, idx):
+        h, cache = carry
+        lp = {k2: v[idx] for k2, v in small.items() if v is not None}
+        x = _norm(cfg, h, lp["ln1"], lp.get("ln1_b"))
+        if "wqkv" in layers_all:
+            qkv = lin("wqkv", idx, x)
+            q, k, v = jnp.split(qkv, [nq * hd, (nq + nkv) * hd], axis=-1)
+            q = q.reshape(b, w, nq, hd)
+            k = k.reshape(b, w, nkv, hd)
+            v = v.reshape(b, w, nkv, hd)
+        else:
+            q = lin("wq", idx, x).reshape(b, w, nq, hd)
+            k = lin("wk", idx, x).reshape(b, w, nkv, hd)
+            v = lin("wv", idx, x).reshape(b, w, nkv, hd)
+        if cfg.pos_embed == "rope":
+            q, k = apply_rope(q, k, cos, sin, positions)
+        attn = xla_attn(q, k, v, cache[idx, 0], cache[idx, 1])
+        attn_out = lin("wo", idx, attn)
+        if cfg.parallel_block:
+            xm = x if cfg.single_ln else _norm(cfg, h, lp["ln2"],
+                                               lp.get("ln2_b"))
+        else:
+            h = h + attn_out
+            xm = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
+        if "wgateup" in layers_all:
+            gu = lin("wgateup", idx, xm)
+            g, u = jnp.split(gu, 2, axis=-1)
+            hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
+        elif cfg.act == "silu":
+            g = lin("gate", idx, xm)
+            u = lin("up", idx, xm)
+            hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
+        else:
+            hm = lin("up", idx, xm)
+            hm = jnp.maximum(hm, 0) if cfg.act == "relu" else jax.nn.gelu(
+                hm.astype(jnp.float32),
+                approximate=(cfg.act == "gelu_tanh")).astype(xm.dtype)
+            if lp.get("act_scale") is not None:
+                hm = (hm.astype(jnp.float32) / lp["act_scale"]
+                      ).astype(hm.dtype)
+        m = lin("down", idx, hm)
+        h = (h + attn_out + m) if cfg.parallel_block else (h + m)
+        # [2, B, n_kv, W, hd]
+        kv_new = jnp.stack([jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)])
+        return (h, cache), kv_new.astype(cache.dtype)
+
+    (h, cache), kv_all = jax.lax.scan(
+        body, (h, cache), jnp.arange(cfg.num_layers)
+    )
+    # per-row window append (B static slices; kv_all [L, 2, B, n_kv, W, hd])
+    for i in range(b):
+        row = kv_all[:, :, i][:, :, None]
+        cache = jax.lax.dynamic_update_slice(
+            cache, row, (0, 0, i, 0, lengths[i], 0))
+    h = _norm(cfg, h, params["norm"], params.get("norm_b"))
+    return _head_logits(params, h, dt), cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
 def decode_step_paged(
     params: Params,
     cfg: ModelConfig,

@@ -54,8 +54,17 @@ class BatchEngine:
         cache_dtype=jnp.bfloat16,
         quantize_head: bool = False,
         runtime=None,   # Optional[RuntimeConfig]: mesh + quantize_head
+        # speculative verify (prompt-lookup drafting): each engine step
+        # verifies a k+1-token window per slot instead of decoding one
+        # token — free accepted tokens multiply across the batch. Greedy
+        # rows only (spec greedy == vanilla greedy, tested invariant);
+        # steps with non-greedy rows fall back to plain decode.
+        spec_k: int = 0,
+        spec_n: int = 3,
     ):
         self.cfg = cfg
+        self.spec_k = int(spec_k)
+        self.spec_n = int(spec_n)
         from awq_tpu.models.llama import fuse_linears
         from awq_tpu.models.llama import quantize_head as _qhead
 
@@ -240,13 +249,76 @@ class BatchEngine:
                 req.out_ids.pop()
             self._finish(req)
 
+    # ---- speculative verify ------------------------------------------------
+
+    def _spec_eligible(self, active) -> bool:
+        if not self.spec_k or self.mesh is not None:
+            return False
+        from awq_tpu.models.llama import KVCache8
+
+        if isinstance(self.cache, KVCache8) or not hasattr(
+                self.cache, "shape"):
+            return False        # fp contiguous cache only (no paged/int8)
+        w = self.spec_k + 1
+        return all(self.slots[i].gen.greedy
+                   and self.lengths[i] + w <= self.max_seq
+                   for i in active)
+
+    def _step_spec(self, active) -> Dict[int, List[int]]:
+        """One verify step: per-slot prompt-lookup drafts, ONE batched
+        W=k+1 forward, longest-greedy-prefix acceptance per row. Same
+        single device fetch per step as the plain decode."""
+        from awq_tpu.models.llama import verify_step_batched
+        from awq_tpu.runtime.speculative import ngram_propose
+
+        k = self.spec_k
+        drafts = np.zeros((self.n_slots, k), np.int32)
+        draft_len = np.zeros(self.n_slots, np.int32)
+        for i in active:
+            req = self.slots[i]
+            ctx = np.asarray(list(req.prompt_ids) + list(req.out_ids),
+                             np.int32)
+            d = ngram_propose(ctx, k, self.spec_n)
+            drafts[i, :len(d)] = d
+            draft_len[i] = len(d)
+        windows = np.concatenate([self.tokens[:, None], drafts], axis=1)
+        logits, self.cache = verify_step_batched(
+            self.params, self.cfg, jnp.asarray(windows), self.cache,
+            jnp.asarray(self.lengths),
+        )
+        greedy = np.asarray(jnp.argmax(logits, axis=-1))   # [B, W]
+        out: Dict[int, List[int]] = {}
+        for i in active:
+            req = self.slots[i]
+            budget = req.gen.max_new_tokens - len(req.out_ids)
+            m_max = min(int(draft_len[i]), budget - 1)
+            m = 0
+            while m < m_max and drafts[i, m] == greedy[i, m]:
+                m += 1
+            emit = [int(t) for t in drafts[i, :m]] + [int(greedy[i, m])]
+            self.lengths[i] += m + 1
+            self.tokens[i] = emit[-1]
+            got = []
+            for tok in emit:
+                if req.done:
+                    break
+                got.append(tok)
+                self._record(req, tok)
+            out[req.rid] = got
+            if not req.done and self.lengths[i] + 1 >= self.max_seq:
+                self._finish(req)
+        return out
+
     def step(self) -> Dict[int, int]:
         """Admit + one batched decode step. Returns {rid: new_token} for
-        slots that produced a token this step."""
+        slots that produced a token this step (with ``spec_k`` a slot may
+        produce SEVERAL tokens; the dict value is then a list)."""
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return {}
+        if self._spec_eligible(active):
+            return self._step_spec(active)
         logits = self._decode()
         self._key, sub = jax.random.split(self._key)
         from awq_tpu.runtime.sampling import sample_logits_batched

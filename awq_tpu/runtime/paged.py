@@ -77,7 +77,7 @@ class PagedBatchEngine(BatchEngine):
         self,
         cfg: ModelConfig,
         params,
-        # multiples of 8 (up to 16) ride the paged batched megakernel
+        # multiples of 8 (up to 64) ride the paged batched megakernel
         n_slots: int = 8,
         max_seq_len: int = 2048,
         cache_dtype=jnp.bfloat16,
