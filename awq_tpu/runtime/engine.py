@@ -146,13 +146,21 @@ class InferenceEngine:
         k: int = 7,
         n: int = 3,
         continue_dialogue: bool = True,
+        device_loop: Optional[bool] = None,
     ) -> Dict[str, Any]:
         """Greedy generation with prompt-lookup speculative verification
         (``runtime/speculative.py``): up to ``k`` drafted tokens verified
         per forward, output identical to :meth:`generate` with
         ``GenConfig(greedy=True)``. History KV is reused via
-        ``start_pos`` like :meth:`generate`."""
-        from awq_tpu.runtime.speculative import generate_speculative
+        ``start_pos`` like :meth:`generate`.
+
+        ``device_loop`` (default: on TPU) runs the whole draft -> verify
+        -> accept loop inside one jitted while_loop — one host fetch per
+        generation instead of one ~27 ms round-trip per window."""
+        from awq_tpu.runtime.speculative import (
+            generate_speculative,
+            spec_decode_device,
+        )
 
         if self.mesh is not None:
             raise NotImplementedError(
@@ -163,7 +171,10 @@ class InferenceEngine:
                 > self.max_seq_len):
             self.reset()
         eos = int(stop_ids[0]) if len(stop_ids) else None
-        out_ids, stats = generate_speculative(
+        if device_loop is None:
+            device_loop = jax.default_backend() == "tpu"
+        fn = spec_decode_device if device_loop else generate_speculative
+        out_ids, stats = fn(
             self.params, self.cfg, tokens, self.cache, max_new_tokens,
             k=k, n=n, eos=eos, start_pos=self.start_pos,
         )

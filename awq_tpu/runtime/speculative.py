@@ -21,6 +21,7 @@ written for rejected draft positions are simply overwritten later.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -121,3 +122,127 @@ def generate_speculative(
 def _cache_len(cache):
     data = getattr(cache, "data", cache)
     return data.shape[4]
+
+
+# ---------------------------------------------------------------------------
+# Fully device-side speculative decode (round 4)
+# ---------------------------------------------------------------------------
+#
+# The host loop above costs one dispatch+fetch round-trip PER VERIFY
+# WINDOW (~27 ms on the tunneled platform — PERF.md methodology), which
+# dwarfs the verify step itself. Here the whole draft -> verify -> accept
+# loop runs inside ONE jitted ``lax.while_loop``: the n-gram match is a
+# vectorized compare over a device-resident context buffer, emissions
+# write into a fixed output buffer at a running offset, and the host
+# fetches once at the end. Output is bit-identical to vanilla greedy for
+# ANY drafting policy (acceptance == agreement with the model's argmax).
+
+
+def _device_draft(ctx_row: jax.Array, p: jax.Array, k: int, n: int):
+    """Draft ``k`` tokens from the most recent earlier occurrence of the
+    trailing m-gram (m = n..1 fallback, first that matches), vectorized.
+    ``ctx_row [C]``, ``p`` = valid length. Returns ``[k]`` int32; rows
+    with no match (or out-of-range reads) carry arbitrary tokens — the
+    verify step only ever accepts tokens equal to the model's argmax, so
+    junk drafts cost acceptance, never correctness."""
+    C = ctx_row.shape[0]
+    idx = jnp.arange(C)
+    start = jnp.int32(0)
+    found = jnp.bool_(False)
+    for m in range(n, 0, -1):
+        # tail = ctx[p-m : p]; windows w_t = ctx[t : t+m]
+        tail = jax.lax.dynamic_slice(ctx_row, (jnp.maximum(p - m, 0),),
+                                     (n,))[:m]
+        hit = jnp.ones((C,), bool)
+        for j in range(m):
+            shifted = jnp.roll(ctx_row, -j)
+            hit = hit & (shifted == tail[j])
+        # window must END strictly before the tail's last token
+        # (reference scan: hay = ctx[:L-1]) and start within bounds
+        ok = hit & (idx + m <= p - 1) & (p >= m + 1)
+        t_star = jnp.max(jnp.where(ok, idx, -1))
+        this_found = t_star >= 0
+        start = jnp.where(found, start,
+                          jnp.where(this_found, t_star + m, start))
+        found = found | this_found
+    draft = jax.lax.dynamic_slice(ctx_row, (jnp.clip(start, 0, C - k),),
+                                  (k,))
+    return draft.astype(jnp.int32), found
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "s0", "max_new", "k", "n"))
+def _spec_loop_device(params, cfg, cache, ctx0, out0, first, length0,
+                      eos_id, s0, max_new, k, n):
+    from awq_tpu.models import forward
+
+    w = k + 1
+    max_t = _cache_len(cache)
+
+    def cond(st):
+        ctx, n_ctx, cache, length, out, n_out, done, steps, accepted = st
+        return (~done) & (n_out < max_new) & (length + w + 1 < max_t)
+
+    def body(st):
+        ctx, n_ctx, cache, length, out, n_out, done, steps, accepted = st
+        last = out[n_out - 1]
+        draft, _ = _device_draft(ctx, n_ctx, k, n)
+        window = jnp.concatenate([last[None], draft])[None]   # [1, w]
+        logits, cache = forward(params, cfg, window, cache, length,
+                                last_only=False)
+        greedy = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+        ok = draft == greedy[:k]
+        m = jnp.sum(jnp.cumprod(ok.astype(jnp.int32)))
+        m = jnp.minimum(m, max_new - n_out - 1)       # budget cap
+        emit = jnp.concatenate([draft, greedy[k:]])   # candidates [w]
+        # position j emits draft[j] for j<m and greedy[m] at j==m
+        emit = jnp.where(jnp.arange(w) == m, greedy, emit)
+        valid = jnp.arange(w) <= m
+        is_eos = (emit == eos_id) & valid & (eos_id >= 0)
+        hit = jnp.any(is_eos)
+        take = jnp.where(hit, jnp.argmax(is_eos) + 1, m + 1)
+        out = jax.lax.dynamic_update_slice(out, emit, (n_out,))
+        ctx = jax.lax.dynamic_update_slice(ctx, emit, (n_ctx,))
+        return (ctx, n_ctx + take, cache, length + m + 1, out,
+                n_out + take, done | hit, steps + 1, accepted + m)
+
+    st = (ctx0, jnp.int32(s0 + 1), cache, length0, out0, jnp.int32(1),
+          first == eos_id, jnp.int32(1), jnp.int32(0))
+    ctx, n_ctx, cache, length, out, n_out, done, steps, accepted = \
+        jax.lax.while_loop(cond, body, st)
+    return out, jnp.minimum(n_out, max_new), cache, length, steps, accepted
+
+
+def spec_decode_device(
+    params, cfg, tokens: jax.Array, cache, max_new: int,
+    k: int = 7, n: int = 3, eos: Optional[int] = None,
+    start_pos: int = 0,
+) -> Tuple[List[int], dict]:
+    """Device-side sibling of :func:`generate_speculative`: same
+    greedy-identity contract, ONE host fetch for the whole generation
+    (the host loop pays a ~27 ms tunneled dispatch+fetch round-trip per
+    verify window). ``cache`` must leave room for ``k+1`` optimistic
+    rows per window."""
+    from awq_tpu.models import forward
+
+    b, s0 = tokens.shape
+    assert b == 1, "device spec loop is single-stream"
+    C = s0 + max_new + k + 1
+    eos_id = jnp.int32(-1 if eos is None else eos)
+
+    logits, cache = forward(params, cfg, tokens, cache,
+                            jnp.int32(start_pos))
+    first = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+
+    ctx0 = jnp.zeros((C,), jnp.int32).at[:s0].set(tokens[0]) \
+        .at[s0].set(first)
+    out0 = jnp.zeros((max_new + k + 1,), jnp.int32).at[0].set(first)
+
+    out, n_out, cache, length, steps, accepted = _spec_loop_device(
+        params, cfg, cache, ctx0, out0, first,
+        jnp.int32(start_pos + s0), eos_id, s0, max_new, k, n)
+    n_out = int(n_out)
+    toks = [int(t) for t in np.asarray(out[:n_out])]
+    return toks, dict(steps=int(steps), accepted=int(accepted),
+                      drafted=(int(steps) - 1) * k,
+                      length=int(length), cache=cache)

@@ -91,3 +91,50 @@ def test_speculative_matches_vanilla_greedy():
     # was accepted
     assert stats["drafted"] > 0
     assert stats["steps"] <= max_new + 1
+
+
+def test_device_spec_loop_matches_vanilla_greedy():
+    """The fully device-side spec loop (one jitted while_loop, one host
+    fetch) obeys the same greedy-identity contract as the host loop."""
+    from awq_tpu.config import GenConfig
+    from awq_tpu.runtime.generate import generate
+    from awq_tpu.runtime.speculative import spec_decode_device
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=64, hidden_size=256,
+        intermediate_size=256, num_layers=2, num_heads=2, num_kv_heads=2,
+        head_dim=128, max_position_embeddings=256, dtype="float32",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(5)),
+                             QuantConfig(w_bit=4, group_size=128))
+    prompt = list(np.tile([7, 8, 9, 10], 4))
+    toks = jnp.asarray([prompt], jnp.int32)
+
+    cache = init_kv_cache(cfg, 1, 128, jnp.float32)
+    ref = generate(params, cfg, toks, cache,
+                   GenConfig(greedy=True, max_new_tokens=12))
+    n = int(ref["n_valid"][0])
+    ref_ids = [int(t) for t in ref["output_ids"][0][:n]]
+
+    cache2 = init_kv_cache(cfg, 1, 128, jnp.float32)
+    got, stats = spec_decode_device(params, cfg, toks, cache2, 12, k=5)
+    assert got == ref_ids, (got, ref_ids)
+    assert stats["steps"] >= 1
+
+    # with an eos forced mid-stream: output truncates at (and includes)
+    # the stop token, like the host loop
+    if len(ref_ids) >= 4:
+        eos = ref_ids[3]
+        cache3 = init_kv_cache(cfg, 1, 128, jnp.float32)
+        got3, _ = spec_decode_device(params, cfg, toks, cache3, 12, k=5,
+                                     eos=eos)
+        assert got3 == ref_ids[:ref_ids.index(eos) + 1]
+
+    # engine API routes through the device loop when asked
+    from awq_tpu.config import RuntimeConfig
+    from awq_tpu.runtime.engine import InferenceEngine
+
+    e = InferenceEngine(cfg, params, RuntimeConfig(max_seq_len=128),
+                        cache_dtype=jnp.float32)
+    out = e.generate_speculative(prompt, 12, k=5, device_loop=True)
+    assert [int(t) for t in out["output_ids"]] == ref_ids
