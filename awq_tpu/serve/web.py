@@ -89,9 +89,12 @@ document.getElementById('clear').onclick = () => { log.innerHTML = ''; first = t
 
 class WebServer:
     def __init__(self, controller_url: str, model: str,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 log_dir: str = "", moderate: bool = False):
         self.controller_url = controller_url
         self.model = model
+        self.log_dir = log_dir      # dated-JSON conversation logging
+        self.moderate = moderate    # content-moderation hook
         self.server = JsonHTTPServer(host, port)
         self.server.route("/", lambda p: {"__html__": PAGE})
         self.server.route("/chat", self.chat)
@@ -101,6 +104,17 @@ class WebServer:
         return f"http://{self.server.host}:{self.server.port}"
 
     def chat(self, p: dict) -> Iterator[dict]:
+        if self.moderate:
+            from awq_tpu.utils.log import violates_moderation
+
+            if violates_moderation(p.get("prompt", "")):
+                # same refusal shape as the reference
+                # (gradio_web_server.py moderation_msg path)
+                yield {"error_code": 4, "finished": True,
+                       "text": "YOUR INPUT VIOLATES OUR CONTENT "
+                               "MODERATION GUIDELINES. PLEASE TRY "
+                               "AGAIN."}
+                return
         addr = post_json(
             self.controller_url + "/get_worker_address",
             {"model": self.model},
@@ -108,7 +122,21 @@ class WebServer:
         if not addr:
             yield {"error_code": 3, "text": "no worker for model"}
             return
-        yield from post_stream(addr + "/worker_generate_stream", p)
+        last = {}
+        for chunk in post_stream(addr + "/worker_generate_stream", p):
+            last = chunk
+            yield chunk
+        if self.log_dir:
+            from awq_tpu.utils.log import log_conversation
+
+            log_conversation(self.log_dir, {
+                "tstamp": time.time(),
+                "model": self.model,
+                "prompt": p.get("prompt"),
+                "n_images": len(p.get("images", []) or []),
+                "response": last.get("text"),
+                "timing": last.get("timing"),
+            })
 
     def start(self) -> None:
         self.server.start()
@@ -125,8 +153,13 @@ def main(argv=None) -> int:
     ap.add_argument("--model", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--log_dir", default="",
+                    help="append dated JSON conversation logs here")
+    ap.add_argument("--moderate", action="store_true",
+                    help="moderation hook (OPENAI_API_KEY) on user text")
     args = ap.parse_args(argv)
-    w = WebServer(args.controller, args.model, args.host, args.port)
+    w = WebServer(args.controller, args.model, args.host, args.port,
+                  log_dir=args.log_dir, moderate=args.moderate)
     w.start()
     print(f"[web] chat UI at {w.url}")
     try:

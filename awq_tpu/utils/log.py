@@ -72,3 +72,46 @@ class StreamToLogger:
 
     def isatty(self) -> bool:
         return False
+
+
+def violates_moderation(text: str) -> bool:
+    """Content-moderation hook for the web demo (counterpart of the
+    reference's OpenAI moderation call,
+    ``tinychat/utils/log_utils.py:124-146``): POSTs ``text`` to the
+    moderation endpoint when ``OPENAI_API_KEY`` is set, else no-op.
+    ``AWQ_TPU_MODERATION_URL`` overrides the endpoint (tests point it at
+    a local server; this environment has no egress). Fails OPEN on any
+    error, like the reference."""
+    key = os.environ.get("OPENAI_API_KEY")
+    url = os.environ.get("AWQ_TPU_MODERATION_URL",
+                         "https://api.openai.com/v1/moderations")
+    if not key and "AWQ_TPU_MODERATION_URL" not in os.environ:
+        return False
+    import json
+    import urllib.request
+
+    try:
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(
+                {"input": text.replace("\n", "")}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {key or ''}"},
+        )
+        with urllib.request.urlopen(req, timeout=5) as r:
+            out = json.loads(r.read())
+        return bool(out["results"][0]["flagged"])
+    except Exception:
+        return False
+
+
+def log_conversation(log_dir: str, record: dict) -> None:
+    """Append one JSON conversation record to the dated log file
+    (counterpart of ``serve/gradio_web_server.py:67-71``)."""
+    import datetime
+    import json
+
+    os.makedirs(log_dir, exist_ok=True)
+    name = datetime.datetime.now().strftime("%Y-%m-%d") + "-conv.json"
+    with open(os.path.join(log_dir, name), "a") as f:
+        f.write(json.dumps(record) + "\n")

@@ -118,6 +118,17 @@ def main(argv=None) -> int:
         if user.startswith("/image "):
             image_path = user.split(" ", 1)[1].strip()
             print(f"[vlm] image -> {image_path}")
+            # terminal preview (reference shows images via termvisage,
+            # llava_image_processing.py:45-67; here a dependency-free
+            # ANSI half-block renderer)
+            try:
+                from PIL import Image
+
+                from awq_tpu.utils.term_image import show_image
+
+                show_image(Image.open(image_path), max_width=60)
+            except Exception:
+                pass
             continue
         if not user:
             continue
