@@ -288,6 +288,61 @@ def bench_batch_decode(cfg, params, batch: int, context: int, steps: int,
             "tokens_per_s": batch * 1e3 / step_ms}
 
 
+def bench_batch_decode_paged(cfg, params, batch: int, context: int,
+                             steps: int, runs: int, max_seq: int,
+                             page: int = 256):
+    """Paged batched decode throughput: the page-pool sibling of
+    :func:`bench_batch_decode` (pool sized for the run; per-row block
+    tables; decode reads the same bytes as the contiguous engine —
+    correctness is covered by tests/test_paged.py's bit-exactness)."""
+    import functools
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from awq_tpu.models.llama import decode_step_paged
+
+    need = context + steps * (runs + 1) + 4
+    per_row = math.ceil(need / page)
+    n_pages = batch * per_row + 1            # +1 trash page
+    pool = jnp.zeros((cfg.num_layers, 2, n_pages, cfg.num_kv_heads, page,
+                      cfg.head_dim), jnp.bfloat16)
+    tables = np.zeros((batch, per_row), np.int32)
+    pid = 1
+    for b in range(batch):
+        for j in range(per_row):
+            tables[b, j] = pid
+            pid += 1
+    tables = jnp.asarray(tables)
+    tok0 = jnp.zeros((batch,), jnp.int32)
+    lengths0 = jnp.full((batch,), context, jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def one(params, tok, pool, tables, lens):
+        logits, pool = decode_step_paged(params, cfg, tok, pool, tables,
+                                         lens)
+        return jnp.argmax(logits, -1).astype(jnp.int32), pool, lens + 1
+
+    tok, lens = tok0, lengths0
+
+    def burst(n):
+        nonlocal tok, pool, lens
+        for _ in range(n):
+            tok, pool, lens = one(params, tok, pool, tables, lens)
+        return tok
+
+    _sync(burst(2))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _sync(burst(steps))
+        times.append(time.perf_counter() - t0)
+    step_ms = np.mean(times) / steps * 1e3
+    return {"ms_per_step": step_ms, "tokens_per_s": batch * 1e3 / step_ms,
+            "n_pages": n_pages}
+
+
 def bench_batch_spec(cfg, params, batch: int, context: int, steps: int,
                      max_seq: int, spec_k: int = 7):
     """Continuous batching WITH speculative verify vs without, through
@@ -437,6 +492,9 @@ def main(argv=None) -> int:
     p.add_argument("--spec", action="store_true",
                    help="batch_decode: BatchEngine with speculative "
                         "verify (spec_k=7) vs without")
+    p.add_argument("--paged", action="store_true",
+                   help="batch_decode: page-pool cache (block tables) "
+                        "instead of per-slot static rows")
     args = p.parse_args(argv)
 
     name = f"{args.geometry}/{args.precision}"
@@ -476,6 +534,14 @@ def main(argv=None) -> int:
               f"spec(k={r['spec']['k']}) "
               f"{r['spec']['tokens_per_s']:.1f} tok/s "
               f"({r['speedup']:.2f}x)")
+    elif args.mode == "batch_decode" and args.paged:
+        r = bench_batch_decode_paged(cfg, params, args.batch, args.context,
+                                     args.steps, args.runs,
+                                     args.max_seq_len)
+        print(f"[{name}] batch={args.batch} PAGED decode: "
+              f"{r['ms_per_step']:.2f} ms/step "
+              f"({r['tokens_per_s']:.1f} tok/s aggregate, "
+              f"{r['n_pages']} pages)")
     elif args.mode == "batch_decode":
         r = bench_batch_decode(cfg, params, args.batch, args.context,
                                args.steps, args.runs, args.max_seq_len,

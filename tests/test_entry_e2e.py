@@ -122,3 +122,52 @@ def test_cli_mesh_shards_eval(tmp_path, monkeypatch):
     ]) == 0
     assert seen["n_dev"] == 8, seen
     assert "tp" in seen["spec"], seen  # qweight OC axis is tensor-sharded
+
+
+def test_cli_fake_vs_real_backend_consistency(tmp_path, capsys):
+    """--q_backend fake and real must report (nearly) the same ppl: the
+    pseudo-quantized weights ARE the dequantized packed weights, so any
+    systematic gap means the runtime kernels diverge from the quant math
+    (the reference's implicit kernel test, SURVEY §4)."""
+    import re
+
+    d = str(tmp_path / "hf")
+    os.makedirs(d)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    transformers.LlamaForCausalLM(cfg).save_pretrained(d)
+    _make_tokenizer(d)
+    corpus = str(tmp_path / "corpus.txt")
+    with open(corpus, "w") as f:
+        f.write("pack my box with five dozen liquor jugs. " * 300)
+    awq_path = str(tmp_path / "awq.pkl")
+
+    assert main([
+        "--model_path", d, "--dtype", "float32",
+        "--w_bit", "4", "--q_group_size", "32",
+        "--run_awq", "--dump_awq", awq_path,
+        "--calib_data", "synthetic", "--n_samples", "2",
+        "--calib_block_size", "32",
+    ]) == 0
+    capsys.readouterr()
+
+    def ppl_of(backend):
+        assert main([
+            "--model_path", d, "--dtype", "float32",
+            "--w_bit", "4", "--q_group_size", "32",
+            "--load_awq", awq_path, "--q_backend", backend,
+            "--tasks", "wikitext", "--eval_corpus", corpus,
+            "--eval_seqlen", "64", "--eval_windows", "2",
+        ]) == 0
+        out = capsys.readouterr().out
+        m = re.search(r"wikitext-2 ppl = ([0-9.]+)", out)
+        assert m, out
+        return float(m.group(1))
+
+    fake = ppl_of("fake")
+    real = ppl_of("real")
+    assert np.isclose(fake, real, rtol=2e-3), (fake, real)
