@@ -48,6 +48,20 @@ GEOMETRIES: Dict[str, dict] = {
         num_kv_heads=4, head_dim=128, max_position_embeddings=8192,
         rope_theta=1000000.0, qkv_bias=True,
     ),
+    # 70B-class geometries: don't fit one v5e chip even at W4 (~35 GB
+    # packed) — these are the --mesh / --mode scaling targets (the
+    # BASELINE north star: quantized weights + KV sharded over ICI)
+    "llama2-70b": dict(
+        arch="llama", vocab_size=32000, hidden_size=8192,
+        intermediate_size=28672, num_layers=80, num_heads=64,
+        num_kv_heads=8, head_dim=128, max_position_embeddings=4096,
+    ),
+    "llama3-70b": dict(
+        arch="llama", vocab_size=128256, hidden_size=8192,
+        intermediate_size=28672, num_layers=80, num_heads=64,
+        num_kv_heads=8, head_dim=128, max_position_embeddings=8192,
+        rope_theta=500000.0,
+    ),
     "tiny": dict(
         arch="llama", vocab_size=1024, hidden_size=512,
         intermediate_size=1024, num_layers=4, num_heads=8, num_kv_heads=8,
@@ -357,8 +371,14 @@ def bench_batch_spec(cfg, params, batch: int, context: int, steps: int,
     from awq_tpu.config import GenConfig
     from awq_tpu.runtime.batch_engine import BatchEngine
 
+    from awq_tpu.runtime.generate import cache_bucket
+
     prompt = (list(range(7, 7 + 24)) * (context // 24 + 1))[:context]
     gen = GenConfig(greedy=True, max_new_tokens=steps)
+    # size the engine cache for THIS run (a full-max_seq B-slot cache is
+    # ~17 GB at B=8/T=4096 — more than the chip)
+    max_seq = min(max_seq,
+                  cache_bucket(max_seq, context + steps + spec_k + 4))
     out = {}
     for mode, k in (("plain", 0), ("spec", spec_k)):
         eng = BatchEngine(cfg, params, n_slots=batch, max_seq_len=max_seq,

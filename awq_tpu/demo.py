@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=str, default=None,
                    help="'dp,tp' (or 'tp') device mesh: serve through the "
                         "sharded TP deploy layout (dp must be 1)")
+    p.add_argument("--spec", action="store_true",
+                   help="prompt-lookup speculative decoding (greedy; "
+                        "device-side verify loop on TPU)")
     return p
 
 
@@ -113,6 +116,21 @@ def main(argv=None) -> int:
         ids = tok.encode(prompter.delta_prompt())
         if engine.start_pos > 0 and ids and ids[0] == tok.bos_token_id:
             ids = ids[1:]  # strip re-emitted BOS mid-dialogue (stream_gen.py:49-53)
+        if args.spec:
+            t0 = time.perf_counter()
+            out = engine.generate_speculative(
+                ids, args.max_new_tokens, stop_ids=stop_ids)
+            dt = time.perf_counter() - t0
+            text = out.get("text", "")
+            prompter.update_template(text)
+            st = out["stats"]
+            n = max(len(out["output_ids"]), 1)
+            print(f"ASSISTANT: {text}")
+            print(f"  [{dt / n * 1e3:.2f} ms/tok wall | "
+                  f"{n / max(st['steps'], 1):.2f} tokens/step | "
+                  f"{st['accepted']}/{max(st['drafted'], 1)} drafts "
+                  f"accepted]")
+            continue
         out = engine.generate(ids, gen, stop_ids=stop_ids)
         text = out.get("text", "")
         prompter.update_template(text)
