@@ -18,9 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compilation cache: XLA:CPU compiles are slow on this VM and
-# dominate test wall time otherwise.
+# dominate test wall time otherwise. A SEPARATE dir from the TPU bench
+# processes: a TPU-attached process writes CPU AOT entries with a
+# different machine-feature snapshot, and loading those from the test
+# process SEGFAULTS XLA:CPU (observed: cpu_aot_loader '+prefer-no-scatter
+# not supported on the host machine' followed by a crash in
+# backend_compile_and_load).
 os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", "/tmp/awq_tpu_jax_cache"
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/awq_tpu_jax_cache_cpu"
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
