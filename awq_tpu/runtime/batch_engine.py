@@ -80,9 +80,6 @@ class BatchEngine:
                 raise ValueError(
                     "BatchEngine requires a dp=1 mesh (slots are the "
                     f"batch axis); got {dict(shape)}")
-            if cache_dtype in ("int8", jnp.int8):
-                raise NotImplementedError(
-                    "int8 KV cache under a mesh is not supported yet")
             self.params = build_tp_params(
                 params, cfg, self.mesh, quantize_head=quantize_head)
         else:
@@ -92,14 +89,17 @@ class BatchEngine:
         self.n_slots = n_slots
         self._init_cache(cfg, n_slots, max_seq_len, cache_dtype)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding
-            from awq_tpu.parallel.shard import cache_pspec
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+            from awq_tpu.parallel.tp import cache_specs
 
             tp = dict(zip(self.mesh.axis_names,
                           self.mesh.devices.shape)).get("tp", 1)
             self.cache = jax.device_put(
                 self.cache,
-                NamedSharding(self.mesh, cache_pspec(shard_kv=tp > 1)))
+                jax.tree_util.tree_map(
+                    lambda s: NamedSharding(self.mesh, s),
+                    cache_specs(self.cache, shard_kv=tp > 1),
+                    is_leaf=lambda x: isinstance(x, _P)))
         self.lengths = np.zeros(n_slots, np.int32)     # host copy
         self.tokens = np.zeros(n_slots, np.int32)      # next input per slot
         # per-slot sampling params (requests carry their own GenConfig)

@@ -44,7 +44,7 @@ class InferenceEngine:
             # and KV shard Megatron-style over ICI.
             from jax.sharding import NamedSharding
             from awq_tpu.parallel import build_tp_params
-            from awq_tpu.parallel.shard import cache_pspec
+            from awq_tpu.parallel.tp import cache_specs
 
             shape = dict(zip(self.mesh.axis_names,
                              self.mesh.devices.shape))
@@ -54,16 +54,24 @@ class InferenceEngine:
                     "engine's slot axis); got "
                     f"{dict(shape)}")
             tp = shape.get("tp", 1)
-            if cache_dtype in ("int8", jnp.int8):
-                raise NotImplementedError(
-                    "int8 KV cache under a mesh is not supported yet")
             self.params = build_tp_params(
                 params, cfg, self.mesh,
                 quantize_head=self.rt.quantize_head)
+            if cache_dtype in ("int8", jnp.int8):
+                from awq_tpu.models.llama import init_kv_cache8
+
+                cache = init_kv_cache8(cfg, self.rt.max_batch_size, t)
+            else:
+                cache = init_kv_cache(cfg, self.rt.max_batch_size, t,
+                                      cache_dtype)
+            from jax.sharding import PartitionSpec as _P
+
             self.cache = jax.device_put(
-                init_kv_cache(cfg, self.rt.max_batch_size, t, cache_dtype),
-                NamedSharding(self.mesh,
-                              cache_pspec(shard_kv=tp > 1)),
+                cache,
+                jax.tree_util.tree_map(
+                    lambda s: NamedSharding(self.mesh, s),
+                    cache_specs(cache, shard_kv=tp > 1),
+                    is_leaf=lambda x: isinstance(x, _P)),
             )
             self.start_pos = 0
             return

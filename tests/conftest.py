@@ -55,6 +55,26 @@ def pytest_sessionstart(session):
     ), "expected 8 virtual CPU devices"
 
 
+# ---- per-module executable cleanup ------------------------------------------
+# The full suite compiles ~250 XLA:CPU executables in one process; past
+# ~the round-3 count the XLA:CPU JIT starts SEGFAULTing mid-compile
+# (observed in backend_compile_and_load at suite position ~58%, while the
+# same test passes in isolation). Dropping compiled-executable references
+# between modules keeps the live JIT footprint bounded.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    import jax
+
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
+
+
 # ---- per-test timeout -------------------------------------------------------
 # One hung Pallas interpret test must not stall the whole suite (the heavy
 # tier is ~19 min on this 1-core VM; pytest-xdist would not help here).

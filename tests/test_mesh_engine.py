@@ -149,3 +149,26 @@ def test_worker_serves_through_mesh(monkeypatch):
         assert 1 <= len(chunks[-1]["ids"]) <= 4
     finally:
         w.stop()
+
+
+def test_inference_engine_mesh_int8_kv(monkeypatch):
+    """int8 KV cache under the tp mesh: data + scale planes shard on
+    kv-heads; greedy output matches the single-chip int8 engine."""
+    monkeypatch.setenv("AWQ_TPU_FORCE_FLASH", "1")
+    cfg = _cfg()
+    params = _qparams(cfg, seed=3)
+    gen = GenConfig(greedy=True, max_new_tokens=5)
+
+    ref = InferenceEngine(cfg, params, RuntimeConfig(max_seq_len=256),
+                          cache_dtype="int8")
+    ref_out = ref.generate([11, 12, 13], gen)
+
+    eng = InferenceEngine(
+        cfg, params, RuntimeConfig(max_seq_len=256, mesh=_tp_mesh()),
+        cache_dtype="int8")
+    from awq_tpu.models.llama import KVCache8
+
+    assert isinstance(eng.cache, KVCache8)
+    out = eng.generate([11, 12, 13], gen)
+    assert list(map(int, out["output_ids"])) == \
+        list(map(int, ref_out["output_ids"]))
