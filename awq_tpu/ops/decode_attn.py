@@ -388,15 +388,24 @@ def flash_decode_stacked(
 
 
 def _stacked_prefill_kernel(
-    scalars_ref, q_ref, cache_ref, o_ref, kbuf, vbuf, ksem, vsem,
-    *, block_t: int, block_q: int, scale: float,
+    scalars_ref, q_ref, cache_ref, o_ref, kvbuf, kvsem,
+    *, block_t: int, block_q: int, scale: float, nbuf: int = 4,
 ):
     """Flash attention for (chunked) prefill over the stacked cache.
 
     Query block [bq, hd] for one q-head; streams K/V blocks of ITS kv head
     up to the causal frontier. Queries at global positions
     ``start_pos + q0 + r`` attend cache positions ``j <= start_pos+q0+r``
-    (the chunk itself must already be appended to the cache)."""
+    (the chunk itself must already be appended to the cache).
+
+    K and V for a block arrive in ONE strided DMA ([2, bt, hd] from the
+    cache's kv axis) into an ``nbuf``-deep rotating buffer with the copy
+    issued ``nbuf-1`` blocks ahead. The isolated QK dot runs at ~270
+    TFLOP/s (MXU peak), yet the kernel's dots-only floor measured 3.6 us
+    per ~0.5 us-of-dots iteration: the overhead is the SCALAR core
+    issuing/awaiting 4 DMA semaphore ops per block; fusing K+V halves
+    it, and the deep prefetch window keeps the copies off the critical
+    path."""
     b = pl.program_id(0)
     h = pl.program_id(1)          # q head
     qb = pl.program_id(2)
@@ -419,50 +428,56 @@ def _stacked_prefill_kernel(
     nblk = jnp.minimum(pl.cdiv(hi, block_t),
                        cache_ref.shape[4] // block_t)
 
-    def dma(buf, kv, sem, slot, i):
+    max_blk = cache_ref.shape[4] // block_t
+
+    def dma(slot, i):
+        # clamp: prologue/prefetch indices past nblk are pl.when-guarded
+        # (never executed) but the slice must still be in bounds at trace
+        i = jnp.minimum(jnp.asarray(i, jnp.int32), max_blk - 1)
         return pltpu.make_async_copy(
-            cache_ref.at[layer, kv, b, kvh, pl.ds(i * block_t, block_t), :],
-            buf.at[slot], sem.at[slot],
+            cache_ref.at[layer, :, b, kvh, pl.ds(i * block_t, block_t), :],
+            kvbuf.at[slot], kvsem.at[slot],
         )
 
-    dma(kbuf, 0, ksem, 0, 0).start()
-    dma(vbuf, 1, vsem, 0, 0).start()
+    for j in range(nbuf - 1):     # prologue: fill the prefetch window
+        @pl.when(j < nblk)
+        def _(j=j):
+            dma(j % nbuf, j).start()
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, block_t), 0) + q0
+    # hoisted mask operand: keep col j of block i iff global col
+    # i*block_t + iota1 <= global row q0 + iota0, i.e. diff >= i*block_t
+    # — per masked block this is one scalar compare + select instead of
+    # iota+add+compare+select (mask was ~6.6 ms of the 47 ms chain)
+    diff = (jax.lax.broadcasted_iota(jnp.int32, (bq, block_t), 0) + q0
+            - jax.lax.broadcasted_iota(jnp.int32, (bq, block_t), 1))
 
     def body(i, carry):
         m, l, acc = carry
-        slot = i % 2
+        slot = i % nbuf
+        nxt = i + nbuf - 1
 
-        @pl.when(i + 1 < nblk)
+        @pl.when(nxt < nblk)
         def _():
-            dma(kbuf, 0, ksem, (i + 1) % 2, i + 1).start()
-            dma(vbuf, 1, vsem, (i + 1) % 2, i + 1).start()
+            dma(nxt % nbuf, nxt).start()
 
-        dma(kbuf, 0, ksem, slot, i).wait()
+        dma(slot, i).wait()
         s = jax.lax.dot_general(
-            q, kbuf[slot].astype(jnp.bfloat16),
+            q, kvbuf[slot, 0].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                            # [bq, bt]
 
         # only blocks overlapping the causal diagonal need the mask;
-        # interior blocks (every col <= the block's min row) skip the
-        # iota/compare/select — ~3 of the ~9 VPU passes per element
-        def _mask(s):
-            cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                    + i * block_t)
-            return jnp.where(cols <= rows, s, -jnp.inf)
-
-        s = jax.lax.cond((i + 1) * block_t - 1 <= q0, lambda s: s,
-                         _mask, s)
+        # interior blocks (every col <= the block's min row) skip it
+        s = jax.lax.cond(
+            (i + 1) * block_t - 1 <= q0, lambda s: s,
+            lambda s: jnp.where(diff >= i * block_t, s, -jnp.inf), s)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp2(m - m_new)
         p = jnp.exp2(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        dma(vbuf, 1, vsem, slot, i).wait()
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vbuf[slot].astype(jnp.bfloat16),
+            p.astype(jnp.bfloat16), kvbuf[slot, 1].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -476,7 +491,7 @@ def _stacked_prefill_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "block_q",
-                                             "interpret"))
+                                             "nbuf", "interpret"))
 def flash_prefill_stacked(
     q: jax.Array,          # [B, S, n_q, hd] post-rope queries
     cache: jax.Array,      # [L, 2, B, n_kv, T, hd] (chunk already appended)
@@ -484,6 +499,7 @@ def flash_prefill_stacked(
     start_pos: jax.Array,  # scalar int32: chunk occupies [start, start+S)
     block_t: int = 512,
     block_q: int = 512,
+    nbuf: int = 6,
     interpret: bool = False,
 ) -> jax.Array:
     """Causal flash attention for prefill: never materializes the [S, T]
@@ -524,21 +540,26 @@ def flash_prefill_stacked(
         out_specs=pl.BlockSpec((1, bq, hd),
                                lambda i, j, k, *_: (i, k, j)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_t, hd), cache.dtype),
-            pltpu.VMEM((2, block_t, hd), cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, 2, block_t, hd), cache.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
+    # scoped-vmem stack: [bq, bt] f32 scores + bf16 p + int32 row iota
+    # (~12 B/elem) on top of the K/V double buffers; the compiler's 16 MB
+    # default only fits the 512x512 config (physical VMEM is 128 MB)
+    scratch_bytes = 2 * nbuf * block_t * hd * 2
+    vmem_limit = min(scratch_bytes + 14 * bq * block_t + 8 * 1024 * 1024,
+                     100 * 1024 * 1024)
     out = pl.pallas_call(
         functools.partial(
             _stacked_prefill_kernel, block_t=block_t, block_q=bq,
-            scale=1.0 / (hd ** 0.5),
+            scale=1.0 / (hd ** 0.5), nbuf=nbuf,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
     )(scalars, qt, cache)
