@@ -75,7 +75,7 @@ def _sync(x):
 
 
 def build_model(geometry: str, precision: str, load_quant, max_seq: int,
-                mesh=None):
+                mesh=None, prefill_w8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -123,7 +123,20 @@ def build_model(geometry: str, precision: str, load_quant, max_seq: int,
         params["lm_head"] = quantize_linear(
             params["lm_head"].astype(jnp.float32),
             n_bit=4, group_size=128)
-    params = strip_unfolded_qparams(fuse_linears(params, cfg, consume=True))
+    params = fuse_linears(params, cfg, consume=True)
+    if prefill_w8:
+        # int8 prefill weight cache — must build before the strip below
+        # removes the unfolded scales (ops/w4a16.py::build_w8_stack)
+        from awq_tpu.ops.w4a16 import build_w8_stack
+
+        la = dict(params["layers"])
+        for nm, p in list(la.items()):
+            if (isinstance(p, QLinear) and p.folded and p.tiled_bn
+                    and p.w_bit == 4 and not p.dense3
+                    and p.qweight.ndim == 4):
+                la[nm + "_w8"] = build_w8_stack(p)
+        params = {**params, "layers": la}
+    params = strip_unfolded_qparams(params)
     cache = init_kv_cache(cfg, 1, max_seq, jnp.bfloat16)
     return cfg, params, cache
 
@@ -506,6 +519,10 @@ def main(argv=None) -> int:
     p.add_argument("--question_len", type=int, default=32)
     p.add_argument("--prefill_a8", action="store_true",
                    help="int8-activation prefill matmuls (W4A8, 2x MXU)")
+    p.add_argument("--prefill_w8", action="store_true",
+                   help="int8 prefill WEIGHT cache: no in-kernel requant "
+                        "and no min-length a8 gate (costs IC*OC bytes of "
+                        "HBM per layer; implies --prefill_a8)")
     p.add_argument("--kv8", action="store_true",
                    help="int8 KV cache (halved cache bytes -> 2x batch "
                         "slots at the same HBM footprint)")
@@ -535,9 +552,9 @@ def main(argv=None) -> int:
     mesh = parse_mesh_arg(args.mesh)
     cfg, params, cache = build_model(
         args.geometry, args.precision, args.load_quant, args.max_seq_len,
-        mesh=mesh,
+        mesh=mesh, prefill_w8=args.prefill_w8 and mesh is None,
     )
-    if args.prefill_a8:
+    if args.prefill_a8 or args.prefill_w8:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, prefill_a8=True)

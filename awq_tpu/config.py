@@ -117,6 +117,12 @@ class RuntimeConfig:
     # Off by default: it perturbs logits slightly (the reference keeps
     # lm_head fp16 too), so opt in from serving/demo entrypoints.
     quantize_head: bool = False
+    # TTFT mode: cache per-column-int8 prefill weights at engine init
+    # (ops/w4a16.py::W8Stack) so prefill matmuls run pure int8 MXU dots
+    # with no in-kernel requant and no minimum-length a8 gate. Implies
+    # prefill_a8. Costs IC*OC bytes of HBM per layer (~6.6 GB at 7B) —
+    # opt in for TTFT-optimized serving; decode is unaffected (W4 stream).
+    prefill_w8: bool = False
     # a jax.sharding.Mesh with a 'tp' axis: the engine builds the
     # TP deploy layout (parallel/deploy.py) and serves through
     # shard_map'd kernels — the multi-chip path for models that don't

@@ -686,7 +686,9 @@ def forward(
         def lin(name, idx, xx):
             p = layers_all[name]
             if isinstance(p, QLinear):
-                return qlinear_apply_stacked(p, idx, xx, a8=a8)
+                return qlinear_apply_stacked(
+                    p, idx, xx, a8=a8,
+                    w8stack=layers_all.get(name + "_w8") if a8 else None)
             lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
             return linear_apply(lp1, xx)
 
@@ -703,7 +705,9 @@ def forward(
             if isinstance(p, QLinear):
                 if p.bias is not None:
                     bias, p = p.bias[idx], _dc.replace(p, bias=None)
-                out = qlinear_apply_stacked(p, idx, xx, a8=a8)
+                out = qlinear_apply_stacked(
+                    p, idx, xx, a8=a8,
+                    w8stack=layers_all.get(name + "_w8") if a8 else None)
             else:
                 lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
                 if getattr(lp1, "b", None) is not None:

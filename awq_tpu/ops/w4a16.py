@@ -1107,12 +1107,162 @@ def w4a8_matmul_stacked_tiled_folded(
 _A8_MIN_M = int(__import__("os").environ.get("AWQ_TPU_A8_MIN_M", "512"))
 
 
+# --------------------------------------------------------------------------
+# int8 prefill weight cache: W8A8 prefill at the full int8 MXU rate
+# --------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class W8Stack:
+    """Precomputed per-column-int8 prefill weights for a stacked folded
+    tiled :class:`QLinear`.
+
+    The W4A8 prefill kernel (:func:`w4a8_matmul_stacked_tiled_folded`)
+    requantizes each [IC, bn] W4 block to int8 in VMEM once per N block —
+    ~20% of its runtime at S=2048, and the per-call fixed cost behind the
+    ``_A8_MIN_M`` gate that keeps short prefills on the bf16 path.
+    Precomputing the SAME requant once (bit-identical math, see
+    :func:`build_w8_stack`) turns every prefill matmul into a pure int8
+    MXU dot with a scale epilogue. Costs IC*OC bytes of HBM per layer —
+    opt-in via ``RuntimeConfig.prefill_w8``. The reference has no
+    counterpart (its W4A16 GEMM runs fp16 tensor cores,
+    ``csrc/quantization_new/gemm/gemm_cuda.cu``); this is the QServe-style
+    W4A8 recipe taken one step further for TTFT-optimized serving."""
+
+    w8: jax.Array      # int8 [L, NB, IC, bn]
+    scol: jax.Array    # f32  [L, NB, 1, bn] per-column dequant scale
+
+
+def build_w8_stack(ql: QLinear) -> W8Stack:
+    """Requantize a stacked folded tiled W4 QLinear to per-column int8.
+
+    Mirrors ``_w4a8_kernel_folded``'s in-kernel requant EXACTLY (bf16
+    qparams, ``z = szeros/s``, ``(code - z) * (s * inv)``, round-half-even,
+    clip to +-127) so the cached path is bit-identical to the in-kernel
+    one. Must run BEFORE :func:`strip_unfolded_qparams` (needs the
+    unfolded scales/szeros)."""
+    assert ql.folded and ql.tiled_bn and ql.w_bit == 4 and not ql.dense3, (
+        "w8 cache needs a stacked folded tiled 4-bit QLinear")
+    assert ql.qweight.ndim == 4, "w8 cache is for stacked [L, ...] layers"
+    assert ql.scales.size > 1, (
+        "scales were stripped — build the w8 cache before "
+        "strip_unfolded_qparams")
+    ic = ql.in_features
+    icp = ic // 8
+    bn = ql.tiled_bn
+    n_layers, nb = ql.qweight.shape[0], ql.qweight.shape[1]
+    n_g = ic // ql.group_size
+
+    @jax.jit
+    def one(qw_l, s_l, sz_l):
+        codes = unpack_int4(untile_qweight(qw_l, bn, icp=icp),
+                            jnp.float32)                   # [IC, OC]
+        s = s_l.astype(jnp.bfloat16).astype(jnp.float32)   # folded rows
+        sz = sz_l.astype(jnp.bfloat16).astype(jnp.float32)  # are bf16
+        z = sz / s
+        scol = jnp.maximum(jnp.max(s, axis=0) * (15.0 / 127.0), 1e-12)
+        sinv = s * (1.0 / scol)[None, :]
+        cg = codes.reshape(n_g, ql.group_size, -1)
+        # the in-kernel requant subtracts (128 + z) from the bf16-bitpack
+        # value (128 + code): the +128 truncates z's low mantissa bits in
+        # f32, so mirror the exact op order for bit-identical codes
+        wf = ((128.0 + cg) - (128.0 + z)[:, None, :]) * sinv[:, None, :]
+        w8 = jnp.clip(jnp.round(wf), -127, 127).astype(jnp.int8)
+        w8 = w8.reshape(ic, nb, bn).transpose(1, 0, 2)     # [NB, IC, bn]
+        return w8, scol.reshape(nb, 1, bn)
+
+    # donated accumulator: jnp.stack of the per-layer results would hold
+    # 2x the cache (13 GB at 7B) at peak; the in-place set keeps it at 1x
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def setl(w8_acc, scol_acc, l, w8_l, scol_l):
+        return w8_acc.at[l].set(w8_l), scol_acc.at[l].set(scol_l)
+
+    w8_acc = jnp.zeros((n_layers, nb, ic, bn), jnp.int8)
+    scol_acc = jnp.zeros((n_layers, nb, 1, bn), jnp.float32)
+    for l in range(n_layers):
+        w8_l, scol_l = one(ql.qweight[l], ql.scales[l], ql.szeros[l])
+        w8_acc, scol_acc = setl(w8_acc, scol_acc, jnp.int32(l), w8_l,
+                                scol_l)
+    return W8Stack(w8=w8_acc, scol=scol_acc)
+
+
+def _w8a8_kernel_stacked(idx_ref, xq_ref, sx_ref, w8_ref, scol_ref, o_ref,
+                         *, out_dtype):
+    """Pure int8 MXU dot over the cached prefill weights: both dequant
+    scales (per-column weight scale x per-token activation scale) fold
+    into the epilogue, exactly like ``_w4a8_kernel_folded`` minus its
+    requant prologue."""
+    del idx_ref
+    d = jax.lax.dot_general(
+        xq_ref[:], w8_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = (d.astype(jnp.float32) * scol_ref[0, 0]
+                * sx_ref[:]).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m",))
+def w8a8_matmul_stacked_tiled(x, w8, scol, layer_idx, block_m: int = 0):
+    """Prefill matmul over the int8 weight cache (see :class:`W8Stack`).
+
+    Grid (NB, M-blocks) with N outermost: each [IC, bn] int8 weight block
+    streams from HBM exactly once and is revisited across M steps."""
+    from awq_tpu.ops.w8a8 import quant_per_token
+
+    m, ic = x.shape
+    n_layers, nb, ic2, bn = w8.shape
+    assert ic2 == ic, (ic2, ic)
+    # VMEM: double-buffered int8 x [bm, IC] + w8 window [IC, bn] + f32 out
+    budget = 13 * 1024 * 1024
+    bm = min(block_m or 512, m if m % 256 == 0 else 512)
+    while bm > 32 and 2 * ic * bn + 2 * bm * ic + 2 * bm * bn * 4 > budget:
+        bm //= 2
+    m_pad = -m % bm
+    xq, sx = quant_per_token(x)
+    sx = sx.astype(jnp.float32).reshape(-1, 1)
+    if m_pad:
+        xq = jnp.pad(xq, ((0, m_pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, m_pad), (0, 0)))
+    idx = jnp.reshape(layer_idx, (1,)).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, xq.shape[0] // bm),
+        in_specs=[
+            pl.BlockSpec((bm, ic), lambda j, i, l: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda j, i, l: (i, 0)),
+            pl.BlockSpec((1, 1, ic, bn), lambda j, i, l: (l[0], j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, bn), lambda j, i, l: (l[0], j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i, l: (i, j)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel_stacked, out_dtype=x.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((xq.shape[0], nb * bn), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * xq.shape[0] * ic * nb * bn,
+            bytes_accessed=ic * nb * bn,
+            transcendentals=0,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(idx, xq, sx, w8, scol)
+    return out[:m] if m_pad else out
+
+
 def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
-                          x: jax.Array, a8: bool = False) -> jax.Array:
+                          x: jax.Array, a8: bool = False,
+                          w8stack: Optional["W8Stack"] = None) -> jax.Array:
     """Apply layer ``layer_idx`` of a stacked ``QLinear [L, ...]``.
 
     ``a8``: route through the int8-activation W4A8 kernel (prefill-sized
     inputs on folded weights only — see ``w4a8_matmul_stacked_tiled_folded``).
+    ``w8stack``: int8 prefill weight cache — a8 inputs skip the in-kernel
+    requant entirely (and its ``_A8_MIN_M`` amortization gate).
     """
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
@@ -1142,7 +1292,11 @@ def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
                 ql.szeros[layer_idx], ql.group_size, dense3=True,
             )
     elif jax.default_backend() == "tpu" and ql.tiled_bn and ql.folded:
-        if a8 and x2.shape[0] >= _A8_MIN_M and ql.group_size == 128:
+        if a8 and w8stack is not None and x2.shape[0] >= 32:
+            out = w8a8_matmul_stacked_tiled(
+                x2, w8stack.w8, w8stack.scol, layer_idx,
+            )
+        elif a8 and x2.shape[0] >= _A8_MIN_M and ql.group_size == 128:
             out = w4a8_matmul_stacked_tiled_folded(
                 x2, ql.qweight, layer_idx, ql.group_size, ql.tiled_bn,
             )

@@ -1,0 +1,100 @@
+"""int8 prefill weight cache (W8Stack): the precomputed requant must be
+bit-identical to the W4A8 kernel's in-VMEM requant, and the engine-level
+opt-in must plumb through params/config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _stacked_folded_ql(ic=256, oc=512, L=2, seed=11, bn=256):
+    from awq_tpu.ops.w4a16 import quantize_linear, tile_qlinear
+
+    ks = jax.random.split(jax.random.PRNGKey(seed), L)
+    qls = [quantize_linear(
+        jax.random.normal(k, (ic, oc), jnp.float32) * 0.05)
+        for k in ks]
+    ql = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *qls)
+    return tile_qlinear(ql, block_n=bn, fold_scales=True)
+
+
+def test_w8_cache_matches_in_kernel_requant():
+    """w8a8_matmul_stacked_tiled over build_w8_stack == the a8 kernel's
+    in-kernel requant path, layer by layer (same int8 codes, same
+    epilogue order)."""
+    from awq_tpu.ops.w4a16 import (
+        build_w8_stack, w4a8_matmul_stacked_tiled_folded,
+        w8a8_matmul_stacked_tiled,
+    )
+
+    ql = _stacked_folded_ql()
+    w8 = build_w8_stack(ql)
+    assert w8.w8.shape == (2, 2, 256, 256)
+    assert w8.scol.shape == (2, 2, 1, 256)
+    x = (jax.random.normal(jax.random.PRNGKey(3), (96, 256), jnp.float32)
+         * 0.3).astype(jnp.bfloat16)
+    for layer in range(2):
+        got = w8a8_matmul_stacked_tiled(x, w8.w8, w8.scol, jnp.int32(layer))
+        ref = w4a8_matmul_stacked_tiled_folded(
+            x, ql.qweight, jnp.int32(layer), 128, 256)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=0, atol=0)
+
+
+def test_w8_cache_close_to_bf16_path():
+    """Accuracy sanity vs the exact-dequant bf16 folded kernel: within
+    the documented int8 budget (per-token act + per-column weight
+    requant, each ~1/127 relative)."""
+    from awq_tpu.ops.w4a16 import (
+        build_w8_stack, qlinear_apply_stacked, w8a8_matmul_stacked_tiled,
+    )
+
+    ql = _stacked_folded_ql()
+    w8 = build_w8_stack(ql)
+    x = (jax.random.normal(jax.random.PRNGKey(5), (64, 256), jnp.float32)
+         * 0.3).astype(jnp.bfloat16)
+    got = np.asarray(
+        w8a8_matmul_stacked_tiled(x, w8.w8, w8.scol, jnp.int32(1)),
+        np.float32)
+    ref = np.asarray(qlinear_apply_stacked(ql, jnp.int32(1), x), np.float32)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=0.04)
+
+
+def test_engine_prefill_w8_plumbing():
+    """RuntimeConfig.prefill_w8 builds *_w8 cache entries next to each
+    stacked folded QLinear and flips cfg.prefill_a8; generation still
+    runs (on CPU the dispatch stays on the XLA path — numerics parity is
+    the kernel test above)."""
+    from awq_tpu.config import GenConfig, ModelConfig, QuantConfig, RuntimeConfig
+    from awq_tpu.models.llama import init_params, quantize_params
+    from awq_tpu.ops.w4a16 import W8Stack
+    from awq_tpu.runtime.engine import InferenceEngine
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, hidden_size=256,
+        intermediate_size=512, num_layers=2, num_heads=4, num_kv_heads=4,
+        head_dim=64, max_position_embeddings=128, dtype="float32",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(0)),
+                             QuantConfig(w_bit=4, group_size=128))
+    eng = InferenceEngine(cfg, params,
+                          RuntimeConfig(max_seq_len=64, prefill_w8=True),
+                          cache_dtype=jnp.float32)
+    assert eng.cfg.prefill_a8
+    la = eng.params["layers"]
+    w8_keys = [k for k in la if k.endswith("_w8")]
+    from awq_tpu.ops.w4a16 import QLinear
+
+    eligible = [k for k, v in la.items()
+                if isinstance(v, QLinear) and v.folded and v.tiled_bn
+                and v.qweight.ndim == 4 and not v.dense3]
+    assert sorted(w8_keys) == sorted(k + "_w8" for k in eligible)
+    assert all(isinstance(la[k], W8Stack) for k in w8_keys)
+    if eligible:
+        k0 = eligible[0]
+        assert la[k0 + "_w8"].w8.shape[2] == la[k0].in_features
+    out = eng.generate([1, 2, 3, 4], GenConfig(greedy=True,
+                                               max_new_tokens=3))
+    assert out["output_ids"].shape[-1] >= 1
