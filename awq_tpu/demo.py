@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spec", action="store_true",
                    help="prompt-lookup speculative decoding (greedy; "
                         "device-side verify loop on TPU)")
+    p.add_argument("--prefill_w8", action="store_true",
+                   help="TTFT mode: int8 prefill weight cache (pure int8 "
+                        "MXU prefill dots; ~1 extra HBM byte per weight)")
     return p
 
 
@@ -83,7 +86,8 @@ def main(argv=None) -> int:
     engine = InferenceEngine(
         cfg, params,
         RuntimeConfig(max_seq_len=args.max_seq_len,
-                      mesh=parse_mesh_arg(args.mesh)),
+                      mesh=parse_mesh_arg(args.mesh),
+                      prefill_w8=args.prefill_w8 and args.mesh is None),
         tokenizer=tok,
     )
     gen = GenConfig(
