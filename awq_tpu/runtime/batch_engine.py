@@ -86,6 +86,23 @@ class BatchEngine:
             if quantize_head:
                 params = _qhead(params, cfg)
             self.params = fuse_linears(params, cfg)
+            if runtime is not None and getattr(runtime, "prefill_w8",
+                                               False):
+                # int8 prefill weight cache (TTFT mode) — same wiring as
+                # InferenceEngine; admission prefills skip the W4A8
+                # in-kernel requant and its minimum-length gate
+                import dataclasses as _dc
+
+                from awq_tpu.ops.w4a16 import QLinear, build_w8_stack
+
+                la = dict(self.params["layers"])
+                for name, p in list(la.items()):
+                    if (isinstance(p, QLinear) and p.folded and p.tiled_bn
+                            and p.w_bit == 4 and not p.dense3
+                            and p.qweight.ndim == 4 and p.scales.size > 1):
+                        la[name + "_w8"] = build_w8_stack(p)
+                self.params = {**self.params, "layers": la}
+                self.cfg = cfg = _dc.replace(cfg, prefill_a8=True)
         self.n_slots = n_slots
         self._init_cache(cfg, n_slots, max_seq_len, cache_dtype)
         if self.mesh is not None:

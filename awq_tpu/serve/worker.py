@@ -165,6 +165,9 @@ def main(argv=None) -> int:
     ap.add_argument("--mesh", type=str, default=None,
                     help="'dp,tp' (or 'tp') device mesh: serve through the "
                          "sharded TP deploy layout (dp must be 1)")
+    ap.add_argument("--prefill_w8", action="store_true",
+                    help="TTFT mode: int8 prefill weight cache (pure int8 "
+                         "MXU prefill dots; ~1 extra HBM byte per weight)")
     args = ap.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -186,7 +189,8 @@ def main(argv=None) -> int:
         cfg, params,
         RuntimeConfig(max_seq_len=args.max_seq_len,
                       quantize_head=args.q_head,
-                      mesh=parse_mesh_arg(args.mesh)),
+                      mesh=parse_mesh_arg(args.mesh),
+                      prefill_w8=args.prefill_w8 and args.mesh is None),
         tokenizer=tok,
     )
     engine.warmup()

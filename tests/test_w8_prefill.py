@@ -98,3 +98,31 @@ def test_engine_prefill_w8_plumbing():
     out = eng.generate([1, 2, 3, 4], GenConfig(greedy=True,
                                                max_new_tokens=3))
     assert out["output_ids"].shape[-1] >= 1
+
+
+def test_batch_engine_prefill_w8_plumbing():
+    """BatchEngine wires RuntimeConfig.prefill_w8 the same way."""
+    from awq_tpu.config import GenConfig, ModelConfig, QuantConfig, RuntimeConfig
+    from awq_tpu.models.llama import init_params, quantize_params
+    from awq_tpu.ops.w4a16 import W8Stack
+    from awq_tpu.runtime.batch_engine import BatchEngine
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, hidden_size=256,
+        intermediate_size=512, num_layers=2, num_heads=4, num_kv_heads=4,
+        head_dim=64, max_position_embeddings=128, dtype="float32",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(0)),
+                             QuantConfig(w_bit=4, group_size=128))
+    eng = BatchEngine(cfg, params, n_slots=2, max_seq_len=64,
+                      cache_dtype=jnp.float32,
+                      runtime=RuntimeConfig(prefill_w8=True))
+    assert eng.cfg.prefill_a8
+    w8_keys = [k for k in eng.params["layers"] if k.endswith("_w8")]
+    assert w8_keys and all(
+        isinstance(eng.params["layers"][k], W8Stack) for k in w8_keys)
+    rid = eng.submit([1, 2, 3], GenConfig(greedy=True, max_new_tokens=3))
+    for _ in range(8):
+        eng.step()
+    assert rid in eng.finished
+    assert len(eng.finished[rid].out_ids) >= 1
