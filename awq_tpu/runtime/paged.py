@@ -83,11 +83,13 @@ class PagedBatchEngine(BatchEngine):
         cache_dtype=jnp.bfloat16,
         page_size: int = 256,
         n_pages: Optional[int] = None,
+        runtime=None,   # Optional[RuntimeConfig]: prefill_w8 etc.
     ):
         self.page_size = page_size
         self.n_pages = n_pages  # resolved in _init_cache
         super().__init__(cfg, params, n_slots=n_slots,
-                         max_seq_len=max_seq_len, cache_dtype=cache_dtype)
+                         max_seq_len=max_seq_len, cache_dtype=cache_dtype,
+                         runtime=runtime)
 
     # ---- cache strategy ---------------------------------------------------
 

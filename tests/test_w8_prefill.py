@@ -126,3 +126,27 @@ def test_batch_engine_prefill_w8_plumbing():
         eng.step()
     assert rid in eng.finished
     assert len(eng.finished[rid].out_ids) >= 1
+
+
+def test_paged_engine_prefill_w8_plumbing():
+    """PagedBatchEngine forwards runtime (prefill_w8) to BatchEngine."""
+    from awq_tpu.config import GenConfig, ModelConfig, QuantConfig, RuntimeConfig
+    from awq_tpu.models.llama import init_params, quantize_params
+    from awq_tpu.runtime.paged import PagedBatchEngine
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, hidden_size=256,
+        intermediate_size=512, num_layers=2, num_heads=4, num_kv_heads=4,
+        head_dim=64, max_position_embeddings=256, dtype="float32",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(0)),
+                             QuantConfig(w_bit=4, group_size=128))
+    eng = PagedBatchEngine(cfg, params, n_slots=2, max_seq_len=256,
+                           cache_dtype=jnp.float32, page_size=64,
+                           runtime=RuntimeConfig(prefill_w8=True))
+    assert eng.cfg.prefill_a8
+    assert any(k.endswith("_w8") for k in eng.params["layers"])
+    rid = eng.submit([1, 2, 3], GenConfig(greedy=True, max_new_tokens=2))
+    for _ in range(6):
+        eng.step()
+    assert rid in eng.finished
