@@ -105,7 +105,8 @@ def build_model(geometry: str, precision: str, load_quant, max_seq: int,
 
         dep = build_tp_params(
             params, cfg, mesh,
-            quantize_head=precision in ("W4A16", "W3A16"))
+            quantize_head=precision in ("W4A16", "W3A16"),
+            prefill_w8=prefill_w8)
         tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
         cache = jax.device_put(
             init_kv_cache(cfg, 1, max_seq, jnp.bfloat16),
@@ -552,7 +553,7 @@ def main(argv=None) -> int:
     mesh = parse_mesh_arg(args.mesh)
     cfg, params, cache = build_model(
         args.geometry, args.precision, args.load_quant, args.max_seq_len,
-        mesh=mesh, prefill_w8=args.prefill_w8 and mesh is None,
+        mesh=mesh, prefill_w8=args.prefill_w8,
     )
     if args.prefill_a8 or args.prefill_w8:
         import dataclasses

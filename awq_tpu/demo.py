@@ -87,7 +87,7 @@ def main(argv=None) -> int:
         cfg, params,
         RuntimeConfig(max_seq_len=args.max_seq_len,
                       mesh=parse_mesh_arg(args.mesh),
-                      prefill_w8=args.prefill_w8 and args.mesh is None),
+                      prefill_w8=args.prefill_w8),
         tokenizer=tok,
     )
     gen = GenConfig(

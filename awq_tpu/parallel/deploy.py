@@ -137,7 +137,46 @@ def _ql_spec(ql: QLinear, qw, s, bias) -> QLinear:
     )
 
 
-def _col_parallel(parts, tp: int, block_n: int):
+def _w8_col(locals_, tp: int):
+    """Per-rank int8 prefill caches for column-parallel shards: rank r's
+    W8Stack is built from ITS local fold, ranks concatenate along the
+    N-block axis — the exact analogue of the qweight assembly, so
+    ``P(None, 'tp', None, None)`` hands each device its own cache."""
+    from awq_tpu.ops.w4a16 import W8Stack, build_w8_stack
+
+    stacks = [build_w8_stack(t) for t in locals_]
+    glob = W8Stack(
+        w8=jnp.concatenate([s.w8 for s in stacks], axis=1),
+        scol=jnp.concatenate([s.scol for s in stacks], axis=1),
+    )
+    spec = W8Stack(
+        w8=P(None, "tp", None, None) if tp > 1 else P(),
+        scol=P(None, "tp", None, None) if tp > 1 else P(),
+    )
+    return glob, spec
+
+
+def _w8_row(locals_, tp: int):
+    """Row-parallel int8 caches: rank r's w8 covers ITS IC-group shard
+    (concat on the IC axis), and its per-column scale is the max over
+    ITS local groups only — so scol concatenates on a rank axis
+    ([L, NB, tp, bn]) and ``P(None, None, 'tp', None)`` hands each
+    device its own [L, NB, 1, bn]."""
+    from awq_tpu.ops.w4a16 import W8Stack, build_w8_stack
+
+    stacks = [build_w8_stack(t) for t in locals_]
+    glob = W8Stack(
+        w8=jnp.concatenate([s.w8 for s in stacks], axis=2),
+        scol=jnp.concatenate([s.scol for s in stacks], axis=2),
+    )
+    spec = W8Stack(
+        w8=P(None, None, "tp", None) if tp > 1 else P(),
+        scol=P(None, None, "tp", None) if tp > 1 else P(),
+    )
+    return glob, spec
+
+
+def _col_parallel(parts, tp: int, block_n: int, prefill_w8: bool = False):
     """Fuse + fold + tile each rank's OC shards; assemble global + spec."""
     locals_ = []
     for r in range(tp):
@@ -153,10 +192,13 @@ def _col_parallel(parts, tp: int, block_n: int):
         s=P(None, None, "tp") if tp > 1 else P(),
         bias=P(None, "tp") if tp > 1 else P(),
     )
-    return glob, spec
+    if prefill_w8 and glob.w_bit == 4 and not glob.dense3:
+        return glob, spec, _w8_col(locals_, tp)
+    return glob, spec, None
 
 
-def _row_parallel(ql: QLinear, tp: int, block_n: int):
+def _row_parallel(ql: QLinear, tp: int, block_n: int,
+                  prefill_w8: bool = False):
     """Fold + tile each rank's IC-group shard; global concat on the folded
     row axis."""
     locals_ = []
@@ -173,7 +215,9 @@ def _row_parallel(ql: QLinear, tp: int, block_n: int):
         s=P(None, "tp", None) if tp > 1 else P(),
         bias=P(),       # replicated; added once after the psum
     )
-    return glob, spec
+    if prefill_w8 and glob.w_bit == 4 and not glob.dense3:
+        return glob, spec, _w8_row(locals_, tp)
+    return glob, spec, None
 
 
 def _rep_spec(leaf):
@@ -186,6 +230,7 @@ def build_tp_params(
     mesh: Mesh,
     block_n: int = 512,
     quantize_head: bool = False,
+    prefill_w8: bool = False,
 ) -> TPParams:
     """Build the mesh-sharded deploy layout from PLAIN (unfused, untiled)
     quantized params.
@@ -209,27 +254,30 @@ def build_tp_params(
     out_layers: dict = {}
     specs_layers: dict = {}
 
+    def put(name, res):
+        out_layers[name], specs_layers[name] = res[0], res[1]
+        if res[2] is not None:      # int8 prefill cache (prefill_w8)
+            out_layers[name + "_w8"] = res[2][0]
+            specs_layers[name + "_w8"] = res[2][1]
+
     qkv_parts = [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")]
     if all(isinstance(p, QLinear) for p in qkv_parts):
-        out_layers["wqkv"], specs_layers["wqkv"] = _col_parallel(
-            qkv_parts, tp, block_n)
+        put("wqkv", _col_parallel(qkv_parts, tp, block_n, prefill_w8))
     else:
         raise ValueError("deploy layout requires quantized q/k/v")
     if "gate" in layers:
         gu = [layers.pop("gate"), layers.pop("up")]
         if not all(isinstance(p, QLinear) for p in gu):
             raise ValueError("deploy layout requires quantized gate/up")
-        out_layers["wgateup"], specs_layers["wgateup"] = _col_parallel(
-            gu, tp, block_n)
+        put("wgateup", _col_parallel(gu, tp, block_n, prefill_w8))
     elif "up" in layers:
-        out_layers["up"], specs_layers["up"] = _col_parallel(
-            [layers.pop("up")], tp, block_n)
+        put("up", _col_parallel([layers.pop("up")], tp, block_n,
+                                prefill_w8))
     for name in ("wo", "down"):
         ql = layers.pop(name)
         if not isinstance(ql, QLinear):
             raise ValueError(f"deploy layout requires quantized {name}")
-        out_layers[name], specs_layers[name] = _row_parallel(
-            ql, tp, block_n)
+        put(name, _row_parallel(ql, tp, block_n, prefill_w8))
     for name, leaf in layers.items():          # norms, act_scale=None, ...
         if leaf is None:
             continue
@@ -254,7 +302,9 @@ def build_tp_params(
             if head.qweight.ndim != 2:
                 raise ValueError("lm_head must be a plain 2D QLinear")
             stacked = jax.tree_util.tree_map(lambda a: a[None], head)
-            out["lm_head"], specs["lm_head"] = _col_parallel(
+            # no w8 cache for the head: prefill computes last-token-only
+            # logits (m <= B, under the kernel's m >= 32 gate)
+            out["lm_head"], specs["lm_head"], _ = _col_parallel(
                 [stacked], tp, block_n)
         else:
             out["lm_head"] = head

@@ -81,7 +81,12 @@ class BatchEngine:
                     "BatchEngine requires a dp=1 mesh (slots are the "
                     f"batch axis); got {dict(shape)}")
             self.params = build_tp_params(
-                params, cfg, self.mesh, quantize_head=quantize_head)
+                params, cfg, self.mesh, quantize_head=quantize_head,
+                prefill_w8=getattr(runtime, "prefill_w8", False))
+            if getattr(runtime, "prefill_w8", False):
+                import dataclasses as _dc
+
+                self.cfg = cfg = _dc.replace(cfg, prefill_a8=True)
         else:
             if quantize_head:
                 params = _qhead(params, cfg)

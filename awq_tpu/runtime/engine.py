@@ -56,7 +56,12 @@ class InferenceEngine:
             tp = shape.get("tp", 1)
             self.params = build_tp_params(
                 params, cfg, self.mesh,
-                quantize_head=self.rt.quantize_head)
+                quantize_head=self.rt.quantize_head,
+                prefill_w8=self.rt.prefill_w8)
+            if self.rt.prefill_w8:
+                import dataclasses as _dc
+
+                self.cfg = cfg = _dc.replace(cfg, prefill_a8=True)
             if cache_dtype in ("int8", jnp.int8):
                 from awq_tpu.models.llama import init_kv_cache8
 

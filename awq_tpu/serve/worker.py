@@ -190,7 +190,7 @@ def main(argv=None) -> int:
         RuntimeConfig(max_seq_len=args.max_seq_len,
                       quantize_head=args.q_head,
                       mesh=parse_mesh_arg(args.mesh),
-                      prefill_w8=args.prefill_w8 and args.mesh is None),
+                      prefill_w8=args.prefill_w8),
         tokenizer=tok,
     )
     engine.warmup()

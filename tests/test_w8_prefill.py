@@ -150,3 +150,46 @@ def test_paged_engine_prefill_w8_plumbing():
     for _ in range(6):
         eng.step()
     assert rid in eng.finished
+
+
+def test_mesh_engine_prefill_w8_plumbing():
+    """TP deploy layout with prefill_w8: per-rank int8 caches ride the
+    sharded params (column-parallel on the N-block axis, row-parallel on
+    the IC axis with per-rank scol planes) and engine.generate() still
+    runs on the virtual mesh."""
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices (virtual CPU mesh)")
+    from awq_tpu.config import GenConfig, ModelConfig, QuantConfig, RuntimeConfig
+    from awq_tpu.models.llama import init_params, quantize_params
+    from awq_tpu.ops.w4a16 import W8Stack
+    from awq_tpu.parallel import MeshConfig, TPParams, make_mesh
+    from awq_tpu.runtime.engine import InferenceEngine
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=512, hidden_size=512,
+        intermediate_size=1024, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=128, max_position_embeddings=256, dtype="float32",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(0)),
+                             QuantConfig(w_bit=4, group_size=128))
+    mesh = make_mesh(MeshConfig(dp=1, tp=2), devices=jax.devices()[:2])
+    eng = InferenceEngine(
+        cfg, params,
+        RuntimeConfig(max_seq_len=256, quantize_head=True, mesh=mesh,
+                      prefill_w8=True),
+        cache_dtype=jnp.float32)
+    assert isinstance(eng.params, TPParams)
+    assert eng.cfg.prefill_a8
+    la = eng.params.params["layers"]
+    for name in ("wqkv", "wgateup", "wo", "down"):
+        assert isinstance(la[name + "_w8"], W8Stack), name
+    # column-parallel: global NB is 2 ranks' worth; row-parallel: scol
+    # carries one plane per rank
+    assert la["wqkv_w8"].w8.shape[1] == la["wqkv"].qweight.shape[1]
+    assert la["wo_w8"].scol.shape[2] == 2
+    assert la["wo_w8"].w8.shape[2] == cfg.hidden_size
+    out = eng.generate([5, 6, 7, 8], GenConfig(greedy=True,
+                                               max_new_tokens=3))
+    assert out["output_ids"].shape[-1] >= 1
