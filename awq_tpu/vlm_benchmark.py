@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     ap.add_argument("--precision", default="W4A16",
                     choices=["W4A16", "W16A16"])
     ap.add_argument("--vision_int8", action="store_true")
+    ap.add_argument("--prefill_w8", action="store_true",
+                    help="int8 prefill weight cache for the LLM's spliced "
+                         "prefill (W4A16 only)")
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--prompt_len", type=int, default=64)
@@ -79,12 +82,27 @@ def main(argv=None) -> int:
             p["lm_head"] = quantize_linear(
                 p["lm_head"].astype(jnp.float32), n_bit=qcfg.w_bit,
                 group_size=qcfg.group_size)
-            p = fuse_linears(p, lcfg)
-            if jax.default_backend() == "tpu":
-                p = strip_unfolded_qparams(p)
-            return p
+            return fuse_linears(p, lcfg)
 
         lparams = jax.jit(build)(jax.random.PRNGKey(1))
+        if args.prefill_w8:
+            # int8 prefill weight cache: the SPLICED prefill (text +
+            # image tokens, S in the hundreds) is exactly the m-range
+            # where the requant-free int8 path pays
+            import dataclasses
+
+            from awq_tpu.ops.w4a16 import QLinear, build_w8_stack
+
+            la = dict(lparams["layers"])
+            for nm2, pq in list(la.items()):
+                if (isinstance(pq, QLinear) and pq.folded and pq.tiled_bn
+                        and pq.w_bit == 4 and not pq.dense3
+                        and pq.qweight.ndim == 4):
+                    la[nm2 + "_w8"] = build_w8_stack(pq)
+            lparams = {**lparams, "layers": la}
+            lcfg = dataclasses.replace(lcfg, prefill_a8=True)
+        if jax.default_backend() == "tpu":
+            lparams = strip_unfolded_qparams(lparams)
     else:
         lparams = init_params(lcfg, jax.random.PRNGKey(1))
 
