@@ -1214,11 +1214,16 @@ def w8a8_matmul_stacked_tiled(x, w8, scol, layer_idx, block_m: int = 0):
     m, ic = x.shape
     n_layers, nb, ic2, bn = w8.shape
     assert ic2 == ic, (ic2, ic)
-    # VMEM: double-buffered int8 x [bm, IC] + w8 window [IC, bn] + f32 out
-    budget = 13 * 1024 * 1024
+    # VMEM: double-buffered int8 w8 window [IC, bn] + int8 x [bm, IC] +
+    # f32/bf16 out. The compiler's default 16 MB scoped cap would force
+    # bm=64 on the 11008-IC down matmul; physical VMEM is 128 MB, so
+    # size the cap to keep bm=512 (M-efficient MXU tiles).
+    budget = 30 * 1024 * 1024
     bm = min(block_m or 512, m if m % 256 == 0 else 512)
     while bm > 32 and 2 * ic * bn + 2 * bm * ic + 2 * bm * bn * 4 > budget:
         bm //= 2
+    vmem_limit = min(2 * ic * bn + 2 * bm * ic + 4 * bm * bn * 4
+                     + 8 * 1024 * 1024, 100 * 1024 * 1024)
     m_pad = -m % bm
     xq, sx = quant_per_token(x)
     sx = sx.astype(jnp.float32).reshape(-1, 1)
@@ -1243,6 +1248,7 @@ def w8a8_matmul_stacked_tiled(x, w8, scol, layer_idx, block_m: int = 0):
         out_shape=jax.ShapeDtypeStruct((xq.shape[0], nb * bn), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * xq.shape[0] * ic * nb * bn,
