@@ -127,16 +127,10 @@ def build_model(geometry: str, precision: str, load_quant, max_seq: int,
     params = fuse_linears(params, cfg, consume=True)
     if prefill_w8:
         # int8 prefill weight cache — must build before the strip below
-        # removes the unfolded scales (ops/w4a16.py::build_w8_stack)
-        from awq_tpu.ops.w4a16 import build_w8_stack
+        # removes the unfolded scales
+        from awq_tpu.ops.w4a16 import attach_w8_caches
 
-        la = dict(params["layers"])
-        for nm, p in list(la.items()):
-            if (isinstance(p, QLinear) and p.folded and p.tiled_bn
-                    and p.w_bit == 4 and not p.dense3
-                    and p.qweight.ndim == 4):
-                la[nm + "_w8"] = build_w8_stack(p)
-        params = {**params, "layers": la}
+        params = {**params, "layers": attach_w8_caches(params["layers"])}
     params = strip_unfolded_qparams(params)
     cache = init_kv_cache(cfg, 1, max_seq, jnp.bfloat16)
     return cfg, params, cache

@@ -389,7 +389,7 @@ def flash_decode_stacked(
 
 def _stacked_prefill_kernel(
     scalars_ref, q_ref, cache_ref, o_ref, kvbuf, kvsem,
-    *, block_t: int, block_q: int, scale: float, nbuf: int = 4,
+    *, block_t: int, block_q: int, scale: float, nbuf: int,
 ):
     """Flash attention for (chunked) prefill over the stacked cache.
 

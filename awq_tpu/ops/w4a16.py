@@ -1187,6 +1187,37 @@ def build_w8_stack(ql: QLinear) -> W8Stack:
     return W8Stack(w8=w8_acc, scol=scol_acc)
 
 
+def attach_w8_caches(layers: dict) -> dict:
+    """Return ``layers`` plus a ``<name>_w8`` :class:`W8Stack` for every
+    eligible stacked folded tiled 4-bit QLinear — the ONE shared
+    implementation of the ``prefill_w8`` attach step (engines,
+    benchmarks, demos). Layers whose unfolded scales were already
+    stripped are skipped with a warning (the in-kernel-requant a8 path
+    still serves them); callers flip ``cfg.prefill_a8`` themselves."""
+    import warnings
+
+    out = dict(layers)
+    for name, p in list(layers.items()):
+        if not (isinstance(p, QLinear) and p.folded and p.tiled_bn
+                and p.w_bit == 4 and not p.dense3 and p.qweight.ndim == 4):
+            continue
+        if p.scales.size <= 1:
+            warnings.warn(
+                f"prefill_w8: '{name}' has stripped scales "
+                "(strip_unfolded_qparams ran first) — no w8 cache built; "
+                "it stays on the in-kernel-requant a8 path")
+            continue
+        out[name + "_w8"] = build_w8_stack(p)
+    return out
+
+
+# minimum token count for the cached-int8 prefill path: below this the
+# M padding (bm rounds up to a power of two >= 32) plus the 2x weight
+# bytes of int8-vs-W4 can lose to the bf16 folded kernel. Unmeasured
+# below 256 — override per deployment like the a8 gate.
+_W8_MIN_M = int(__import__("os").environ.get("AWQ_TPU_W8_MIN_M", "32"))
+
+
 def _w8a8_kernel_stacked(idx_ref, xq_ref, sx_ref, w8_ref, scol_ref, o_ref,
                          *, out_dtype):
     """Pure int8 MXU dot over the cached prefill weights: both dequant
@@ -1219,7 +1250,9 @@ def w8a8_matmul_stacked_tiled(x, w8, scol, layer_idx, block_m: int = 0):
     # bm=64 on the 11008-IC down matmul; physical VMEM is 128 MB, so
     # size the cap to keep bm=512 (M-efficient MXU tiles).
     budget = 30 * 1024 * 1024
-    bm = min(block_m or 512, m if m % 256 == 0 else 512)
+    # round bm up to a power of two covering m (min 32): a 40-row
+    # admission prefill pads to 64 rows, not 512
+    bm = min(block_m or 512, max(32, 1 << (max(m, 1) - 1).bit_length()))
     while bm > 32 and 2 * ic * bn + 2 * bm * ic + 2 * bm * bn * 4 > budget:
         bm //= 2
     vmem_limit = min(2 * ic * bn + 2 * bm * ic + 4 * bm * bn * 4
@@ -1298,7 +1331,7 @@ def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
                 ql.szeros[layer_idx], ql.group_size, dense3=True,
             )
     elif jax.default_backend() == "tpu" and ql.tiled_bn and ql.folded:
-        if a8 and w8stack is not None and x2.shape[0] >= 32:
+        if a8 and w8stack is not None and x2.shape[0] >= _W8_MIN_M:
             out = w8a8_matmul_stacked_tiled(
                 x2, w8stack.w8, w8stack.scol, layer_idx,
             )

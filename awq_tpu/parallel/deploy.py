@@ -137,18 +137,55 @@ def _ql_spec(ql: QLinear, qw, s, bias) -> QLinear:
     )
 
 
+def _w8_assemble(locals_, axis: int):
+    """Per-rank W8Stacks assembled into the rank-order concat along
+    ``axis`` with a DONATED accumulator: peak HBM = global + one rank
+    shard. A plain jnp.concatenate holds global + every shard (~2x the
+    ~6.6 GB cache at 7B — the contended-chip OOM class the
+    build_w8_stack accumulator already avoids), and at tp=1 it is a
+    pure full-size copy."""
+    import functools as _ft
+
+    from awq_tpu.ops.w4a16 import W8Stack, build_w8_stack
+
+    first = build_w8_stack(locals_[0])
+    n = len(locals_)
+    if n == 1:
+        return first
+
+    @_ft.partial(jax.jit, donate_argnums=(0, 1))
+    def setr(gw, gs, w8_r, scol_r, r):
+        sw = [jnp.int32(0)] * gw.ndim
+        sw[axis] = r * w8_r.shape[axis]
+        ss = [jnp.int32(0)] * gs.ndim
+        ss[axis] = r * scol_r.shape[axis]
+        return (jax.lax.dynamic_update_slice(gw, w8_r, tuple(sw)),
+                jax.lax.dynamic_update_slice(gs, scol_r, tuple(ss)))
+
+    def gshape(a):
+        s = list(a.shape)
+        s[axis] *= n
+        return tuple(s)
+
+    gw = jnp.zeros(gshape(first.w8), first.w8.dtype)
+    gs = jnp.zeros(gshape(first.scol), first.scol.dtype)
+    gw, gs = setr(gw, gs, first.w8, first.scol, jnp.int32(0))
+    del first
+    for r in range(1, n):
+        s = build_w8_stack(locals_[r])
+        gw, gs = setr(gw, gs, s.w8, s.scol, jnp.int32(r))
+        del s
+    return W8Stack(w8=gw, scol=gs)
+
+
 def _w8_col(locals_, tp: int):
     """Per-rank int8 prefill caches for column-parallel shards: rank r's
     W8Stack is built from ITS local fold, ranks concatenate along the
     N-block axis — the exact analogue of the qweight assembly, so
     ``P(None, 'tp', None, None)`` hands each device its own cache."""
-    from awq_tpu.ops.w4a16 import W8Stack, build_w8_stack
+    from awq_tpu.ops.w4a16 import W8Stack
 
-    stacks = [build_w8_stack(t) for t in locals_]
-    glob = W8Stack(
-        w8=jnp.concatenate([s.w8 for s in stacks], axis=1),
-        scol=jnp.concatenate([s.scol for s in stacks], axis=1),
-    )
+    glob = _w8_assemble(locals_, axis=1)
     spec = W8Stack(
         w8=P(None, "tp", None, None) if tp > 1 else P(),
         scol=P(None, "tp", None, None) if tp > 1 else P(),
@@ -162,13 +199,9 @@ def _w8_row(locals_, tp: int):
     ITS local groups only — so scol concatenates on a rank axis
     ([L, NB, tp, bn]) and ``P(None, None, 'tp', None)`` hands each
     device its own [L, NB, 1, bn]."""
-    from awq_tpu.ops.w4a16 import W8Stack, build_w8_stack
+    from awq_tpu.ops.w4a16 import W8Stack
 
-    stacks = [build_w8_stack(t) for t in locals_]
-    glob = W8Stack(
-        w8=jnp.concatenate([s.w8 for s in stacks], axis=2),
-        scol=jnp.concatenate([s.scol for s in stacks], axis=2),
-    )
+    glob = _w8_assemble(locals_, axis=2)
     spec = W8Stack(
         w8=P(None, None, "tp", None) if tp > 1 else P(),
         scol=P(None, None, "tp", None) if tp > 1 else P(),

@@ -322,10 +322,17 @@ def tp_prefill_sp(
         cos, sin = rope_table(cfg, max_t)
         positions = start_pos + jnp.arange(s)
 
+        # SP prefill is always multi-token: honor cfg.prefill_a8 and the
+        # *_w8 int8 caches exactly like models/llama.py::lin (the TPParams
+        # ship the per-rank caches through shard_map either way)
+        a8 = cfg.prefill_a8
+
         def lin(name, idx, xx):
             p = layers_all[name]
             if isinstance(p, QLinear):
-                return qlinear_apply_stacked(p, idx, xx)
+                return qlinear_apply_stacked(
+                    p, idx, xx, a8=a8,
+                    w8stack=layers_all.get(name + "_w8") if a8 else None)
             lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
             return linear_apply(lp1, xx)
 

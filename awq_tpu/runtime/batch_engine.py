@@ -98,15 +98,11 @@ class BatchEngine:
                 # in-kernel requant and its minimum-length gate
                 import dataclasses as _dc
 
-                from awq_tpu.ops.w4a16 import QLinear, build_w8_stack
+                from awq_tpu.ops.w4a16 import attach_w8_caches
 
-                la = dict(self.params["layers"])
-                for name, p in list(la.items()):
-                    if (isinstance(p, QLinear) and p.folded and p.tiled_bn
-                            and p.w_bit == 4 and not p.dense3
-                            and p.qweight.ndim == 4 and p.scales.size > 1):
-                        la[name + "_w8"] = build_w8_stack(p)
-                self.params = {**self.params, "layers": la}
+                self.params = {
+                    **self.params,
+                    "layers": attach_w8_caches(self.params["layers"])}
                 self.cfg = cfg = _dc.replace(cfg, prefill_a8=True)
         self.n_slots = n_slots
         self._init_cache(cfg, n_slots, max_seq_len, cache_dtype)

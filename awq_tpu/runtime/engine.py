@@ -86,20 +86,15 @@ class InferenceEngine:
             params = quantize_head(params, cfg)
         self.params = fuse_linears(params, cfg)
         if self.rt.prefill_w8:
-            # TTFT mode: int8 prefill weight cache (must build while the
+            # TTFT mode: int8 prefill weight cache (built while the
             # unfolded scales are still present, i.e. before any
             # strip_unfolded_qparams by the caller)
             import dataclasses as _dc
 
-            from awq_tpu.ops.w4a16 import QLinear, build_w8_stack
+            from awq_tpu.ops.w4a16 import attach_w8_caches
 
-            la = dict(self.params["layers"])
-            for name, p in list(la.items()):
-                if (isinstance(p, QLinear) and p.folded and p.tiled_bn
-                        and p.w_bit == 4 and not p.dense3
-                        and p.qweight.ndim == 4 and p.scales.size > 1):
-                    la[name + "_w8"] = build_w8_stack(p)
-            self.params = {**self.params, "layers": la}
+            self.params = {**self.params,
+                           "layers": attach_w8_caches(self.params["layers"])}
             self.cfg = cfg = _dc.replace(cfg, prefill_a8=True)
         if cache_dtype in ("int8", jnp.int8):
             from awq_tpu.models.llama import init_kv_cache8

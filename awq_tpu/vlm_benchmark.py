@@ -91,15 +91,10 @@ def main(argv=None) -> int:
             # where the requant-free int8 path pays
             import dataclasses
 
-            from awq_tpu.ops.w4a16 import QLinear, build_w8_stack
+            from awq_tpu.ops.w4a16 import attach_w8_caches
 
-            la = dict(lparams["layers"])
-            for nm2, pq in list(la.items()):
-                if (isinstance(pq, QLinear) and pq.folded and pq.tiled_bn
-                        and pq.w_bit == 4 and not pq.dense3
-                        and pq.qweight.ndim == 4):
-                    la[nm2 + "_w8"] = build_w8_stack(pq)
-            lparams = {**lparams, "layers": la}
+            lparams = {**lparams,
+                       "layers": attach_w8_caches(lparams["layers"])}
             lcfg = dataclasses.replace(lcfg, prefill_a8=True)
         if jax.default_backend() == "tpu":
             lparams = strip_unfolded_qparams(lparams)

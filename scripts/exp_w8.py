@@ -31,9 +31,7 @@ def main(S=2048):
     params = init_qparams(cfg, QuantConfig(w_bit=4, group_size=128),
                           jax.random.PRNGKey(0))
     raw = fuse_linears(params, cfg)
-    from awq_tpu.ops.w4a16 import (
-        QLinear, build_w8_stack, strip_unfolded_qparams,
-    )
+    from awq_tpu.ops.w4a16 import strip_unfolded_qparams
 
     params = strip_unfolded_qparams(raw)
     cache = init_kv_cache(cfg, 1, max(S, 2048), jnp.bfloat16)
@@ -62,12 +60,10 @@ def main(S=2048):
 
     # build the w8 cache LAST: the +6.6 GB cache plus compile workspace
     # is what OOMs a contended chip when the control configs come after
-    la = dict(raw["layers"])
-    for nm, p in list(la.items()):
-        if (isinstance(p, QLinear) and p.folded and p.tiled_bn
-                and p.w_bit == 4 and not p.dense3 and p.qweight.ndim == 4):
-            la[nm + "_w8"] = build_w8_stack(p)
-    params_w8 = strip_unfolded_qparams({**raw, "layers": la})
+    from awq_tpu.ops.w4a16 import attach_w8_caches
+
+    params_w8 = strip_unfolded_qparams(
+        {**raw, "layers": attach_w8_caches(raw["layers"])})
     del raw
     jax.block_until_ready(params_w8["layers"]["wqkv_w8"].w8)
     run("w8", params_w8, True)

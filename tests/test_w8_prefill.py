@@ -193,3 +193,99 @@ def test_mesh_engine_prefill_w8_plumbing():
     out = eng.generate([5, 6, 7, 8], GenConfig(greedy=True,
                                                max_new_tokens=3))
     assert out["output_ids"].shape[-1] >= 1
+
+
+def test_tp_row_parallel_w8_numerics():
+    """The sharded row-parallel w8 construction computes the right
+    answer: per-rank kernel outputs (rank slices taken from the GLOBAL
+    assembled cache exactly as P(None,None,'tp',None) would) summed
+    across ranks match the unsharded bf16 folded path within the int8
+    budget. Catches wrong concat axes / scol plane selection that the
+    CPU-mesh plumbing test cannot (forward's w8 dispatch is TPU-only;
+    here the kernel runs in interpret mode directly)."""
+    from awq_tpu.ops.w4a16 import (
+        qlinear_apply_stacked, quantize_linear, tile_qlinear,
+        w8a8_matmul_stacked_tiled,
+    )
+    from awq_tpu.parallel.deploy import _row_parallel
+
+    ic, oc, L, tp = 256, 512, 2, 2
+    ks = jax.random.split(jax.random.PRNGKey(7), L)
+    qls = [quantize_linear(
+        jax.random.normal(k, (ic, oc), jnp.float32) * 0.05) for k in ks]
+    plain = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *qls)
+
+    glob_ql, _spec, w8pack = _row_parallel(plain, tp, block_n=256,
+                                           prefill_w8=True)
+    w8glob, _w8spec = w8pack
+    assert w8glob.w8.shape == (L, 2, ic, 256)
+    assert w8glob.scol.shape == (L, 2, tp, 256)
+
+    x = (jax.random.normal(jax.random.PRNGKey(9), (64, ic), jnp.float32)
+         * 0.3).astype(jnp.bfloat16)
+    icl = ic // tp
+    for layer in range(L):
+        # per-rank partial sums, rank slices as the NamedSharding takes
+        parts = []
+        for r in range(tp):
+            w8_r = w8glob.w8[:, :, r * icl:(r + 1) * icl, :]
+            scol_r = w8glob.scol[:, :, r:r + 1, :]
+            parts.append(w8a8_matmul_stacked_tiled(
+                x[:, r * icl:(r + 1) * icl], w8_r, scol_r,
+                jnp.int32(layer)))
+        got = np.asarray(sum(p.astype(jnp.float32) for p in parts))
+        ref = np.asarray(qlinear_apply_stacked(
+            tile_qlinear(plain, block_n=256, fold_scales=True),
+            jnp.int32(layer), x), np.float32)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got / scale, ref / scale, atol=0.05)
+
+
+def test_tp_col_parallel_w8_numerics():
+    """Column-parallel w8 shards: each rank's N-block slice of the
+    global cache reproduces its own local fold's bf16 output within the
+    int8 budget (rank column ORDER is the per-rank fused concat, so the
+    oracle is the rank-local QLinear, not a slice of the unsharded
+    fuse)."""
+    from awq_tpu.ops.w4a16 import (
+        qlinear_apply_stacked, quantize_linear, w8a8_matmul_stacked_tiled,
+    )
+    from awq_tpu.parallel.deploy import _col_parallel
+
+    ic, oc, L, tp = 256, 512, 2, 2
+    ks = jax.random.split(jax.random.PRNGKey(11), 3 * L).reshape(3, L, -1)
+    parts = []
+    for i in range(3):
+        qls = [quantize_linear(
+            jax.random.normal(k, (ic, oc), jnp.float32) * 0.05)
+            for k in ks[i]]
+        parts.append(jax.tree_util.tree_map(lambda *a: jnp.stack(a), *qls))
+
+    glob_ql, _spec, w8pack = _col_parallel(parts, tp, block_n=256,
+                                           prefill_w8=True)
+    w8glob, _w8spec = w8pack
+    nb = glob_ql.qweight.shape[1]
+    nbl = nb // tp
+    x = (jax.random.normal(jax.random.PRNGKey(13), (64, ic), jnp.float32)
+         * 0.3).astype(jnp.bfloat16)
+    for r in range(tp):
+        w8_r = w8glob.w8[:, r * nbl:(r + 1) * nbl]
+        scol_r = w8glob.scol[:, r * nbl:(r + 1) * nbl]
+        # rank-local bf16 oracle: NB slice of the global qweight, OC
+        # slice of the (rank-order concatenated) unfolded scales — the
+        # CPU fallback path reads them
+        import dataclasses as dc
+
+        ocl = nbl * glob_ql.tiled_bn
+        local_ql = dc.replace(
+            glob_ql,
+            qweight=glob_ql.qweight[:, r * nbl:(r + 1) * nbl],
+            scales=glob_ql.scales[..., r * ocl:(r + 1) * ocl],
+            szeros=glob_ql.szeros[..., r * ocl:(r + 1) * ocl],
+        )
+        got = np.asarray(w8a8_matmul_stacked_tiled(
+            x, w8_r, scol_r, jnp.int32(1)), np.float32)
+        ref = np.asarray(qlinear_apply_stacked(local_ql, jnp.int32(1), x),
+                         np.float32)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got / scale, ref / scale, atol=0.05)
