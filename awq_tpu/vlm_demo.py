@@ -44,15 +44,22 @@ def load_media(path: str, size: int) -> np.ndarray:
     return load_image(path, size)
 
 
-def _fuse_llm(model):
+def _fuse_llm(model, prefill_w8: bool = False):
     """Fuse+fold the LLM params so decode rides the whole-token
-    megakernel (ops/megakernel.py)."""
+    megakernel (ops/megakernel.py); optionally attach the int8 prefill
+    weight cache for the spliced (text+image) prefill."""
     import dataclasses
 
     from awq_tpu.models.llama import fuse_linears
 
-    return dataclasses.replace(
-        model, llm_params=fuse_linears(model.llm_params, model.llm_cfg))
+    lp = fuse_linears(model.llm_params, model.llm_cfg)
+    lcfg = model.llm_cfg
+    if prefill_w8:
+        from awq_tpu.ops.w4a16 import attach_w8_caches
+
+        lp = {**lp, "layers": attach_w8_caches(lp["layers"])}
+        lcfg = dataclasses.replace(lcfg, prefill_a8=True)
+    return dataclasses.replace(model, llm_params=lp, llm_cfg=lcfg)
 
 
 def main(argv=None) -> int:
@@ -67,6 +74,9 @@ def main(argv=None) -> int:
                     choices=["W4A16", "W16A16"])
     ap.add_argument("--q_group_size", type=int, default=128)
     ap.add_argument("--vision_int8", action="store_true")
+    ap.add_argument("--prefill_w8", action="store_true",
+                    help="int8 prefill weight cache for the spliced "
+                         "text+image prefill (W4A16 only)")
     ap.add_argument("--image", default=None, help="default image path")
     ap.add_argument("--video", default=None,
                     help="default video (frame dir or .npy stack)")
@@ -95,7 +105,7 @@ def main(argv=None) -> int:
     vlm = import_llava_model(
         args.model_path, quantize=quant, vision_int8=args.vision_int8
     )
-    vlm = _fuse_llm(vlm)
+    vlm = _fuse_llm(vlm, args.prefill_w8)
     print(f"[vlm] loaded in {time.perf_counter() - t0:.1f}s "
           f"(llm {vlm.llm_cfg.arch}, vision {vlm.vis_cfg.image_size}px"
           f"{', int8 tower' if args.vision_int8 else ''})")
@@ -170,7 +180,7 @@ def _nvila_repl(args) -> int:
     model = import_nvila_model(
         args.model_path, quantize=quant, vision_int8=args.vision_int8,
     )
-    model = _fuse_llm(model)
+    model = _fuse_llm(model, args.prefill_w8)
     print(f"[nvila] loaded in {time.perf_counter() - t0:.1f}s "
           f"(llm {model.llm_cfg.arch}, scales {model.s2_scales}"
           f"{', int8 tower' if args.vision_int8 else ''})")
@@ -245,7 +255,7 @@ def _internvl_repl(args) -> int:
     model = import_internvl3_model(
         args.model_path, quantize=quant, vision_int8=args.vision_int8,
     )
-    model = _fuse_llm(model)
+    model = _fuse_llm(model, args.prefill_w8)
     print(f"[internvl] loaded in {time.perf_counter() - t0:.1f}s "
           f"(llm {model.llm_cfg.arch}, {model.num_image_token} tok/tile"
           f"{', int8 tower' if args.vision_int8 else ''})")
