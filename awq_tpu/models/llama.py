@@ -573,6 +573,15 @@ def forward(
 
         use_cmega = chunk_megakernel_supported(cfg, params["layers"],
                                                cache, s)
+    use_tpmega = False
+    if (tp_axis is not None and s == 1 and b == 1
+            and cfg.pos_embed == "rope" and max_t % 256 == 0
+            and (jax.default_backend() == "tpu"
+                 or _os.environ.get("AWQ_TPU_TP_MEGAKERNEL") == "1")
+            and _os.environ.get("AWQ_TPU_DISABLE_MEGAKERNEL") != "1"):
+        from awq_tpu.ops.megakernel_tp import tp_megakernel_supported
+
+        use_tpmega = tp_megakernel_supported(cfg, params["layers"], cache)
     if use_mega:
         # whole-token megakernel: ONE Pallas call runs ALL layers
         # (norm->qkv->rope->flash-attn->o->norm->gate/up->silu->down per
@@ -615,6 +624,58 @@ def forward(
             hn, ks_new, vs_new = res
             mega_logits = None
         h = hn[:, None, :]
+        kv = jnp.stack([ks_new, vs_new], axis=1)[
+            :, :, None, :, :]                  # [L, 2, 1, n_kv, hd] fp
+        if is_q8:
+            kvq, kvs = quantize_kv(kv)
+            new_cache = KVCache8(
+                data=jax.lax.dynamic_update_slice(
+                    cache.data, kvq[..., None, :],
+                    (0, 0, 0, 0, start_pos, 0)),
+                scales=jax.lax.dynamic_update_slice(
+                    cache.scales, kvs[..., None],
+                    (0, 0, 0, 0, start_pos)),
+            )
+        else:
+            new_cache = jax.lax.dynamic_update_slice(
+                cache, kv[..., None, :].astype(cache.dtype),
+                (0, 0, 0, 0, start_pos, 0),
+            )
+    elif use_tpmega:
+        # TP half-layer megakernels: 2 Pallas launches + 2 psums per
+        # layer (ops/megakernel_tp.py) — each rank streams its deploy-
+        # layout shard at the single-chip streaming rate instead of
+        # falling back to the 5-kernel/layer path. Appends are deferred
+        # to ONE batched update after the scan, as in the token kernel.
+        from awq_tpu.ops.megakernel_tp import (
+            w4a16_llama_attn_half,
+            w4a16_llama_mlp_half,
+        )
+
+        la = params["layers"]
+        cos_row = cos[positions[0]]
+        sin_row = sin[positions[0]]
+        interp = jax.default_backend() != "tpu"
+
+        def body(hrow, idx):
+            o_part, k1, v1 = w4a16_llama_attn_half(
+                hrow, la["wqkv"], la["wo"], la["ln1"], cos_row, sin_row,
+                cache.data if is_q8 else cache, idx, start_pos,
+                nq=cfg.num_heads, nkv=cfg.num_kv_heads, eps=cfg.rms_eps,
+                cache_scales=cache.scales if is_q8 else None,
+                interpret=interp,
+            )
+            h1 = hrow.astype(jnp.float32) + jax.lax.psum(o_part, tp_axis)
+            m_part = w4a16_llama_mlp_half(
+                h1, la["wgateup"], la["down"], la["ln2"], idx,
+                eps=cfg.rms_eps, interpret=interp,
+            )
+            hn = h1 + jax.lax.psum(m_part, tp_axis)
+            return hn.astype(dt), (k1, v1)
+
+        hrow, (ks_new, vs_new) = jax.lax.scan(
+            body, h[:, 0], jnp.arange(cfg.num_layers))
+        h = hrow[:, None, :]
         kv = jnp.stack([ks_new, vs_new], axis=1)[
             :, :, None, :, :]                  # [L, 2, 1, n_kv, hd] fp
         if is_q8:

@@ -325,36 +325,15 @@ def _rope_rows(x, cos, sin):
     return x * cos + rot * sin
 
 
-def _layer_phases(
-    layer, base2, h_rows, ln1_row, ln2_row, bq_row, length, cs_ref,
-    weights, cache_ref, kvs_ref, kv_store,
-    xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s, p_s,
-    wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
-    *, dims, unpack="bf16", tail_dma=None,
-):
-    """Phases 1-5 of one decoder layer. ``h_rows``/``ln*_row`` are
-    ``[ngh, 128]``-shaped values; ``base2`` is the (traced) wbuf slot
-    parity at the start of this layer's block stream; ``kv_store(k, v)``
-    consumes the new cache row; ``tail_dma(nxt_slot)`` (if given) is
-    invoked on the LAST block's iteration to prefetch the next layer's
-    first block. Returns the new residual rows [ngh, 128] f32.
-
-    ``layer`` indexes the stacked weight/cache arrays; block 0 of phase 0
-    must already be in flight (kernel prologue or previous tail_dma)."""
-    d = dims
-    nq, nkv, hd, eps = d["nq"], d["nkv"], d["hd"], d["eps"]
-    ngh, ngi = d["ngh"], d["ngi"]          # groups of H and I reductions
-    bt, hc = d["bt"], d["hc"]
-    grp = nq // nkv
-
-    # static phase table: (hbm ref, out blocks, folded rows, n_g, bn)
-    phases = [
-        (weights[0], d["NBQ"], d["rq"], ngh, d["bnq"]),
-        (weights[1], d["NBO"], d["ro"], ngh, d["bno"]),
-        (weights[2], d["NBG"], d["rg"], ngh, d["bng"]),
-        (weights[3], d["NBD"], d["rd"], ngi, d["bnd"]),
-    ]
-    # static block-count offset of each phase within the layer's stream
+def _make_phase_runner(layer, base2, phases, wbuf, wsem, p_s,
+                       dims, unpack, tail_dma=None):
+    """Build the double-buffered weight-stream loop over a static phase
+    table ``[(hbm ref, out blocks, folded rows, n_g, bn), ...]``.
+    ``base2`` is the (traced) wbuf slot parity at the start of this
+    table's block stream; ``tail_dma(nxt_slot)`` (if given) runs on the
+    LAST phase's last block to prefetch whatever streams next. Block 0
+    of phase 0 must already be in flight when run_phase(0) is called."""
+    # static block-count offset of each phase within the stream
     offs = [0]
     for _, nb, _, _, _ in phases:
         offs.append(offs[-1] + nb)
@@ -404,6 +383,37 @@ def _layer_phases(
                     -xsums[0:1, g:g + 1], (1, bn))
 
         jax.lax.fori_loop(0, nb, body, 0, unroll=False)
+
+    return run_phase
+
+
+def _attn_phases(
+    layer, base2, h_rows, ln1_row, bq_row, length, cs_ref,
+    wq_hbm, wo_hbm, cache_ref, kvs_ref, kv_store,
+    xq_s, qkv_s, xo_s, oacc_s, xsum_s, p_s,
+    wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
+    *, dims, unpack="bf16", tail_dma=None,
+):
+    """Phases 1-3 of a decoder layer: rmsnorm -> fused QKV -> rope ->
+    flash attention over the cache -> o-proj. Fills ``oacc_s`` with the
+    o-proj OUTPUT only — no residual add, so under tensor parallelism
+    (ops/megakernel_tp.py) ``oacc_s`` is the rank-local PARTIAL sum the
+    caller psums. ``h_rows``/``ln1_row`` are ``[ngh, 128]``-shaped
+    values; ``layer`` indexes the stacked weight/cache arrays; block 0
+    of the QKV stream must already be in flight."""
+    d = dims
+    nq, nkv, hd, eps = d["nq"], d["nkv"], d["hd"], d["eps"]
+    ngh, ngo = d["ngh"], d["ngo"]      # groups of H and nq*hd reductions
+    bt, hc = d["bt"], d["hc"]
+    grp = nq // nkv
+
+    # static phase table: (hbm ref, out blocks, folded rows, n_g, bn)
+    phases = [
+        (wq_hbm, d["NBQ"], d["rq"], ngh, d["bnq"]),
+        (wo_hbm, d["NBO"], d["ro"], ngo, d["bno"]),
+    ]
+    run_phase = _make_phase_runner(layer, base2, phases, wbuf, wsem, p_s,
+                                   dims, unpack, tail_dma)
 
     # ---- phase 1: rmsnorm + fused QKV matmul --------------------------------
     xn = _rms_rows(h_rows, ln1_row, eps)
@@ -520,21 +530,41 @@ def _layer_phases(
 
     for c in range(n_chunks):
         chunk_body(c)
-    xsum_s[1:2, :ngh] = _row_sums(xo_s, ngh)
+    xsum_s[1:2, :ngo] = _row_sums(xo_s, ngo)
 
     # ---- phase 3: o-proj ----------------------------------------------------
-    run_phase(1, xo_s, xsum_s[1:2, :ngh],
+    run_phase(1, xo_s, xsum_s[1:2, :ngo],
               lambda acc, j: _store_block(oacc_s, acc, j, d["bno"]))
 
-    # ---- phase 4: residual + norm2 + gate/up --------------------------------
-    h1_s[:, :] = h_rows.astype(jnp.float32) + oacc_s[:, :]
-    xm = _rms_rows(h1_s, ln2_row, eps)
+
+def _mlp_phases(
+    layer, base2, h1_rows, ln2_row,
+    wg_hbm, wd_hbm,
+    xq_s, gu_s, hm_s, oacc_s, xsum_s, p_s, wbuf, wsem,
+    *, dims, unpack="bf16", tail_dma=None,
+):
+    """Phases 4-5 of a decoder layer: rmsnorm -> gate/up -> SwiGLU ->
+    down. Fills ``oacc_s`` with the down OUTPUT only — no residual add
+    (the TP half-kernel psums it). ``h1_rows`` is the post-attention
+    residual value [ngh, 128] f32; block 0 of the gate/up stream must
+    already be in flight (the attn half's tail_dma or a prologue)."""
+    d = dims
+    ngh, ngi = d["ngh"], d["ngi"]
+    phases = [
+        (wg_hbm, d["NBG"], d["rg"], ngh, d["bng"]),
+        (wd_hbm, d["NBD"], d["rd"], ngi, d["bnd"]),
+    ]
+    run_phase = _make_phase_runner(layer, base2, phases, wbuf, wsem, p_s,
+                                   dims, unpack, tail_dma)
+
+    # ---- phase 4: norm2 + gate/up --------------------------------------------
+    xm = _rms_rows(h1_rows, ln2_row, d["eps"])
     xq_s[:, :] = xm                                   # reuse xq as xm
     xsum_s[2:3, :ngh] = _row_sums(xm, ngh)
-    run_phase(2, xq_s, xsum_s[2:3, :ngh],
+    run_phase(0, xq_s, xsum_s[2:3, :ngh],
               lambda acc, j: _store_block(gu_s, acc, j, d["bng"]))
 
-    # ---- phase 5: SwiGLU + down + residual ----------------------------------
+    # ---- phase 5: SwiGLU + down ----------------------------------------------
     ir = ngi            # intermediate rows = I/128
     gate = gu_s[:ir, :]
     up = gu_s[ir:2 * ir, :]
@@ -543,8 +573,51 @@ def _layer_phases(
     xsum_s[3:4, :ngi] = _row_sums(hm, ngi)
     # accumulate in f32 scratch; a partial bf16 store at a dynamic row
     # offset violates the (2,128) sublane packing (Mosaic rejects it)
-    run_phase(3, hm_s, xsum_s[3:4, :ngi],
+    run_phase(1, hm_s, xsum_s[3:4, :ngi],
               lambda acc, j: _store_block(oacc_s, acc, j, d["bnd"]))
+
+
+def _layer_phases(
+    layer, base2, h_rows, ln1_row, ln2_row, bq_row, length, cs_ref,
+    weights, cache_ref, kvs_ref, kv_store,
+    xq_s, qkv_s, xo_s, h1_s, gu_s, hm_s, oacc_s, xsum_s, p_s,
+    wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
+    *, dims, unpack="bf16", tail_dma=None,
+):
+    """Phases 1-5 of one decoder layer (attn half + residual + MLP half).
+    ``h_rows``/``ln*_row`` are ``[ngh, 128]``-shaped values; ``base2`` is
+    the (traced) wbuf slot parity at the start of this layer's block
+    stream; ``kv_store(k, v)`` consumes the new cache row;
+    ``tail_dma(nxt_slot)`` (if given) is invoked on the LAST block's
+    iteration to prefetch the next layer's first block. Returns the new
+    residual rows [ngh, 128] f32.
+
+    ``layer`` indexes the stacked weight/cache arrays; block 0 of phase 0
+    must already be in flight (kernel prologue or previous tail_dma)."""
+    d = dims
+
+    def attn_tail(nxt):
+        # cross-half prefetch: the o phase's last block starts the
+        # gate/up stream's block 0
+        pltpu.make_async_copy(
+            weights[2].at[layer, 0],
+            wbuf.at[nxt, 0:d["rg"], 0:d["bng"]], wsem.at[nxt],
+        ).start()
+
+    _attn_phases(
+        layer, base2, h_rows, ln1_row, bq_row, length, cs_ref,
+        weights[0], weights[1], cache_ref, kvs_ref, kv_store,
+        xq_s, qkv_s, xo_s, oacc_s, xsum_s, p_s,
+        wbuf, kbuf, vbuf, ksbuf, vsbuf, wsem, ksem, vsem, kssem, vssem,
+        dims=dims, unpack=unpack, tail_dma=attn_tail,
+    )
+    h1_s[:, :] = h_rows.astype(jnp.float32) + oacc_s[:, :]
+    _mlp_phases(
+        layer, base2 + d["NBQ"] + d["NBO"], h1_s[:, :], ln2_row,
+        weights[2], weights[3],
+        xq_s, gu_s, hm_s, oacc_s, xsum_s, p_s, wbuf, wsem,
+        dims=dims, unpack=unpack, tail_dma=tail_dma,
+    )
     return h1_s[:, :] + oacc_s[:, :]
 
 
@@ -707,7 +780,9 @@ def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
         bnd=wdn.tiled_bn,
         rq=wqkv.qweight.shape[2], ro=wo.qweight.shape[2],
         rg=wgu.qweight.shape[2], rd=wdn.qweight.shape[2],
-        ngh=H // 128, ngi=I // 128,
+        # ngo = o-proj input groups (nq*hd/128): == ngh single-chip, but
+        # SMALLER under TP where nq is the per-rank head count
+        ngh=H // 128, ngi=I // 128, ngo=nq * hd // 128,
         bt=bt, hc=hc, T=t, q8=q8,
     )
 
@@ -721,7 +796,7 @@ def _scratches(dims, cache_dtype, nq, nkv, hd):
     return [
         pltpu.VMEM((ngh, 128), jnp.float32),                 # xq / xm
         pltpu.VMEM((nq + 2 * nkv, hd), jnp.float32),         # qkv rows
-        pltpu.VMEM((ngh, 128), jnp.float32),                 # xo (attn)
+        pltpu.VMEM((dims["ngo"], 128), jnp.float32),         # xo (attn)
         pltpu.VMEM((ngh, 128), jnp.float32),                 # h1
         pltpu.VMEM((2 * ngi, 128), jnp.float32),             # gate|up
         pltpu.VMEM((ngi, 128), jnp.float32),                 # hm
