@@ -290,7 +290,7 @@ def flash_decode_stacked8(
             pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, 1, nb, block_t),
                          lambda i, j, l: (l[0], i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, nb, block_t),
@@ -362,7 +362,7 @@ def flash_decode_stacked(
             pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
         scratch_shapes=[
@@ -535,7 +535,7 @@ def flash_prefill_stacked(
         grid=(b, n_q, qt.shape[1] // bq),
         in_specs=[
             pl.BlockSpec((1, bq, hd), lambda i, j, k, *_: (i, k, j)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, bq, hd),
                                lambda i, j, k, *_: (i, k, j)),
@@ -589,8 +589,8 @@ def flash_decode(
         grid=(b, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
         scratch_shapes=[
@@ -740,7 +740,7 @@ def flash_decode_paged(
             pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
         scratch_shapes=[
