@@ -1233,13 +1233,15 @@ def decode_step_batched(
     return _head_logits(params, h, dt)[:, 0], cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"),
+                   donate_argnums=(3,))
 def verify_step_batched(
     params: Params,
     cfg: ModelConfig,
     windows: jax.Array,         # [B, W] int32: [cur_token, d1..d_{W-1}]
-    cache: jax.Array,           # [L, 2, B, n_kv, T, hd] plain fp cache
+    cache,                      # [L, 2, B, n_kv, T, hd] fp or KVCache8
     lengths: jax.Array,         # [B] per-row write positions
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One speculative VERIFY step for a batch: every row's ``W``-token
     window forwards at its own positions, returning ``logits [B, W, V]``
@@ -1253,13 +1255,27 @@ def verify_step_batched(
     optimistically — the static cache masks by length, so rejected rows
     are dead until overwritten (same rollback-free design as batch-1).
     No reference counterpart: TinyChat decodes one token per forward.
+
+    ``tp_axis``: running inside ``shard_map`` with LOCAL cfg/shards, same
+    contract as :func:`decode_step_batched` — Megatron psums after
+    wo/down, masked-psum embedding, vocab-sharded logits out. An int8
+    ``KVCache8`` composes too: window k/v rows quantize before append and
+    the prefix dequantizes in the attention read.
     """
     b, w = windows.shape
     dt = _dtype(cfg)
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    assert not isinstance(cache, KVCache8), "spec verify: fp cache only"
+    is_q8 = isinstance(cache, KVCache8)
     max_t = cache_seq_len(cache)
-    h = params["embed"][windows].astype(dt)              # [B, W, H]
+    if tp_axis is not None and params["embed"].shape[0] != cfg.vocab_size:
+        emb = params["embed"]
+        shard = emb.shape[0]
+        loc = windows - jax.lax.axis_index(tp_axis) * shard
+        ok = (loc >= 0) & (loc < shard)
+        h = jnp.where(ok[..., None], emb[jnp.clip(loc, 0, shard - 1)], 0)
+        h = jax.lax.psum(h, tp_axis).astype(dt)
+    else:
+        h = params["embed"][windows].astype(dt)          # [B, W, H]
     cos, sin = rope_table(cfg, max_t)
     positions = lengths[:, None] + jnp.arange(w)[None]   # [B, W]
 
@@ -1282,15 +1298,43 @@ def verify_step_batched(
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
         return linear_apply(lp1, xx)
 
-    def xla_attn(q, k_new, v_new, kc, vc):
+    def lin_row(name, idx, xx):
+        """Row-parallel linear under explicit TP: psum the IC-sharded
+        partial sum, bias added once after (mirrors forward())."""
+        if tp_axis is None:
+            return lin(name, idx, xx)
+        import dataclasses as _dc
+
+        p = layers_all[name]
+        bias = None
+        if isinstance(p, QLinear):
+            if p.bias is not None:
+                bias, p = p.bias[idx], _dc.replace(p, bias=None)
+            out = qlinear_apply_stacked(p, idx, xx)
+        else:
+            lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
+            if getattr(lp1, "b", None) is not None:
+                bias, lp1 = lp1.b, _dc.replace(lp1, b=None)
+            out = linear_apply(lp1, xx)
+        out = jax.lax.psum(out, tp_axis)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
+    def xla_attn(q, k_new, v_new, kc, vc, ksc=None, vsc=None):
         """q/k_new/v_new [B, W, n*, hd]; prefix cache kc/vc
-        [B, n_kv, T, hd]. Per-row prefix mask (t < lengths[b]) plus an
-        in-window causal tail."""
+        [B, n_kv, T, hd] (int8 with per-position scales ksc/vsc
+        [B, n_kv, T] when the cache is a KVCache8). Per-row prefix mask
+        (t < lengths[b]) plus an in-window causal tail."""
         groups = nq // nkv
+        kcf = kc.astype(jnp.float32)
+        vcf = vc.astype(jnp.float32)
+        if ksc is not None:
+            kcf = kcf * ksc[..., None]
+            vcf = vcf * vsc[..., None]
         qf = jnp.swapaxes(q, 1, 2).reshape(b, nkv, groups, w, hd) \
             .astype(jnp.float32)
-        scores = jnp.einsum("bkgwh,bkth->bkgwt", qf,
-                            kc.astype(jnp.float32)) / jnp.sqrt(hd)
+        scores = jnp.einsum("bkgwh,bkth->bkgwt", qf, kcf) / jnp.sqrt(hd)
         mask = jnp.arange(max_t)[None, None, None, None, :] < \
             lengths[:, None, None, None, None]
         scores = jnp.where(mask, scores, -jnp.inf)
@@ -1301,8 +1345,7 @@ def verify_step_batched(
         scores = jnp.concatenate([scores, s_win], axis=-1)
         p = jax.nn.softmax(scores, axis=-1)
         vw = jnp.swapaxes(v_new, 1, 2).astype(jnp.float32)
-        o = jnp.einsum("bkgwt,bkth->bkgwh", p[..., :max_t],
-                       vc.astype(jnp.float32)) \
+        o = jnp.einsum("bkgwt,bkth->bkgwh", p[..., :max_t], vcf) \
             + jnp.einsum("bkgwj,bkjh->bkgwh", p[..., max_t:], vw)
         return jnp.swapaxes(o.reshape(b, nq, w, hd), 1, 2) \
             .reshape(b, w, nq * hd).astype(dt)
@@ -1323,8 +1366,12 @@ def verify_step_batched(
             v = lin("wv", idx, x).reshape(b, w, nkv, hd)
         if cfg.pos_embed == "rope":
             q, k = apply_rope(q, k, cos, sin, positions)
-        attn = xla_attn(q, k, v, cache[idx, 0], cache[idx, 1])
-        attn_out = lin("wo", idx, attn)
+        if is_q8:
+            attn = xla_attn(q, k, v, cache.data[idx, 0], cache.data[idx, 1],
+                            cache.scales[idx, 0], cache.scales[idx, 1])
+        else:
+            attn = xla_attn(q, k, v, cache[idx, 0], cache[idx, 1])
+        attn_out = lin_row("wo", idx, attn)
         if cfg.parallel_block:
             xm = x if cfg.single_ln else _norm(cfg, h, lp["ln2"],
                                                lp.get("ln2_b"))
@@ -1347,25 +1394,44 @@ def verify_step_batched(
             if lp.get("act_scale") is not None:
                 hm = (hm.astype(jnp.float32) / lp["act_scale"]
                       ).astype(hm.dtype)
-        m = lin("down", idx, hm)
+        m = lin_row("down", idx, hm)
         h = (h + attn_out + m) if cfg.parallel_block else (h + m)
         # [2, B, n_kv, W, hd]
         kv_new = jnp.stack([jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)])
-        return (h, cache), kv_new.astype(cache.dtype)
+        # q8 caches quantize AFTER the scan (scales need the fp values)
+        return (h, cache), kv_new.astype(
+            jnp.float32 if is_q8 else cache.dtype)
 
     (h, cache), kv_all = jax.lax.scan(
         body, (h, cache), jnp.arange(cfg.num_layers)
     )
     # per-row window append (B static slices; kv_all [L, 2, B, n_kv, W, hd])
-    for i in range(b):
-        row = kv_all[:, :, i][:, :, None]
-        cache = jax.lax.dynamic_update_slice(
-            cache, row, (0, 0, i, 0, lengths[i], 0))
+    if is_q8:
+        kf = kv_all.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(kf), axis=-1)           # [L,2,B,n_kv,W]
+        sc = jnp.maximum(absmax, 1e-6) / 127.0
+        kq = jnp.clip(jnp.round(kf / sc[..., None]),
+                      -127, 127).astype(jnp.int8)
+        for i in range(b):
+            cache = KVCache8(
+                data=jax.lax.dynamic_update_slice(
+                    cache.data, kq[:, :, i][:, :, None],
+                    (0, 0, i, 0, lengths[i], 0)),
+                scales=jax.lax.dynamic_update_slice(
+                    cache.scales, sc[:, :, i][:, :, None],
+                    (0, 0, i, 0, lengths[i])),
+            )
+    else:
+        for i in range(b):
+            row = kv_all[:, :, i][:, :, None]
+            cache = jax.lax.dynamic_update_slice(
+                cache, row, (0, 0, i, 0, lengths[i], 0))
     h = _norm(cfg, h, params["norm"], params.get("norm_b"))
     return _head_logits(params, h, dt), cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"),
+                   donate_argnums=(3,))
 def decode_step_paged(
     params: Params,
     cfg: ModelConfig,
@@ -1373,6 +1439,7 @@ def decode_step_paged(
     pool: jax.Array,            # [L, 2, n_pages, n_kv, page, hd] page pool
     tables: jax.Array,          # [B, max_pages] int32 physical page ids
     lengths: jax.Array,         # [B] current per-row lengths (write pos)
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One decode step over a PAGED KV cache: row ``b``'s positions
     ``[0, lengths[b])`` live in pages ``tables[b]`` of the shared pool.
@@ -1391,7 +1458,15 @@ def decode_step_paged(
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     page = pool.shape[4]
     max_t = tables.shape[1] * page
-    h = params["embed"][tokens][:, None].astype(dt)      # [B, 1, H]
+    if tp_axis is not None and params["embed"].shape[0] != cfg.vocab_size:
+        emb = params["embed"]
+        shard = emb.shape[0]
+        loc = tokens - jax.lax.axis_index(tp_axis) * shard
+        ok = (loc >= 0) & (loc < shard)
+        h = jnp.where(ok[..., None], emb[jnp.clip(loc, 0, shard - 1)], 0)
+        h = jax.lax.psum(h, tp_axis)[:, None].astype(dt)
+    else:
+        h = params["embed"][tokens][:, None].astype(dt)  # [B, 1, H]
     cos, sin = rope_table(cfg, max_t)
     positions = lengths[:, None]                         # [B, 1]
 
@@ -1413,6 +1488,7 @@ def decode_step_paged(
     use_pmega = False
     if (on_tpu and cfg.pos_embed == "rope" and cfg.norm == "rmsnorm"
             and cfg.act == "silu" and not cfg.parallel_block
+            and tp_axis is None
             and _os.environ.get("AWQ_TPU_DISABLE_MEGAKERNEL") != "1"):
         from awq_tpu.ops.megakernel_batched import (
             megakernel_paged_supported,
@@ -1467,7 +1543,31 @@ def decode_step_paged(
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
         return linear_apply(lp1, xx)
 
+    def lin_row(name, idx, xx):
+        """Row-parallel linear under explicit TP: psum the IC-sharded
+        partial sum, bias added once after (mirrors forward())."""
+        if tp_axis is None:
+            return lin(name, idx, xx)
+        import dataclasses as _dc
+
+        p = layers_all[name]
+        bias = None
+        if isinstance(p, QLinear):
+            if p.bias is not None:
+                bias, p = p.bias[idx], _dc.replace(p, bias=None)
+            out = qlinear_apply_stacked(p, idx, xx)
+        else:
+            lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
+            if getattr(lp1, "b", None) is not None:
+                bias, lp1 = lp1.b, _dc.replace(lp1, b=None)
+            out = linear_apply(lp1, xx)
+        out = jax.lax.psum(out, tp_axis)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
     if cfg.pos_embed == "alibi":
+        assert tp_axis is None, "tp_axis does not support ALiBi archs"
         from awq_tpu.models.layers import alibi_slopes
 
         slopes = alibi_slopes(cfg.num_heads).reshape(
@@ -1535,7 +1635,7 @@ def decode_step_paged(
             vc = jnp.swapaxes(pool[idx, 1][tables], 1, 2) \
                 .reshape(b, nkv, max_t, hd)
             attn = xla_attn(q, k[:, 0], v[:, 0], kc, vc)
-        attn_out = lin("wo", idx, attn)
+        attn_out = lin_row("wo", idx, attn)
         if cfg.parallel_block:
             xm = x if cfg.single_ln else _norm(cfg, h, lp["ln2"],
                                                lp.get("ln2_b"))
@@ -1562,7 +1662,7 @@ def decode_step_paged(
             if lp.get("act_scale") is not None:
                 hm = (hm.astype(jnp.float32) / lp["act_scale"]
                       ).astype(hm.dtype)
-        m = lin("down", idx, hm)
+        m = lin_row("down", idx, hm)
         h = (h + attn_out + m) if cfg.parallel_block else (h + m)
         kv_new = jnp.stack([k[:, 0], v[:, 0]]).astype(pool.dtype)
         return (h, pool), kv_new                     # ys: [2, B, n_kv, hd]

@@ -18,7 +18,9 @@ from awq_tpu.parallel.tp import (  # noqa: F401
     check_tp_compatible,
     tp_decode_scan,
     tp_decode_step_batched,
+    tp_decode_step_paged,
     tp_forward,
     tp_local_cfg,
     tp_prefill_sp,
+    tp_verify_step_batched,
 )

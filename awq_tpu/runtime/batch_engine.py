@@ -108,7 +108,6 @@ class BatchEngine:
         self._init_cache(cfg, n_slots, max_seq_len, cache_dtype)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as _P
-            from awq_tpu.parallel.tp import cache_specs
 
             tp = dict(zip(self.mesh.axis_names,
                           self.mesh.devices.shape)).get("tp", 1)
@@ -116,7 +115,7 @@ class BatchEngine:
                 self.cache,
                 jax.tree_util.tree_map(
                     lambda s: NamedSharding(self.mesh, s),
-                    cache_specs(self.cache, shard_kv=tp > 1),
+                    self._cache_pspecs(tp),
                     is_leaf=lambda x: isinstance(x, _P)))
         self.lengths = np.zeros(n_slots, np.int32)     # host copy
         self.tokens = np.zeros(n_slots, np.int32)      # next input per slot
@@ -132,6 +131,11 @@ class BatchEngine:
         self._key = jax.random.PRNGKey(0)
 
     # ---- cache strategy (overridden by PagedBatchEngine) ------------------
+
+    def _cache_pspecs(self, tp: int):
+        from awq_tpu.parallel.tp import cache_specs
+
+        return cache_specs(self.cache, shard_kv=tp > 1)
 
     def _init_cache(self, cfg, n_slots, max_seq_len, cache_dtype) -> None:
         if cache_dtype in ("int8", jnp.int8):
@@ -270,13 +274,12 @@ class BatchEngine:
     # ---- speculative verify ------------------------------------------------
 
     def _spec_eligible(self, active) -> bool:
-        if not self.spec_k or self.mesh is not None:
+        # contiguous caches only (fp OR int8; the verify step quantizes
+        # window rows on append) — the paged engine overrides this off.
+        # A tp mesh composes: _step_spec routes through
+        # tp_verify_step_batched.
+        if not self.spec_k:
             return False
-        from awq_tpu.models.llama import KVCache8
-
-        if isinstance(self.cache, KVCache8) or not hasattr(
-                self.cache, "shape"):
-            return False        # fp contiguous cache only (no paged/int8)
         w = self.spec_k + 1
         return all(self.slots[i].gen.greedy
                    and self.lengths[i] + w <= self.max_seq
@@ -300,10 +303,18 @@ class BatchEngine:
             drafts[i, :len(d)] = d
             draft_len[i] = len(d)
         windows = np.concatenate([self.tokens[:, None], drafts], axis=1)
-        logits, self.cache = verify_step_batched(
-            self.params, self.cfg, jnp.asarray(windows), self.cache,
-            jnp.asarray(self.lengths),
-        )
+        if self.mesh is not None:
+            from awq_tpu.parallel import tp_verify_step_batched
+
+            logits, self.cache = tp_verify_step_batched(
+                self.params, self.cfg, jnp.asarray(windows), self.cache,
+                jnp.asarray(self.lengths), self.mesh,
+            )
+        else:
+            logits, self.cache = verify_step_batched(
+                self.params, self.cfg, jnp.asarray(windows), self.cache,
+                jnp.asarray(self.lengths),
+            )
         greedy = np.asarray(jnp.argmax(logits, axis=-1))   # [B, W]
         out: Dict[int, List[int]] = {}
         for i in active:

@@ -93,6 +93,16 @@ class PagedBatchEngine(BatchEngine):
 
     # ---- cache strategy ---------------------------------------------------
 
+    def _cache_pspecs(self, tp: int):
+        # pool [L, 2, n_pages, n_kv, page, hd]: KV heads shard over tp;
+        # pages are shared by all rows, so the page axis never shards
+        from jax.sharding import PartitionSpec as P
+
+        return P(None, None, None, "tp" if tp > 1 else None, None, None)
+
+    def _spec_eligible(self, active) -> bool:
+        return False   # verify-window appends need contiguous rows
+
     def _init_cache(self, cfg, n_slots, max_seq_len, cache_dtype) -> None:
         if cache_dtype in ("int8", jnp.int8):
             raise NotImplementedError(
@@ -134,9 +144,17 @@ class PagedBatchEngine(BatchEngine):
         self.tables[slot, :n_pg] = pages
 
         scratch = init_kv_cache(self.cfg, 1, n_pg * p, self.cache.dtype)
-        logits, scratch = forward(
-            self.params, self.cfg, toks, scratch, jnp.int32(0)
-        )
+        if self.mesh is not None:
+            from awq_tpu.parallel import tp_forward
+
+            logits, scratch = tp_forward(
+                self.params, self.cfg, toks, scratch, jnp.int32(0),
+                self.mesh
+            )
+        else:
+            logits, scratch = forward(
+                self.params, self.cfg, toks, scratch, jnp.int32(0)
+            )
         for j, pid in enumerate(pages):
             self.cache = _copy_page(self.cache, scratch, jnp.int32(pid),
                                     jnp.int32(j * p))
@@ -144,6 +162,16 @@ class PagedBatchEngine(BatchEngine):
 
     def _decode(self) -> jnp.ndarray:
         self._grow_tables()
+        if self.mesh is not None:
+            from awq_tpu.parallel import tp_decode_step_paged
+
+            logits, self.cache = tp_decode_step_paged(
+                self.params, self.cfg,
+                jnp.asarray(self.tokens), self.cache,
+                jnp.asarray(self.tables), jnp.asarray(self.lengths),
+                self.mesh,
+            )
+            return logits
         logits, self.cache = decode_step_paged(
             self.params, self.cfg,
             jnp.asarray(self.tokens), self.cache,

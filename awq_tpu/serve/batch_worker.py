@@ -88,7 +88,10 @@ class BatchWorker:
             for rid, tok in out.items():
                 q = self._queues.get(rid)
                 if q is not None:
-                    q.put(tok)
+                    # spec mode (spec_k>0) emits a LIST of accepted
+                    # tokens per step; normalize to one put per token
+                    for t in (tok if isinstance(tok, list) else [tok]):
+                        q.put(t)
             for rid in finished:
                 q = self._queues.get(rid)
                 if q is not None:
