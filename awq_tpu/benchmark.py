@@ -366,12 +366,14 @@ def bench_batch_decode_paged(cfg, params, batch: int, context: int,
 
 
 def bench_batch_spec(cfg, params, batch: int, context: int, steps: int,
-                     max_seq: int, spec_k: int = 7):
+                     max_seq: int, spec_k: int = 7,
+                     temperature: float = 0.0):
     """Continuous batching WITH speculative verify vs without, through
     the actual BatchEngine (round-4: spec moved into the batched
-    engine, where accepted tokens multiply across slots). Greedy, a
-    cyclic prompt so prompt-lookup has structure to draft from; reports
-    aggregate tok/s and the realized acceptance rate."""
+    engine, where accepted tokens multiply across slots). A cyclic
+    prompt so prompt-lookup has structure to draft from; reports
+    aggregate tok/s. ``temperature > 0`` exercises the rejection-
+    sampling acceptance path (round-5: spec no longer greedy-only)."""
     import time as _time
 
     import jax
@@ -382,7 +384,8 @@ def bench_batch_spec(cfg, params, batch: int, context: int, steps: int,
     from awq_tpu.runtime.generate import cache_bucket
 
     prompt = (list(range(7, 7 + 24)) * (context // 24 + 1))[:context]
-    gen = GenConfig(greedy=True, max_new_tokens=steps)
+    gen = GenConfig(greedy=temperature <= 0, temperature=temperature,
+                    max_new_tokens=steps)
     # size the engine cache for THIS run (a full-max_seq B-slot cache is
     # ~17 GB at B=8/T=4096 — more than the chip)
     max_seq = min(max_seq,
@@ -524,6 +527,10 @@ def main(argv=None) -> int:
     p.add_argument("--spec", action="store_true",
                    help="batch_decode: BatchEngine with speculative "
                         "verify (spec_k=7) vs without")
+    p.add_argument("--temp", type=float, default=0.0,
+                   help="batch_decode --spec: sampling temperature "
+                        "(0 = greedy; >0 rides rejection-sampling "
+                        "speculative acceptance)")
     p.add_argument("--paged", action="store_true",
                    help="batch_decode: page-pool cache (block tables) "
                         "instead of per-slot static rows")
@@ -560,8 +567,10 @@ def main(argv=None) -> int:
               f"({r['tokens_per_s']:.1f} tok/s)")
     if args.mode == "batch_decode" and args.spec:
         r = bench_batch_spec(cfg, params, args.batch, max(args.context, 64),
-                             args.steps, args.max_seq_len)
-        print(f"[{name}] batch={args.batch} engine decode: "
+                             args.steps, args.max_seq_len,
+                             temperature=args.temp)
+        print(f"[{name}] batch={args.batch} engine decode (temp "
+              f"{args.temp:g}): "
               f"plain {r['plain']['tokens_per_s']:.1f} tok/s vs "
               f"spec(k={r['spec']['k']}) "
               f"{r['spec']['tokens_per_s']:.1f} tok/s "

@@ -57,8 +57,10 @@ class BatchEngine:
         # speculative verify (prompt-lookup drafting): each engine step
         # verifies a k+1-token window per slot instead of decoding one
         # token — free accepted tokens multiply across the batch. Greedy
-        # rows only (spec greedy == vanilla greedy, tested invariant);
-        # steps with non-greedy rows fall back to plain decode.
+        # rows accept by argmax identity (spec greedy == vanilla greedy,
+        # tested invariant); temperature>0 rows accept by speculative
+        # rejection sampling (exact target distribution — tested
+        # distributionally).
         spec_k: int = 0,
         spec_n: int = 3,
     ):
@@ -277,31 +279,35 @@ class BatchEngine:
         # contiguous caches only (fp OR int8; the verify step quantizes
         # window rows on append) — the paged engine overrides this off.
         # A tp mesh composes: _step_spec routes through
-        # tp_verify_step_batched.
+        # tp_verify_step_batched. Sampled rows (temperature > 0) compose
+        # via device-side rejection sampling (spec_accept_sample), so
+        # greediness no longer gates eligibility.
         if not self.spec_k:
             return False
         w = self.spec_k + 1
-        return all(self.slots[i].gen.greedy
-                   and self.lengths[i] + w <= self.max_seq
-                   for i in active)
+        return all(self.lengths[i] + w <= self.max_seq for i in active)
 
     def _step_spec(self, active) -> Dict[int, List[int]]:
         """One verify step: per-slot prompt-lookup drafts, ONE batched
-        W=k+1 forward, longest-greedy-prefix acceptance per row. Same
+        W=k+1 forward, device-side window acceptance per row (longest
+        argmax prefix for greedy rows; speculative rejection sampling
+        for temperature>0 rows — ``sampling.spec_accept_sample``). Same
         single device fetch per step as the plain decode."""
         from awq_tpu.models.llama import verify_step_batched
+        from awq_tpu.runtime.sampling import spec_accept_sample
         from awq_tpu.runtime.speculative import ngram_propose
 
         k = self.spec_k
         drafts = np.zeros((self.n_slots, k), np.int32)
-        draft_len = np.zeros(self.n_slots, np.int32)
+        m_cap = np.zeros(self.n_slots, np.int32)
         for i in active:
             req = self.slots[i]
             ctx = np.asarray(list(req.prompt_ids) + list(req.out_ids),
                              np.int32)
             d = ngram_propose(ctx, k, self.spec_n)
             drafts[i, :len(d)] = d
-            draft_len[i] = len(d)
+            budget = req.gen.max_new_tokens - len(req.out_ids)
+            m_cap[i] = max(min(len(d), budget - 1), 0)
         windows = np.concatenate([self.tokens[:, None], drafts], axis=1)
         if self.mesh is not None:
             from awq_tpu.parallel import tp_verify_step_batched
@@ -315,17 +321,20 @@ class BatchEngine:
                 self.params, self.cfg, jnp.asarray(windows), self.cache,
                 jnp.asarray(self.lengths),
             )
-        greedy = np.asarray(jnp.argmax(logits, axis=-1))   # [B, W]
+        self._key, sub = jax.random.split(self._key)
+        emit_d, take_d = spec_accept_sample(
+            logits, jnp.asarray(windows), jnp.asarray(m_cap), sub,
+            jnp.asarray(self.temps), jnp.asarray(self.top_ks),
+            jnp.asarray(self.top_ps), jnp.asarray(self.greedy),
+        )
+        emit_all = np.asarray(emit_d)                     # [B, W]
+        take_all = np.asarray(take_d)                     # [B]
         out: Dict[int, List[int]] = {}
         for i in active:
             req = self.slots[i]
-            budget = req.gen.max_new_tokens - len(req.out_ids)
-            m_max = min(int(draft_len[i]), budget - 1)
-            m = 0
-            while m < m_max and drafts[i, m] == greedy[i, m]:
-                m += 1
-            emit = [int(t) for t in drafts[i, :m]] + [int(greedy[i, m])]
-            self.lengths[i] += m + 1
+            take = int(take_all[i])
+            emit = [int(t) for t in emit_all[i, :take]]
+            self.lengths[i] += take
             self.tokens[i] = emit[-1]
             got = []
             for tok in emit:

@@ -171,6 +171,7 @@ class InferenceEngine:
         n: int = 3,
         continue_dialogue: bool = True,
         device_loop: Optional[bool] = None,
+        gen=None,
     ) -> Dict[str, Any]:
         """Greedy generation with prompt-lookup speculative verification
         (``runtime/speculative.py``): up to ``k`` drafted tokens verified
@@ -180,7 +181,12 @@ class InferenceEngine:
 
         ``device_loop`` (default: on TPU) runs the whole draft -> verify
         -> accept loop inside one jitted while_loop — one host fetch per
-        generation instead of one ~27 ms round-trip per window."""
+        generation instead of one ~27 ms round-trip per window.
+
+        ``gen``: a sampling :class:`GenConfig` (``temperature > 0``)
+        rides rejection-sampling speculative acceptance in the device
+        loop — output distributed exactly as :meth:`generate` with the
+        same config (requires ``device_loop``)."""
         from awq_tpu.runtime.speculative import (
             generate_speculative,
             spec_decode_device,
@@ -195,13 +201,25 @@ class InferenceEngine:
                 > self.max_seq_len):
             self.reset()
         eos = int(stop_ids[0]) if len(stop_ids) else None
+        sampled = gen is not None and not gen.greedy \
+            and gen.temperature >= 1e-5
         if device_loop is None:
-            device_loop = jax.default_backend() == "tpu"
-        fn = spec_decode_device if device_loop else generate_speculative
-        out_ids, stats = fn(
-            self.params, self.cfg, tokens, self.cache, max_new_tokens,
-            k=k, n=n, eos=eos, start_pos=self.start_pos,
-        )
+            device_loop = jax.default_backend() == "tpu" or sampled
+        if sampled and not device_loop:
+            raise ValueError("sampled speculation (gen.temperature > 0) "
+                             "requires device_loop=True")
+        if device_loop:
+            out_ids, stats = spec_decode_device(
+                self.params, self.cfg, tokens, self.cache,
+                max_new_tokens, k=k, n=n, eos=eos,
+                start_pos=self.start_pos, gen=gen,
+            )
+        else:
+            out_ids, stats = generate_speculative(
+                self.params, self.cfg, tokens, self.cache,
+                max_new_tokens, k=k, n=n, eos=eos,
+                start_pos=self.start_pos,
+            )
         self.cache = stats.pop("cache")
         if continue_dialogue:
             self.start_pos += tokens.shape[1] + len(out_ids)

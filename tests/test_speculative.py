@@ -138,3 +138,97 @@ def test_device_spec_loop_matches_vanilla_greedy():
                         cache_dtype=jnp.float32)
     out = e.generate_speculative(prompt, 12, k=5, device_loop=True)
     assert [int(t) for t in out["output_ids"]] == ref_ids
+
+
+def test_device_spec_loop_batched():
+    """b>1 device spec loop (round-5: the b==1 assert lifted): every
+    row's greedy output matches its own single-stream vanilla greedy."""
+    from awq_tpu.config import GenConfig
+    from awq_tpu.runtime.generate import generate
+    from awq_tpu.runtime.speculative import spec_decode_device
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=64, hidden_size=256,
+        intermediate_size=256, num_layers=2, num_heads=2, num_kv_heads=2,
+        head_dim=128, max_position_embeddings=256, dtype="float32",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(5)),
+                             QuantConfig(w_bit=4, group_size=128))
+    prompts = np.stack([np.tile([7, 8, 9, 10], 4),
+                        np.tile([3, 4, 5, 6], 4),
+                        np.tile([11, 12], 8)]).astype(np.int32)
+    toks = jnp.asarray(prompts)
+    max_new = 12
+
+    refs = []
+    for i in range(3):
+        cache = init_kv_cache(cfg, 1, 128, jnp.float32)
+        r = generate(params, cfg, toks[i:i + 1], cache,
+                     GenConfig(greedy=True, max_new_tokens=max_new))
+        nv = int(r["n_valid"][0])
+        refs.append([int(t) for t in r["output_ids"][0][:nv]])
+
+    cache = init_kv_cache(cfg, 3, 128, jnp.float32)
+    got, stats = spec_decode_device(params, cfg, toks, cache, max_new,
+                                    k=5)
+    assert isinstance(got, list) and len(got) == 3
+    for i in range(3):
+        assert got[i][:len(refs[i])] == refs[i], (i, got[i], refs[i])
+    assert stats["steps"] >= 1
+
+
+def test_device_spec_loop_sampled():
+    """Sampled (temperature>0) device spec loop through the engine API:
+    completes with max_new in-vocab tokens; greedy path stays the
+    default and bit-identical (covered above). Distribution exactness
+    of the acceptance rule is proven in test_spec_sampling.py."""
+    from awq_tpu.config import GenConfig, RuntimeConfig
+    from awq_tpu.runtime.engine import InferenceEngine
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=64, hidden_size=256,
+        intermediate_size=256, num_layers=2, num_heads=2, num_kv_heads=2,
+        head_dim=128, max_position_embeddings=256, dtype="float32",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(5)),
+                             QuantConfig(w_bit=4, group_size=128))
+    prompt = list(np.tile([7, 8, 9, 10], 4))
+    e = InferenceEngine(cfg, params, RuntimeConfig(max_seq_len=128),
+                        cache_dtype=jnp.float32)
+    out = e.generate_speculative(
+        prompt, 10, k=5,
+        gen=GenConfig(greedy=False, temperature=0.8, top_k=20,
+                      top_p=0.95, max_new_tokens=10))
+    ids = [int(t) for t in out["output_ids"]]
+    assert len(ids) == 10 and all(0 <= t < 64 for t in ids)
+    assert out["stats"]["steps"] >= 1
+
+
+def test_device_spec_loop_near_capacity():
+    """When prompt+max_new nearly fills the cache, the device loop must
+    degrade to draft-less single-token windows (like the host loop)
+    rather than stop up to ~k+1 tokens short of max_new."""
+    from awq_tpu.runtime.speculative import spec_decode_device
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=64, hidden_size=256,
+        intermediate_size=256, num_layers=2, num_heads=2, num_kv_heads=2,
+        head_dim=128, max_position_embeddings=256, dtype="float32",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(5)),
+                             QuantConfig(w_bit=4, group_size=128))
+    prompt = list(np.tile([7, 8, 9, 10], 4))      # 16 tokens
+    toks = jnp.asarray([prompt], jnp.int32)
+    max_t = 36                                    # 16 + 20 tokens of room
+    max_new = 19                                  # fills to max_t - 1
+
+    got_host, _ = generate_speculative(
+        params, cfg, toks, init_kv_cache(cfg, 1, max_t, jnp.float32),
+        max_new, k=5, n=3)
+    got_dev, stats = spec_decode_device(
+        params, cfg, toks, init_kv_cache(cfg, 1, max_t, jnp.float32),
+        max_new, k=5, n=3)
+    assert got_dev == got_host, (got_dev, got_host)
+    assert len(got_dev) == max_new
+    # stats parity: drafted reflects real candidate windows, not steps*k
+    assert 0 <= stats["accepted"] <= stats["drafted"]
