@@ -56,7 +56,8 @@ class ModelConfig:
     falcon via mqa, bigcode (starcoder) via mqa+learned-pos.
     """
 
-    arch: str  # llama | qwen2 | mistral | opt | mpt | falcon | bigcode | neox
+    # llama | qwen2 | mistral | opt | mpt | falcon | bigcode | neox | bloom
+    arch: str
     vocab_size: int
     hidden_size: int
     intermediate_size: int
@@ -81,6 +82,8 @@ class ModelConfig:
     grouped_qkv: bool = False       # falcon-40b/180b new_decoder_architecture:
     # fused QKV stored per kv-group [n_kv, q_per_group+2, head_dim]
     rotary_pct: float = 1.0         # neox: rope on a prefix of head_dim
+    embed_ln: bool = False          # bloom: LayerNorm after the embedding
+    # (word_embeddings_layernorm — params carry embed_ln_w/embed_ln_b)
     # runtime
     dtype: str = "bfloat16"
     prefill_a8: bool = False        # int8-activation prefill matmuls
@@ -248,6 +251,30 @@ def model_config_from_hf(hf: Mapping[str, Any]) -> ModelConfig:
             norm="layernorm",
             act="gelu",
             pos_embed="alibi",
+            tie_word_embeddings=True,
+        )
+    if mt == "bloom":
+        hidden = _get(hf, "hidden_size", "n_embed")
+        heads = _get(hf, "n_head", "num_attention_heads")
+        return ModelConfig(
+            arch="bloom",
+            vocab_size=hf["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=4 * hidden,
+            num_layers=_get(hf, "n_layer", "num_hidden_layers"),
+            num_heads=heads,
+            num_kv_heads=heads,
+            head_dim=hidden // heads,
+            max_position_embeddings=_get(
+                hf, "seq_length", default=2048
+            ),
+            rms_eps=_get(hf, "layer_norm_epsilon", default=1e-5),
+            norm="layernorm",
+            act="gelu_tanh",
+            pos_embed="alibi",
+            attn_bias=True,
+            mlp_bias=True,
+            embed_ln=True,
             tie_word_embeddings=True,
         )
     if mt in ("gpt_bigcode", "bigcode"):

@@ -99,6 +99,7 @@ def import_hf_model(model_or_path, dtype: str = "bfloat16") -> Tuple[ModelConfig
         "mpt": _build_mpt_params,
         "bigcode": _build_bigcode_params,
         "neox": _build_neox_params,
+        "bloom": _build_bloom_params,
     }
     if cfg.arch not in builders:
         raise NotImplementedError(f"importer: unsupported arch {cfg.arch}")
@@ -322,6 +323,42 @@ def _build_bigcode_params(cfg: ModelConfig, sd) -> Dict[str, Any]:
     return {
         "embed": jnp.asarray(sd["transformer.wte.weight"], dt),
         "pos_embed": jnp.asarray(sd["transformer.wpe.weight"], dt),
+        "layers": layers,
+        "norm": jnp.asarray(sd["transformer.ln_f.weight"], dt),
+        "norm_b": jnp.asarray(sd["transformer.ln_f.bias"], dt),
+    }
+
+
+def _build_bloom_params(cfg: ModelConfig, sd) -> Dict[str, Any]:
+    """Bloom (reference: AWQ search branch ``auto_scale.py:258-295``,
+    activation scaling ``quantizer.py:24-33`` — the last arch family the
+    reference's search supports). The fused ``query_key_value`` uses the
+    per-head ``[n_heads, 3, head_dim]`` interleave (HF
+    ``BloomAttention._split_heads``) — this importer's "neox" layout —
+    and the embedding is followed by ``word_embeddings_layernorm``
+    (``cfg.embed_ln``). Unlike the reference (which skips the qkv->dense
+    fold because its fused buffer can't scale v-channels alone), the
+    split wq/wk/wv storage here keeps the generic v->o scale group."""
+    dt = jnp.dtype(cfg.dtype)
+    pre = "transformer.h.{i}."
+    fused = _stack_lin(cfg, sd, pre + "self_attention.query_key_value")
+    layers = {
+        "ln1": _stack_vec(cfg, sd, pre + "input_layernorm.weight"),
+        "ln1_b": _stack_vec(cfg, sd, pre + "input_layernorm.bias"),
+        "ln2": _stack_vec(cfg, sd, pre + "post_attention_layernorm.weight"),
+        "ln2_b": _stack_vec(cfg, sd,
+                            pre + "post_attention_layernorm.bias"),
+        **_split_qkv(cfg, fused, "neox"),
+        "wo": _stack_lin(cfg, sd, pre + "self_attention.dense"),
+        "up": _stack_lin(cfg, sd, pre + "mlp.dense_h_to_4h"),
+        "down": _stack_lin(cfg, sd, pre + "mlp.dense_4h_to_h"),
+    }
+    return {
+        "embed": jnp.asarray(sd["transformer.word_embeddings.weight"], dt),
+        "embed_ln_w": jnp.asarray(
+            sd["transformer.word_embeddings_layernorm.weight"], dt),
+        "embed_ln_b": jnp.asarray(
+            sd["transformer.word_embeddings_layernorm.bias"], dt),
         "layers": layers,
         "norm": jnp.asarray(sd["transformer.ln_f.weight"], dt),
         "norm_b": jnp.asarray(sd["transformer.ln_f.bias"], dt),

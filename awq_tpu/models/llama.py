@@ -92,6 +92,9 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> Params
     }
     if cfg.norm == "layernorm":
         params["norm_b"] = jnp.zeros((h,), dt)
+    if cfg.embed_ln:
+        params["embed_ln_w"] = jnp.ones((h,), dt)
+        params["embed_ln_b"] = jnp.zeros((h,), dt)
     if cfg.pos_embed == "learned":
         off = 2 if cfg.arch == "opt" else 0
         params["pos_embed"] = w(
@@ -385,6 +388,16 @@ def _norm(cfg: ModelConfig, x, weight, bias):
     return layer_norm(x, weight, bias, cfg.rms_eps)
 
 
+def _embed_ln(cfg: ModelConfig, params: Params, h: jax.Array) -> jax.Array:
+    """Bloom's ``word_embeddings_layernorm`` — a LayerNorm applied to the
+    embedding output before the decoder stack (reference handles it in
+    ``pre_quant.py`` ``get_blocks``/``move_embed`` for BloomForCausalLM)."""
+    if not cfg.embed_ln:
+        return h
+    return layer_norm(h, params["embed_ln_w"], params.get("embed_ln_b"),
+                      cfg.rms_eps).astype(h.dtype)
+
+
 def _head_logits(params: Params, h: jax.Array, dt) -> jax.Array:
     """Final-normed hidden states -> f32 logits, dispatching on the head
     format (tied embedding / stacked-of-1 tiled QLinear / plain QLinear /
@@ -505,6 +518,7 @@ def forward(
         h = jax.lax.psum(h, tp_axis).astype(dt)
     else:
         h = params["embed"][tokens].astype(dt)
+    h = _embed_ln(cfg, params, h)
 
     is_q8 = isinstance(cache, KVCache8)
     max_t = cache_seq_len(cache)
@@ -961,6 +975,7 @@ def decode_step_batched(
         h = jax.lax.psum(h, tp_axis)[:, None].astype(dt)
     else:
         h = params["embed"][tokens][:, None].astype(dt)  # [B, 1, H]
+    h = _embed_ln(cfg, params, h)
     is_q8 = isinstance(cache, KVCache8)
     max_t = cache_seq_len(cache)
     cos, sin = rope_table(cfg, max_t)
@@ -1276,6 +1291,7 @@ def verify_step_batched(
         h = jax.lax.psum(h, tp_axis).astype(dt)
     else:
         h = params["embed"][windows].astype(dt)          # [B, W, H]
+    h = _embed_ln(cfg, params, h)
     cos, sin = rope_table(cfg, max_t)
     positions = lengths[:, None] + jnp.arange(w)[None]   # [B, W]
 
@@ -1467,6 +1483,7 @@ def decode_step_paged(
         h = jax.lax.psum(h, tp_axis)[:, None].astype(dt)
     else:
         h = params["embed"][tokens][:, None].astype(dt)  # [B, 1, H]
+    h = _embed_ln(cfg, params, h)
     cos, sin = rope_table(cfg, max_t)
     positions = lengths[:, None]                         # [B, 1]
 

@@ -96,6 +96,13 @@ def pytest_runtest_call(item):
         raise TimeoutError(
             f"test exceeded AWQ_TPU_TEST_TIMEOUT={_TEST_TIMEOUT}s")
 
+    # hard backstop at 2x: SIGALRM cannot interrupt a hung C-level XLA
+    # compile — faulthandler dumps every thread's traceback and KILLS
+    # the (xdist worker) process, which pytest reports as a crash
+    # instead of stalling the whole run
+    import faulthandler
+
+    faulthandler.dump_traceback_later(_TEST_TIMEOUT * 2, exit=True)
     old = signal.signal(signal.SIGALRM, _timeout)
     signal.alarm(_TEST_TIMEOUT)
     try:
@@ -103,3 +110,4 @@ def pytest_runtest_call(item):
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+        faulthandler.cancel_dump_traceback_later()

@@ -83,6 +83,25 @@ def test_awq_mpt_alibi():
     )
 
 
+def test_awq_bloom():
+    """Bloom (alibi + embed-LN + gelu_tanh + per-head qkv): the search
+    folds are equivalence transforms; the v->o fc group IS searched here
+    (split wq/wk/wv storage — the reference skips it only because its
+    fused qkv buffer can't scale v channels alone, auto_scale.py:270-277)."""
+    cfg = _cfg(arch="bloom", pos_embed="alibi", act="gelu_tanh",
+               embed_ln=True)
+    params, new_params, result = _run(cfg)
+    kinds = {tag.split(":")[0] for _, tag, _, _ in result.scale}
+    assert kinds == {"ln", "fc", "act"}
+    tags = [(tag, names) for _, tag, names, _ in result.scale]
+    assert ("fc:wv", ("wo",)) in tags
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (1, 16), 0, 128)
+    np.testing.assert_allclose(
+        _logits(params, cfg, tokens), _logits(new_params, cfg, tokens),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
 def test_awq_apply_reproduces_search_transform():
     cfg = _cfg()
     params, new_params, result = _run(cfg)

@@ -95,6 +95,19 @@ def test_parity_bigcode_mqa():
     assert cfg.arch == "bigcode" and cfg.num_kv_heads == 1
 
 
+def test_parity_bloom():
+    # bloom: ALiBi + per-head qkv interleave + word_embeddings_layernorm
+    # (the reference's last AWQ-search family, auto_scale.py:258-295)
+    hf_cfg = transformers.BloomConfig(
+        vocab_size=256, hidden_size=128, n_head=4, n_layer=2,
+        layer_norm_epsilon=1e-5,
+    )
+    torch.manual_seed(6)
+    cfg = _parity(transformers.BloomForCausalLM(hf_cfg).eval().float())
+    assert cfg.arch == "bloom" and cfg.pos_embed == "alibi"
+    assert cfg.embed_ln and cfg.act == "gelu_tanh"
+
+
 def test_parity_gpt_neox():
     hf_cfg = transformers.GPTNeoXConfig(
         vocab_size=256, hidden_size=128, num_attention_heads=4,
