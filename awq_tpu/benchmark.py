@@ -75,7 +75,8 @@ def _sync(x):
 
 
 def build_model(geometry: str, precision: str, load_quant, max_seq: int,
-                mesh=None, prefill_w8: bool = False):
+                mesh=None, prefill_w8: bool = False,
+                prefill_w8_budget_gb: float = 0.0):
     import jax
     import jax.numpy as jnp
 
@@ -130,7 +131,9 @@ def build_model(geometry: str, precision: str, load_quant, max_seq: int,
         # removes the unfolded scales
         from awq_tpu.ops.w4a16 import attach_w8_caches
 
-        params = {**params, "layers": attach_w8_caches(params["layers"])}
+        params = {**params, "layers": attach_w8_caches(
+            params["layers"],
+            budget_bytes=int(prefill_w8_budget_gb * 2**30) or None)}
     params = strip_unfolded_qparams(params)
     cache = init_kv_cache(cfg, 1, max_seq, jnp.bfloat16)
     return cfg, params, cache
@@ -521,6 +524,10 @@ def main(argv=None) -> int:
                    help="int8 prefill WEIGHT cache: no in-kernel requant "
                         "and no min-length a8 gate (costs IC*OC bytes of "
                         "HBM per layer; implies --prefill_a8)")
+    p.add_argument("--prefill_w8_budget_gb", type=float, default=0.0,
+                   help="HBM cap for the prefill_w8 cache (GiB): builds "
+                        "the deepest-IC linears first under the budget, "
+                        "the rest stay on the in-kernel-requant path")
     p.add_argument("--kv8", action="store_true",
                    help="int8 KV cache (halved cache bytes -> 2x batch "
                         "slots at the same HBM footprint)")
@@ -555,6 +562,7 @@ def main(argv=None) -> int:
     cfg, params, cache = build_model(
         args.geometry, args.precision, args.load_quant, args.max_seq_len,
         mesh=mesh, prefill_w8=args.prefill_w8,
+        prefill_w8_budget_gb=args.prefill_w8_budget_gb,
     )
     if args.prefill_a8 or args.prefill_w8:
         import dataclasses

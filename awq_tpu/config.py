@@ -126,6 +126,12 @@ class RuntimeConfig:
     # prefill_a8. Costs IC*OC bytes of HBM per layer (~6.6 GB at 7B) —
     # opt in for TTFT-optimized serving; decode is unaffected (W4 stream).
     prefill_w8: bool = False
+    # HBM budget for the prefill_w8 cache in GiB (0 = no explicit cap):
+    # builds the deepest-IC linears' caches first until the budget is
+    # spent, leaving the rest on the in-kernel-requant a8 path. Without
+    # a budget, a platform that reports memory stats refuses cleanly at
+    # engine init when the full cache cannot fit free HBM.
+    prefill_w8_budget_gb: float = 0.0
     # a jax.sharding.Mesh with a 'tp' axis: the engine builds the
     # TP deploy layout (parallel/deploy.py) and serves through
     # shard_map'd kernels — the multi-chip path for models that don't

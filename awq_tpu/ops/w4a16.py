@@ -1187,16 +1187,54 @@ def build_w8_stack(ql: QLinear) -> W8Stack:
     return W8Stack(w8=w8_acc, scol=scol_acc)
 
 
-def attach_w8_caches(layers: dict) -> dict:
+def _device_free_bytes():
+    """Best-effort free-HBM probe: ``bytes_limit - bytes_in_use`` when the
+    platform reports memory stats; ``None`` when it doesn't (the axon
+    tunnel plugin returns nothing — then only an explicit budget caps)."""
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        if st and "bytes_limit" in st:
+            return int(st["bytes_limit"]) - int(st.get("bytes_in_use", 0))
+    except Exception:
+        pass
+    return None
+
+
+def w8_cache_cost(layers: dict) -> dict:
+    """Per-linear-name HBM cost (bytes) of the ``prefill_w8`` int8 weight
+    cache: ``L * IC * OC`` int8 codes (+ negligible per-column scales)."""
+    cost = {}
+    for name, p in layers.items():
+        if (isinstance(p, QLinear) and p.folded and p.tiled_bn
+                and p.w_bit == 4 and not p.dense3 and p.qweight.ndim == 4
+                and p.scales.size > 1):
+            cost[name] = (p.qweight.shape[0] * p.in_features
+                          * p.out_features)
+    return cost
+
+
+def attach_w8_caches(layers: dict, budget_bytes: Optional[int] = None,
+                     headroom_bytes: int = 1 << 30) -> dict:
     """Return ``layers`` plus a ``<name>_w8`` :class:`W8Stack` for every
     eligible stacked folded tiled 4-bit QLinear — the ONE shared
     implementation of the ``prefill_w8`` attach step (engines,
     benchmarks, demos). Layers whose unfolded scales were already
     stripped are skipped with a warning (the in-kernel-requant a8 path
-    still serves them); callers flip ``cfg.prefill_a8`` themselves."""
+    still serves them); callers flip ``cfg.prefill_a8`` themselves.
+
+    Fit guard: the cache costs ``sum(L*IC*OC)`` bytes (~6.6 GB at 7B,
+    more at 8B's 128k-vocab off-head shapes). ``budget_bytes`` builds
+    the DEEPEST-IC names first (where the in-kernel requant cost
+    concentrates — PERF.md attribution) until the budget is spent and
+    leaves the rest on the in-kernel-requant path. With no explicit
+    budget, a platform that reports memory stats refuses cleanly
+    (ValueError) when the full cache cannot fit free HBM minus
+    ``headroom_bytes`` — instead of an allocation error halfway through
+    engine init."""
     import warnings
 
     out = dict(layers)
+    cost = w8_cache_cost(layers)
     for name, p in list(layers.items()):
         if not (isinstance(p, QLinear) and p.folded and p.tiled_bn
                 and p.w_bit == 4 and not p.dense3 and p.qweight.ndim == 4):
@@ -1207,7 +1245,33 @@ def attach_w8_caches(layers: dict) -> dict:
                 "(strip_unfolded_qparams ran first) — no w8 cache built; "
                 "it stays on the in-kernel-requant a8 path")
             continue
-        out[name + "_w8"] = build_w8_stack(p)
+    total = sum(cost.values())
+    take = set(cost)
+    if budget_bytes is not None and budget_bytes > 0:
+        take = set()
+        spent = 0
+        # deepest-IC first: per-matmul requant cost scales with IC
+        for name in sorted(cost, key=lambda n: -layers[n].in_features):
+            if spent + cost[name] <= budget_bytes:
+                take.add(name)
+                spent += cost[name]
+        skipped = sorted(set(cost) - take)
+        if skipped:
+            warnings.warn(
+                f"prefill_w8: budget {budget_bytes / 2**30:.2f} GiB covers "
+                f"{sorted(take)} ({spent / 2**30:.2f} GiB); "
+                f"{skipped} stay on the in-kernel-requant a8 path")
+    else:
+        free = _device_free_bytes()
+        if free is not None and total > max(free - headroom_bytes, 0):
+            raise ValueError(
+                f"prefill_w8: int8 weight cache needs "
+                f"{total / 2**30:.2f} GiB but only {free / 2**30:.2f} GiB "
+                f"HBM is free (headroom {headroom_bytes / 2**30:.1f} GiB)."
+                " Set RuntimeConfig.prefill_w8_budget_gb (deepest-IC "
+                "layers first) or disable prefill_w8.")
+    for name in take:
+        out[name + "_w8"] = build_w8_stack(layers[name])
     return out
 
 

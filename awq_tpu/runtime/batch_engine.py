@@ -102,9 +102,12 @@ class BatchEngine:
 
                 from awq_tpu.ops.w4a16 import attach_w8_caches
 
+                budget = int(getattr(runtime, "prefill_w8_budget_gb",
+                                     0.0) * 2**30) or None
                 self.params = {
                     **self.params,
-                    "layers": attach_w8_caches(self.params["layers"])}
+                    "layers": attach_w8_caches(self.params["layers"],
+                                               budget_bytes=budget)}
                 self.cfg = cfg = _dc.replace(cfg, prefill_a8=True)
         self.n_slots = n_slots
         self._init_cache(cfg, n_slots, max_seq_len, cache_dtype)

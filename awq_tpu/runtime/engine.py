@@ -93,8 +93,12 @@ class InferenceEngine:
 
             from awq_tpu.ops.w4a16 import attach_w8_caches
 
+            budget = int(getattr(self.rt, "prefill_w8_budget_gb", 0.0)
+                         * 2**30) or None
             self.params = {**self.params,
-                           "layers": attach_w8_caches(self.params["layers"])}
+                           "layers": attach_w8_caches(
+                               self.params["layers"],
+                               budget_bytes=budget)}
             self.cfg = cfg = _dc.replace(cfg, prefill_a8=True)
         if cache_dtype in ("int8", jnp.int8):
             from awq_tpu.models.llama import init_kv_cache8

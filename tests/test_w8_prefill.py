@@ -100,6 +100,69 @@ def test_engine_prefill_w8_plumbing():
     assert out["output_ids"].shape[-1] >= 1
 
 
+def test_engine_prefill_w8_budget_partial():
+    """prefill_w8_budget_gb caps the cache to the deepest-IC linears:
+    with room for exactly one stack, only the deepest-IC name gets a
+    *_w8 entry; generation output is identical to the full-cache engine
+    (the cached requant is bit-identical to the in-kernel one)."""
+    from awq_tpu.config import GenConfig, ModelConfig, QuantConfig, \
+        RuntimeConfig
+    from awq_tpu.models.llama import init_params, quantize_params
+    from awq_tpu.ops.w4a16 import QLinear, w8_cache_cost
+    from awq_tpu.runtime.engine import InferenceEngine
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, hidden_size=256,
+        intermediate_size=512, num_layers=2, num_heads=4, num_kv_heads=4,
+        head_dim=64, max_position_embeddings=128, dtype="float32",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(0)),
+                             QuantConfig(w_bit=4, group_size=128))
+    full = InferenceEngine(cfg, params,
+                           RuntimeConfig(max_seq_len=64, prefill_w8=True),
+                           cache_dtype=jnp.float32)
+    costs = w8_cache_cost({k: v for k, v in full.params["layers"].items()
+                           if isinstance(v, QLinear)})
+    # budget = exactly the most expensive (deepest-IC) stack
+    deepest = max(costs, key=lambda n: full.params["layers"][n].in_features)
+    budget_gb = costs[deepest] / 2**30
+    eng = InferenceEngine(
+        cfg, params,
+        RuntimeConfig(max_seq_len=64, prefill_w8=True,
+                      prefill_w8_budget_gb=budget_gb),
+        cache_dtype=jnp.float32)
+    got_keys = [k for k in eng.params["layers"] if k.endswith("_w8")]
+    assert got_keys == [deepest + "_w8"], got_keys
+    gen = GenConfig(greedy=True, max_new_tokens=4)
+    ref = full.generate([1, 2, 3, 4], gen)
+    out = eng.generate([1, 2, 3, 4], gen)
+    np.testing.assert_array_equal(np.asarray(out["output_ids"]),
+                                  np.asarray(ref["output_ids"]))
+
+
+def test_engine_prefill_w8_fit_refusal(monkeypatch):
+    """Without a budget, a platform that reports memory stats refuses
+    cleanly at engine init when the cache cannot fit free HBM."""
+    from awq_tpu.config import ModelConfig, QuantConfig, RuntimeConfig
+    from awq_tpu.models.llama import init_params, quantize_params
+    from awq_tpu.runtime.engine import InferenceEngine
+    import awq_tpu.ops.w4a16 as w4a16
+    import pytest
+
+    monkeypatch.setattr(w4a16, "_device_free_bytes", lambda: 1 << 20)
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, hidden_size=256,
+        intermediate_size=512, num_layers=2, num_heads=4, num_kv_heads=4,
+        head_dim=64, max_position_embeddings=128, dtype="float32",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(0)),
+                             QuantConfig(w_bit=4, group_size=128))
+    with pytest.raises(ValueError, match="prefill_w8"):
+        InferenceEngine(cfg, params,
+                        RuntimeConfig(max_seq_len=64, prefill_w8=True),
+                        cache_dtype=jnp.float32)
+
+
 def test_batch_engine_prefill_w8_plumbing():
     """BatchEngine wires RuntimeConfig.prefill_w8 the same way."""
     from awq_tpu.config import GenConfig, ModelConfig, QuantConfig, RuntimeConfig
