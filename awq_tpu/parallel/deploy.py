@@ -278,7 +278,18 @@ def build_tp_params(
 
     tp = _mesh_tp(mesh)
     if quantize_head:
-        params = _qhead(params, cfg)
+        if tp > 1 and (cfg.vocab_size // tp) % 128:
+            # e.g. llama-3's 128256 vocab at tp=8: local head OC 16032
+            # has no 128-lane tile width — keep the head fp (it still
+            # shards on vocab); only the head loses the W4 stream
+            import warnings
+
+            warnings.warn(
+                f"quantize_head skipped: vocab {cfg.vocab_size} / tp={tp}"
+                f" = {cfg.vocab_size // tp} columns per rank is not"
+                " 128-tileable; the lm_head stays fp and vocab-sharded")
+        else:
+            params = _qhead(params, cfg)
     check_tp_compatible(params, cfg, tp)
     layers = dict(params["layers"])
     if "wqkv" in layers or "wq" not in layers:
@@ -325,7 +336,8 @@ def build_tp_params(
         out["embed"], specs["embed"] = emb, P("tp", None)
     else:
         out["embed"], specs["embed"] = emb, P()
-    for name in ("norm", "norm_b", "pos_embed"):
+    for name in ("norm", "norm_b", "pos_embed", "embed_ln_w",
+                 "embed_ln_b"):
         if params.get(name) is not None:
             out[name], specs[name] = params[name], P()
 
