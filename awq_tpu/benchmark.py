@@ -48,6 +48,21 @@ GEOMETRIES: Dict[str, dict] = {
         num_kv_heads=4, head_dim=128, max_position_embeddings=8192,
         rope_theta=1000000.0, qkv_bias=True,
     ),
+    # head_dim-64 families (round-5: flash decode relaxed to hd % 64;
+    # falcon rides MQA + parallel block, mpt ALiBi — both previously sat
+    # on the XLA fallback the reference never had)
+    "falcon-7b": dict(
+        arch="falcon", vocab_size=65024, hidden_size=4544,
+        intermediate_size=18176, num_layers=32, num_heads=71,
+        num_kv_heads=1, head_dim=64, max_position_embeddings=2048,
+        norm="layernorm", act="gelu", parallel_block=True, single_ln=True,
+    ),
+    "mpt-7b": dict(
+        arch="mpt", vocab_size=50432, hidden_size=4096,
+        intermediate_size=16384, num_layers=32, num_heads=32,
+        num_kv_heads=32, head_dim=128, max_position_embeddings=2048,
+        norm="layernorm", act="gelu", pos_embed="alibi",
+    ),
     # 70B-class geometries: don't fit one v5e chip even at W4 (~35 GB
     # packed) — these are the --mesh / --mode scaling targets (the
     # BASELINE north star: quantized weights + KV sharded over ICI)
@@ -91,8 +106,12 @@ def build_model(geometry: str, precision: str, load_quant, max_seq: int,
     else:
         cfg = ModelConfig(**GEOMETRIES[geometry], dtype="bfloat16")
         if precision in ("W4A16", "W3A16"):
+            # falcon-7b's 4544 hidden is not 128-divisible: g64 (the
+            # reference zoo ships g128 for llama-family; group size is a
+            # free parameter of the packing)
+            gs = 128 if cfg.hidden_size % 128 == 0 else 64
             qcfg = QuantConfig(
-                w_bit=4 if precision == "W4A16" else 3, group_size=128
+                w_bit=4 if precision == "W4A16" else 3, group_size=gs
             )
             params = init_qparams(cfg, qcfg, jax.random.PRNGKey(0))
         else:

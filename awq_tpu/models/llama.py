@@ -485,6 +485,7 @@ def forward(
     last_only: bool = True,
     inputs_embeds: Optional[jax.Array] = None,  # [B, S, H] (VLM splicing)
     tp_axis: Optional[str] = None,
+    alibi_slopes: Optional[jax.Array] = None,   # [n_q local] under tp
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the decoder; returns ``(logits, new_cache)``.
 
@@ -531,12 +532,21 @@ def forward(
         h = h + params["pos_embed"][positions + off][None].astype(dt)
 
     attn_bias = None
+    slopes = None
     if cfg.pos_embed == "alibi":
         # slope*(j - i) == slope*j - (softmax-invariant per-row constant),
-        # so a [n_q, 1, T] key-position bias suffices (cf. mpt.py:22-46)
-        from awq_tpu.models.layers import alibi_slopes
+        # so a [n_q, 1, T] key-position bias suffices (cf. mpt.py:22-46).
+        # Under explicit TP the LOCAL cfg can't derive global head
+        # indices — the caller (parallel/tp.py) passes this rank's
+        # slopes sliced from the global table.
+        if tp_axis is not None:
+            assert alibi_slopes is not None, \
+                "ALiBi under tp_axis needs per-rank slopes"
+            slopes = alibi_slopes
+        else:
+            from awq_tpu.models.layers import alibi_slopes as _aslopes
 
-        slopes = alibi_slopes(cfg.num_heads)
+            slopes = _aslopes(cfg.num_heads)
         attn_bias = (slopes[:, None, None]
                      * jnp.arange(max_t, dtype=jnp.float32)[None, None, :])
 
@@ -545,23 +555,21 @@ def forward(
     # test hook: exercises the flash/deferred-append decode path on the
     # CPU backend via kernel interpret mode
     _force_flash = _os.environ.get("AWQ_TPU_FORCE_FLASH") == "1"
-    if tp_axis is not None:
-        # explicit-TP runs only support the stacked path (the per-layer
-        # _layer_forward scan has no collectives); ALiBi archs must use
-        # the GSPMD NamedSharding path instead
-        assert attn_bias is None, "tp_axis does not support ALiBi archs"
     use_stacked = (
-        attn_bias is None
-        and (jax.default_backend() == "tpu" or is_q8 or _force_flash
-             or tp_axis is not None)
+        jax.default_backend() == "tpu" or is_q8 or _force_flash
+        or tp_axis is not None
     )
     flash_ok = (
         use_stacked
         and max_t % 256 == 0
-        and cfg.head_dim % 128 == 0
+        # 64-lane rows (falcon/mpt/bloom head_dim 64) DMA and dot with
+        # padded lanes; decode attention is bandwidth-bound so the
+        # half-util dots cost nothing measurable (reference MMHA
+        # dispatches head dims 32..256)
+        and cfg.head_dim % 64 == 0
         and (jax.default_backend() == "tpu" or _force_flash)
     )
-    use_flash = s == 1 and flash_ok
+    use_flash = s == 1 and flash_ok and not (is_q8 and slopes is not None)
     use_prefill_flash = s > 1 and flash_ok and not is_q8
 
     use_mega = False
@@ -858,6 +866,7 @@ def forward(
                 attn = flash_decode_stacked(
                     q[:, 0], k[:, 0], v[:, 0], cache, idx, start_pos,
                     interpret=jax.default_backend() != "tpu",
+                    slopes=slopes,
                 ).reshape(b, 1, nq * hd)
             elif use_prefill_flash:
                 from awq_tpu.ops.decode_attn import flash_prefill_stacked
@@ -865,15 +874,17 @@ def forward(
                 attn = flash_prefill_stacked(
                     q, cache, idx, start_pos,
                     interpret=jax.default_backend() != "tpu",
+                    slopes=slopes,
                 )
             elif is_q8:
                 kc = (cache.data[idx, 0].astype(jnp.float32)
                       * cache.scales[idx, 0][..., None]).astype(dt)
                 vc = (cache.data[idx, 1].astype(jnp.float32)
                       * cache.scales[idx, 1][..., None]).astype(dt)
-                attn = attention(q, kc, vc, start_pos)
+                attn = attention(q, kc, vc, start_pos, bias=attn_bias)
             else:
-                attn = attention(q, cache[idx, 0], cache[idx, 1], start_pos)
+                attn = attention(q, cache[idx, 0], cache[idx, 1],
+                                 start_pos, bias=attn_bias)
             attn_out = lin_row("wo", idx, attn)
             if cfg.parallel_block:
                 xm = x if cfg.single_ln else _norm(
@@ -955,6 +966,7 @@ def decode_step_batched(
     cache: jax.Array,           # [L, 2, B, n_kv, T, hd]
     lengths: jax.Array,         # [B] current per-row lengths (write pos)
     tp_axis: Optional[str] = None,
+    alibi_slopes: Optional[jax.Array] = None,   # [n_q local] under tp
 ) -> Tuple[jax.Array, jax.Array]:
     """One decode step with PER-ROW positions — the continuous-batching
     step (new capability; the reference engine is batch-1). Returns
@@ -986,8 +998,12 @@ def decode_step_batched(
         h = h + params["pos_embed"][positions + off].astype(dt)
 
     on_tpu = jax.default_backend() == "tpu"
-    use_flash = (on_tpu and max_t % 256 == 0 and hd % 128 == 0
-                 and cfg.pos_embed in ("rope", "none", "learned"))
+    import os as _os0
+
+    _force = _os0.environ.get("AWQ_TPU_FORCE_FLASH") == "1"
+    use_flash = ((on_tpu or _force) and max_t % 256 == 0 and hd % 64 == 0
+                 and (cfg.pos_embed in ("rope", "none", "learned")
+                      or (cfg.pos_embed == "alibi" and not is_q8)))
     layers_all = params["layers"]
     from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked
 
@@ -1094,12 +1110,19 @@ def decode_step_batched(
 
     rows = jnp.arange(b)
     if cfg.pos_embed == "alibi":
-        assert tp_axis is None, "tp_axis does not support ALiBi archs"
-        from awq_tpu.models.layers import alibi_slopes
-
         # per-head linear key-position bias (forward() applies the same
-        # via attn_bias; without it mpt/bloom decode is silently wrong)
-        slopes = alibi_slopes(cfg.num_heads).reshape(
+        # via attn_bias; without it mpt/bloom decode is silently wrong).
+        # Under tp the caller passes THIS rank's slopes (local cfg can't
+        # derive global head indices).
+        if tp_axis is not None:
+            assert alibi_slopes is not None, \
+                "ALiBi under tp_axis needs per-rank slopes"
+            sl_flat = alibi_slopes
+        else:
+            from awq_tpu.models.layers import alibi_slopes as _aslopes
+
+            sl_flat = _aslopes(cfg.num_heads)
+        slopes = sl_flat.reshape(
             cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads)
     else:
         slopes = None
@@ -1159,13 +1182,14 @@ def decode_step_batched(
                 q[:, 0], k[:, 0], v[:, 0], cache.data,
                 cache.scales.reshape(*cache.scales.shape[:4],
                                      max_t // 256, 256),
-                idx, lengths,
+                idx, lengths, interpret=not on_tpu,
             ).reshape(b, 1, nq * hd)
         elif use_flash:
             from awq_tpu.ops.decode_attn import flash_decode_stacked
 
             attn = flash_decode_stacked(
-                q[:, 0], k[:, 0], v[:, 0], cache, idx, lengths
+                q[:, 0], k[:, 0], v[:, 0], cache, idx, lengths,
+                slopes=slopes, interpret=not on_tpu,
             ).reshape(b, 1, nq * hd)
         elif is_q8:
             kc = (cache.data[idx, 0].astype(jnp.float32)
@@ -1495,7 +1519,7 @@ def decode_step_paged(
 
     on_tpu = jax.default_backend() == "tpu"
     _force = _os.environ.get("AWQ_TPU_FORCE_FLASH") == "1"
-    use_flash = ((on_tpu or _force) and hd % 128 == 0 and page % 8 == 0
+    use_flash = ((on_tpu or _force) and hd % 64 == 0 and page % 8 == 0
                  and cfg.pos_embed in ("rope", "none", "learned"))
     layers_all = params["layers"]
     from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked

@@ -92,14 +92,24 @@ def _flash_decode_kernel(
 
 
 def _stacked_decode_kernel(
-    scalars_ref, q_ref, kn_ref, vn_ref, cache_ref,
-    o_ref, kbuf, vbuf, ksem, vsem,
-    *, block_t: int, scale: float,
+    scalars_ref, q_ref, kn_ref, vn_ref, cache_ref, *rest,
+    block_t: int, scale: float, has_bias: bool = False,
 ):
     """Flash decode over the cache prefix [0, length) PLUS the current
     token's k/v passed in-register (kn/vn) — so the cache append can be
     deferred to one scatter per step instead of one per layer (which
-    dominates XLA compile time for the batched step)."""
+    dominates XLA compile time for the batched step).
+
+    ``has_bias``: an extra per-(kv-head, group) ALiBi slope operand; the
+    relative bias ``slope * (j - i)`` collapses to ``slope * j`` by the
+    per-row shift invariance of softmax (the reference's MMHA takes the
+    same slopes, ``decoder_masked_multihead_attention.cu:30-101``)."""
+    if has_bias:
+        slopes_ref, o_ref, kbuf, vbuf, ksem, vsem = rest
+        sl = slopes_ref[0][:, None].astype(jnp.float32)   # [g, 1]
+    else:
+        o_ref, kbuf, vbuf, ksem, vsem = rest
+        sl = None
     b = pl.program_id(0)
     h = pl.program_id(1)
     layer = scalars_ref[0]
@@ -137,6 +147,8 @@ def _stacked_decode_kernel(
             preferred_element_type=jnp.float32,
         )
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
+        if has_bias:
+            s = s + sl * col.astype(jnp.float32)
         s = jnp.where(col < length, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m - m_new)
@@ -162,6 +174,8 @@ def _stacked_decode_kernel(
         q, kn, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                # [g, 1]
+    if has_bias:
+        s_c = s_c + sl * length.astype(jnp.float32)
     m_new = jnp.maximum(m, s_c)
     alpha = jnp.exp(m - m_new)
     p_c = jnp.exp(s_c - m_new)                       # [g, 1]
@@ -330,6 +344,7 @@ def flash_decode_stacked(
     length: jax.Array,     # scalar int32, or [B]: CACHE prefix length
     block_t: int = 256,
     interpret: bool = False,
+    slopes=None,           # [n_q] f32 ALiBi slopes (mpt/bloom/falcon-alibi)
 ) -> jax.Array:
     """Flash decode over layer ``layer``: cache prefix ``[0, length)`` plus
     the current token's k/v in-register.
@@ -341,6 +356,14 @@ def flash_decode_stacked(
     per step (single-position bf16 writes inside the kernel violate the
     (2,128) HBM tile granularity, and per-layer XLA scatters explode the
     batched step's compile time).
+
+    ``slopes`` adds the per-head ALiBi bias ``slope * position`` inside
+    the flash loop — the reference MMHA's ALiBi path
+    (``decoder_masked_multihead_attention.cu:30-101``). head_dim only
+    needs to be a multiple of 64 (64-lane K/V rows DMA and dot with
+    padded lanes; decode attention is bandwidth-bound, so the half-lane
+    dots cost nothing measurable) — falcon/MPT/bloom head geometries
+    ride this kernel like llama's 128.
     """
     b, n_q, hd = q.shape
     n_kv, t = cache.shape[3], cache.shape[4]
@@ -355,15 +378,21 @@ def flash_decode_stacked(
         [jnp.reshape(layer, (1,)).astype(jnp.int32), lengths]
     )
 
+    in_specs = [
+        pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [scalars, qg, k_new.astype(cdt).reshape(b, n_kv, 1, hd),
+            v_new.astype(cdt).reshape(b, n_kv, 1, hd), cache]
+    if slopes is not None:
+        in_specs.append(pl.BlockSpec((1, g), lambda i, j, *_: (j, 0)))
+        args.append(jnp.reshape(slopes, (n_kv, g)).astype(jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_kv),
-        in_specs=[
-            pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, block_t, hd), cdt),
@@ -374,7 +403,8 @@ def flash_decode_stacked(
     )
     out = pl.pallas_call(
         functools.partial(
-            _stacked_decode_kernel, block_t=block_t, scale=1.0 / (hd ** 0.5)
+            _stacked_decode_kernel, block_t=block_t,
+            scale=1.0 / (hd ** 0.5), has_bias=slopes is not None,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_kv, g, hd), q.dtype),
@@ -382,14 +412,14 @@ def flash_decode_stacked(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(scalars, qg, k_new.astype(cdt).reshape(b, n_kv, 1, hd),
-      v_new.astype(cdt).reshape(b, n_kv, 1, hd), cache)
+    )(*args)
     return out.reshape(b, n_q, hd)
 
 
 def _stacked_prefill_kernel(
-    scalars_ref, q_ref, cache_ref, o_ref, kvbuf, kvsem,
-    *, block_t: int, block_q: int, scale: float, nbuf: int,
+    scalars_ref, q_ref, cache_ref, *rest,
+    block_t: int, block_q: int, scale: float, nbuf: int,
+    has_bias: bool = False,
 ):
     """Flash attention for (chunked) prefill over the stacked cache.
 
@@ -405,7 +435,18 @@ def _stacked_prefill_kernel(
     per ~0.5 us-of-dots iteration: the overhead is the SCALAR core
     issuing/awaiting 4 DMA semaphore ops per block; fusing K+V halves
     it, and the deep prefetch window keeps the copies off the critical
-    path."""
+    path.
+
+    ``has_bias``: per-q-head ALiBi slope operand, pre-multiplied by
+    log2(e) to live in the same exp2 domain as the scores; the bias is
+    ``slope * col`` (per-row shift invariance collapses
+    ``slope * (j - i)``)."""
+    if has_bias:
+        slopes_ref, o_ref, kvbuf, kvsem = rest
+        sl = slopes_ref[0, 0].astype(jnp.float32)
+    else:
+        o_ref, kvbuf, kvsem = rest
+        sl = None
     b = pl.program_id(0)
     h = pl.program_id(1)          # q head
     qb = pl.program_id(2)
@@ -450,6 +491,8 @@ def _stacked_prefill_kernel(
     # iota+add+compare+select (mask was ~6.6 ms of the 47 ms chain)
     diff = (jax.lax.broadcasted_iota(jnp.int32, (bq, block_t), 0) + q0
             - jax.lax.broadcasted_iota(jnp.int32, (bq, block_t), 1))
+    colb = (jax.lax.broadcasted_iota(jnp.float32, (bq, block_t), 1)
+            if has_bias else None)
 
     def body(i, carry):
         m, l, acc = carry
@@ -466,6 +509,9 @@ def _stacked_prefill_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                            # [bq, bt]
+        if has_bias:
+            # slope already in the exp2 (log2) domain
+            s = s + sl * (colb + (i * block_t).astype(jnp.float32))
 
         # only blocks overlapping the causal diagonal need the mask;
         # interior blocks (every col <= the block's min row) skip it
@@ -501,6 +547,7 @@ def flash_prefill_stacked(
     block_q: int = 512,
     nbuf: int = 6,
     interpret: bool = False,
+    slopes=None,           # [n_q] f32 ALiBi slopes
 ) -> jax.Array:
     """Causal flash attention for prefill: never materializes the [S, T]
     score matrix (the XLA path spills ~0.5 GB per layer at S=T=2048 — the
@@ -530,13 +577,20 @@ def flash_prefill_stacked(
         jnp.asarray(start_pos, jnp.int32),
         jnp.asarray(n_q // n_kv, jnp.int32),
     ])
+    in_specs = [
+        pl.BlockSpec((1, bq, hd), lambda i, j, k, *_: (i, k, j)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [scalars, qt, cache]
+    if slopes is not None:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, j, k, *_: (j, 0)))
+        # fold log2(e) so the bias lives in the kernel's exp2 domain
+        args.append(jnp.reshape(slopes, (n_q, 1)).astype(jnp.float32)
+                    * 1.4426950408889634)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_q, qt.shape[1] // bq),
-        in_specs=[
-            pl.BlockSpec((1, bq, hd), lambda i, j, k, *_: (i, k, j)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, hd),
                                lambda i, j, k, *_: (i, k, j)),
         scratch_shapes=[
@@ -554,6 +608,7 @@ def flash_prefill_stacked(
         functools.partial(
             _stacked_prefill_kernel, block_t=block_t, block_q=bq,
             scale=1.0 / (hd ** 0.5), nbuf=nbuf,
+            has_bias=slopes is not None,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
@@ -562,7 +617,7 @@ def flash_prefill_stacked(
             vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
-    )(scalars, qt, cache)
+    )(*args)
     return out[:, :s] if s_pad else out
 
 

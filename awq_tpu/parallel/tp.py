@@ -73,8 +73,6 @@ def check_tp_compatible(params: Dict[str, Any], cfg: ModelConfig,
         raise ValueError(
             f"tp={tp} must divide vocab_size={cfg.vocab_size} "
             "(vocab-sharded embedding / output head)")
-    if cfg.pos_embed == "alibi":
-        raise ValueError("ALiBi archs: use the GSPMD NamedSharding path")
     layers = params.get("layers", {})
     for fused in ("wqkv", "wgateup"):
         if fused in layers:
@@ -122,6 +120,20 @@ def _mesh_tp(mesh: Mesh) -> int:
     return dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
 
 
+def _alibi_operand(cfg: ModelConfig):
+    """(global slopes [n_q], P("tp")) for ALiBi archs under explicit TP,
+    or (None, P()) otherwise: the q-head axis shards contiguously over
+    ranks, so P("tp") hands each device exactly ITS heads' slopes —
+    which the local cfg alone could not derive (mpt/bloom under the
+    deploy layout; the reference MMHA takes the same slopes array,
+    ``decoder_masked_multihead_attention.cu:30-101``)."""
+    if cfg.pos_embed != "alibi":
+        return None, P()
+    from awq_tpu.models.layers import alibi_slopes
+
+    return alibi_slopes(cfg.num_heads), P("tp")
+
+
 def _resolve_params(params, cfg: ModelConfig, tp: int):
     """(params pytree, pspecs) from either a raw PLAIN-layout pytree
     (validated strictly) or a :class:`TPParams` deploy bundle (specs were
@@ -153,17 +165,20 @@ def tp_forward(
 
     from awq_tpu.models import forward
 
+    slopes, sspec = _alibi_operand(cfg)
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(pspecs, P("dp", None), cspecs, P()),
+        in_specs=(pspecs, P("dp", None), cspecs, P(), sspec),
         out_specs=(P("dp", None, "tp"), cspecs),
         check_vma=False,
     )
-    def run(params, tokens, cache, start_pos):
+    def run(params, tokens, cache, start_pos, slopes):
         return forward(params, lcfg, tokens, cache, start_pos,
-                       last_only=last_only, tp_axis="tp")
+                       last_only=last_only, tp_axis="tp",
+                       alibi_slopes=slopes)
 
-    return run(params, tokens, cache, start_pos)
+    return run(params, tokens, cache, start_pos, slopes)
 
 
 def tp_decode_scan(
@@ -188,19 +203,24 @@ def tp_decode_scan(
     lcfg = tp_local_cfg(cfg, tp)
     cspecs = cache_specs(cache, shard_kv=tp > 1)
 
+    slopes, sspec = _alibi_operand(cfg)
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(pspecs, cspecs, P("dp"), P(), P(), P(), P("dp", None)),
+        in_specs=(pspecs, cspecs, P("dp"), P(), P(), P(), P("dp", None),
+                  sspec),
         out_specs=(P("dp", None), P("dp", None), cspecs),
         check_vma=False,
     )
-    def run(params, cache, first, start_pos, key, stop, seen):
+    def run(params, cache, first, start_pos, key, stop, seen, slopes):
         return decode_scan(
             params, lcfg, cache, first, start_pos, key, stop, seen,
             gen, num_steps, cfg.vocab_size, tp_axis="tp",
+            alibi_slopes=slopes,
         )
 
-    return run(params, cache, first_token, start_pos, key, stop_ids, seen0)
+    return run(params, cache, first_token, start_pos, key, stop_ids,
+               seen0, slopes)
 
 
 def tp_decode_step_batched(
@@ -221,18 +241,20 @@ def tp_decode_step_batched(
     lcfg = tp_local_cfg(cfg, tp)
     cspecs = cache_specs(cache, shard_kv=tp > 1)
 
+    slopes, sspec = _alibi_operand(cfg)
+
     @functools.partial(jax.jit, donate_argnums=(2,))
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(pspecs, P("dp"), cspecs, P("dp")),
+        in_specs=(pspecs, P("dp"), cspecs, P("dp"), sspec),
         out_specs=(P("dp", "tp"), cspecs),
         check_vma=False,
     )
-    def run(params, tokens, cache, lengths):
+    def run(params, tokens, cache, lengths, slopes):
         return decode_step_batched(params, lcfg, tokens, cache, lengths,
-                                   tp_axis="tp")
+                                   tp_axis="tp", alibi_slopes=slopes)
 
-    return run(params, tokens, cache, lengths)
+    return run(params, tokens, cache, lengths, slopes)
 
 
 def tp_verify_step_batched(

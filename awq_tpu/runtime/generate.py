@@ -43,6 +43,7 @@ def decode_scan(
     num_steps: int,
     vocab: int,
     tp_axis=None,
+    alibi_slopes=None,           # [n_q local] per-rank slopes under tp
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Generate ``num_steps`` further tokens fully on-device.
 
@@ -59,7 +60,8 @@ def decode_scan(
     def body(carry, _):
         token, cache, pos, key, done, seen = carry
         logits, cache = forward(params, cfg, token[:, None], cache, pos,
-                                tp_axis=tp_axis)
+                                tp_axis=tp_axis,
+                                alibi_slopes=alibi_slopes)
         if tp_axis is not None:
             logits = jax.lax.all_gather(
                 logits, tp_axis, axis=-1, tiled=True)

@@ -173,6 +173,96 @@ def test_flash_prefill_stacked_matches_masked_attention(start_pos, s):
                                atol=2e-2, rtol=2e-2)
 
 
+def _ref_alibi(q, k_cache, v_cache, length, slopes):
+    """Masked attention + per-head ALiBi key-position bias slope*j."""
+    b, n_q, hd = q.shape
+    n_kv, t = k_cache.shape[1], k_cache.shape[2]
+    g = n_q // n_kv
+    qf = q.reshape(b, n_kv, g, hd).astype(jnp.float32)
+    s = jnp.einsum("bkgh,bkth->bkgt", qf,
+                   k_cache.astype(jnp.float32)) / np.sqrt(hd)
+    s = s + (slopes.reshape(n_kv, g)[None, :, :, None]
+             * jnp.arange(t, dtype=jnp.float32)[None, None, None, :])
+    mask = jnp.arange(t)[None, None, None, :] < length
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bkgt,bkth->bkgh", p, v_cache.astype(jnp.float32))
+    return o.reshape(b, n_q, hd)
+
+
+@pytest.mark.parametrize("hd,n_q,n_kv", [(64, 4, 4), (128, 4, 2),
+                                         (64, 8, 2)])
+def test_flash_decode_stacked_alibi_hd(hd, n_q, n_kv):
+    """ALiBi slopes inside the flash decode loop (reference MMHA's ALiBi
+    path) at head_dim 64 AND 128 — falcon/mpt/bloom geometries ride the
+    kernel instead of the XLA fallback."""
+    from awq_tpu.models.layers import alibi_slopes
+    from awq_tpu.ops.decode_attn import flash_decode_stacked
+
+    L, b, t = 2, 2, 256
+    ks = jax.random.split(jax.random.PRNGKey(hd + n_kv), 4)
+    cache = jax.random.normal(ks[0], (L, 2, b, n_kv, t, hd), jnp.float32)
+    q = jax.random.normal(ks[1], (b, n_q, hd), jnp.float32)
+    k_new = jax.random.normal(ks[2], (b, n_kv, hd), jnp.float32)
+    v_new = jax.random.normal(ks[3], (b, n_kv, hd), jnp.float32)
+    sl = alibi_slopes(n_q)
+    lengths = jnp.asarray([5, 190], jnp.int32)
+    out = flash_decode_stacked(q, k_new, v_new, cache, jnp.int32(1),
+                               lengths, interpret=True, slopes=sl)
+    for i, pre in enumerate([5, 190]):
+        kc = jnp.concatenate(
+            [cache[1, 0, i:i+1, :, :pre], k_new[i:i+1, :, None]], axis=2)
+        vc = jnp.concatenate(
+            [cache[1, 1, i:i+1, :, :pre], v_new[i:i+1, :, None]], axis=2)
+        # the appended current token sits at key position `pre`
+        ref = _ref_alibi(q[i:i+1], kc, vc, pre + 1, sl)
+        np.testing.assert_allclose(np.asarray(out[i:i+1]),
+                                   np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_flash_decode_stacked_hd64_no_bias():
+    """head_dim 64 without ALiBi (falcon-7b rope geometry)."""
+    from awq_tpu.ops.decode_attn import flash_decode_stacked
+
+    L, b, n_q, n_kv, t, hd = 2, 1, 8, 1, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(64), 4)
+    cache = jax.random.normal(ks[0], (L, 2, b, n_kv, t, hd), jnp.float32)
+    q = jax.random.normal(ks[1], (b, n_q, hd), jnp.float32)
+    k_new = jax.random.normal(ks[2], (b, n_kv, hd), jnp.float32)
+    v_new = jax.random.normal(ks[3], (b, n_kv, hd), jnp.float32)
+    out = flash_decode_stacked(q, k_new, v_new, cache, jnp.int32(0),
+                               jnp.int32(100), interpret=True)
+    kc = jnp.concatenate([cache[0, 0, :, :, :100], k_new[:, :, None]],
+                         axis=2)
+    vc = jnp.concatenate([cache[0, 1, :, :, :100], v_new[:, :, None]],
+                         axis=2)
+    ref = _ref(q, kc, vc, 101)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("hd", [64, 128])
+def test_flash_prefill_stacked_alibi(hd):
+    """ALiBi bias in the prefill flash kernel (exp2-domain slopes) ==
+    attention() with the [n_q, 1, T] bias forward() builds."""
+    from awq_tpu.models.layers import alibi_slopes
+    from awq_tpu.ops.decode_attn import flash_prefill_stacked
+
+    L, b, n_q, n_kv, t, s = 2, 1, 4, 4, 512, 200
+    ks = jax.random.split(jax.random.PRNGKey(hd), 2)
+    cache = jax.random.normal(ks[0], (L, 2, b, n_kv, t, hd),
+                              jnp.float32) * 0.5
+    q = jax.random.normal(ks[1], (b, s, n_q, hd), jnp.float32) * 0.5
+    sl = alibi_slopes(n_q)
+    out = flash_prefill_stacked(q, cache, jnp.int32(1), jnp.int32(30),
+                                interpret=True, slopes=sl)
+    bias = sl[:, None, None] * jnp.arange(t, dtype=jnp.float32)
+    ref = attention(q, cache[1, 0], cache[1, 1], jnp.int32(30), bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_flash_prefill_block_t_falls_back_for_odd_caches():
     """T a multiple of 256 but not of the default block_t=512 (e.g.
     max_seq_len=768) must still trace: block_t falls back to a divisor
