@@ -869,12 +869,13 @@ def forward(
                     slopes=slopes,
                 ).reshape(b, 1, nq * hd)
             elif use_prefill_flash:
-                from awq_tpu.ops.decode_attn import flash_prefill_stacked
+                from awq_tpu.ops.decode_attn import (flash_prefill_stacked,
+                                                     prefill_fixed_max)
 
                 attn = flash_prefill_stacked(
                     q, cache, idx, start_pos,
                     interpret=jax.default_backend() != "tpu",
-                    slopes=slopes,
+                    slopes=slopes, fixed_max=prefill_fixed_max(),
                 )
             elif is_q8:
                 kc = (cache.data[idx, 0].astype(jnp.float32)

@@ -416,10 +416,23 @@ def flash_decode_stacked(
     return out.reshape(b, n_q, hd)
 
 
+def prefill_fixed_max():
+    """The dispatch default for the prefill kernel's fixed-max softmax:
+    ``AWQ_TPU_FIXED_MAX`` (a float M, default 16; ``off`` restores the
+    online-max path). M=16 centers the exact-result window (M-100,
+    M+80) on trained-model score ranges."""
+    import os
+
+    v = os.environ.get("AWQ_TPU_FIXED_MAX", "16")
+    if v.strip().lower() in ("off", "none", ""):
+        return None
+    return float(v)
+
+
 def _stacked_prefill_kernel(
     scalars_ref, q_ref, cache_ref, *rest,
     block_t: int, block_q: int, scale: float, nbuf: int,
-    has_bias: bool = False,
+    has_bias: bool = False, fixed_max: float = None,
 ):
     """Flash attention for (chunked) prefill over the stacked cache.
 
@@ -440,7 +453,20 @@ def _stacked_prefill_kernel(
     ``has_bias``: per-q-head ALiBi slope operand, pre-multiplied by
     log2(e) to live in the same exp2 domain as the scores; the bias is
     ``slope * col`` (per-row shift invariance collapses
-    ``slope * (j - i)``)."""
+    ``slope * (j - i)``).
+
+    ``fixed_max``: FIXED-MAX softmax — the round-5 remedy for the
+    per-score-element VPU pass chain that exp_prefill_attr.py measured
+    as the kernel's whole overhead (sub/exp2/cast/max/sum ~4-6 passes
+    per [bq, bt] block). Instead of the online running max,
+    ``p = exp2(min(s, M+80) - M)`` with a static ``M``: no max reduce,
+    no ``alpha`` rescale of the [bq, hd] accumulator, and the
+    elementwise chain fuses to one pass + the sum reduce. The final
+    ``acc / l`` normalization is mathematically EXACT (softmax is
+    shift-invariant) whenever the true block max lies in
+    ``(M - ~100, M + 80)`` — f32 exp2 spans 2^+-126, so with M=16 that
+    window covers any trained model's score range; beyond the +80 clamp
+    the ratios saturate gracefully instead of overflowing to inf."""
     if has_bias:
         slopes_ref, o_ref, kvbuf, kvsem = rest
         sl = slopes_ref[0, 0].astype(jnp.float32)
@@ -491,11 +517,17 @@ def _stacked_prefill_kernel(
     # iota+add+compare+select (mask was ~6.6 ms of the 47 ms chain)
     diff = (jax.lax.broadcasted_iota(jnp.int32, (bq, block_t), 0) + q0
             - jax.lax.broadcasted_iota(jnp.int32, (bq, block_t), 1))
-    colb = (jax.lax.broadcasted_iota(jnp.float32, (bq, block_t), 1)
-            if has_bias else None)
+    # ALiBi uses the ROW-RELATIVE form slope*(j - i) = slope*(i_blk*bt -
+    # diff) <= 0: equally softmax-shift-invariant, but keeps scores
+    # bounded (slope*j grows ~linearly with absolute position and would
+    # walk out of the fixed-max exactness window)
+    difff = diff.astype(jnp.float32) if has_bias else None
 
     def body(i, carry):
-        m, l, acc = carry
+        if fixed_max is not None:
+            l, acc = carry
+        else:
+            m, l, acc = carry
         slot = i % nbuf
         nxt = i + nbuf - 1
 
@@ -511,13 +543,25 @@ def _stacked_prefill_kernel(
         )                                            # [bq, bt]
         if has_bias:
             # slope already in the exp2 (log2) domain
-            s = s + sl * (colb + (i * block_t).astype(jnp.float32))
+            s = s + sl * ((i * block_t).astype(jnp.float32) - difff)
 
         # only blocks overlapping the causal diagonal need the mask;
         # interior blocks (every col <= the block's min row) skip it
         s = jax.lax.cond(
             (i + 1) * block_t - 1 <= q0, lambda s: s,
             lambda s: jnp.where(diff >= i * block_t, s, -jnp.inf), s)
+        if fixed_max is not None:
+            # no running max, no rescale: min+sub+exp2 fuse to one
+            # elementwise pass; masked -inf cols map to exp2 -> 0
+            p = jnp.exp2(jnp.minimum(s, fixed_max + 80.0) - fixed_max)
+            l_new = l + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16),
+                kvbuf[slot, 1].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return l_new, acc + pv
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp2(m - m_new)
         p = jnp.exp2(s - m_new)
@@ -529,15 +573,19 @@ def _stacked_prefill_kernel(
         )
         return m_new, l_new, acc * alpha + pv
 
-    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, hd), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))
+    if fixed_max is not None:
+        l, acc = jax.lax.fori_loop(0, nblk, body, (l0, acc0))
+    else:
+        m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+        _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "block_q",
-                                             "nbuf", "interpret"))
+                                             "nbuf", "interpret",
+                                             "fixed_max"))
 def flash_prefill_stacked(
     q: jax.Array,          # [B, S, n_q, hd] post-rope queries
     cache: jax.Array,      # [L, 2, B, n_kv, T, hd] (chunk already appended)
@@ -548,6 +596,7 @@ def flash_prefill_stacked(
     nbuf: int = 6,
     interpret: bool = False,
     slopes=None,           # [n_q] f32 ALiBi slopes
+    fixed_max=None,        # static float: fixed-max softmax (see kernel)
 ) -> jax.Array:
     """Causal flash attention for prefill: never materializes the [S, T]
     score matrix (the XLA path spills ~0.5 GB per layer at S=T=2048 — the
@@ -608,7 +657,7 @@ def flash_prefill_stacked(
         functools.partial(
             _stacked_prefill_kernel, block_t=block_t, block_q=bq,
             scale=1.0 / (hd ** 0.5), nbuf=nbuf,
-            has_bias=slopes is not None,
+            has_bias=slopes is not None, fixed_max=fixed_max,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),

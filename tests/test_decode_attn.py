@@ -263,6 +263,34 @@ def test_flash_prefill_stacked_alibi(hd):
                                atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("fm", [0.0, 16.0])
+def test_flash_prefill_fixed_max_matches_online(fm):
+    """Fixed-max softmax (no running max / no rescale) is mathematically
+    identical to the online-softmax path inside its exactness window —
+    same outputs within f32 rounding, with and without ALiBi."""
+    from awq_tpu.models.layers import alibi_slopes
+    from awq_tpu.ops.decode_attn import flash_prefill_stacked
+
+    L, b, n_q, n_kv, t, s, hd = 2, 1, 4, 2, 512, 300, 128
+    ks = jax.random.split(jax.random.PRNGKey(21), 2)
+    cache = jax.random.normal(ks[0], (L, 2, b, n_kv, t, hd), jnp.float32)
+    q = jax.random.normal(ks[1], (b, s, n_q, hd), jnp.float32)
+    ref = flash_prefill_stacked(q, cache, jnp.int32(0), jnp.int32(100),
+                                interpret=True)
+    out = flash_prefill_stacked(q, cache, jnp.int32(0), jnp.int32(100),
+                                interpret=True, fixed_max=fm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-2, rtol=1e-2)
+    sl = alibi_slopes(n_q)[:n_q]
+    ref2 = flash_prefill_stacked(q, cache, jnp.int32(1), jnp.int32(0),
+                                 interpret=True, slopes=sl)
+    out2 = flash_prefill_stacked(q, cache, jnp.int32(1), jnp.int32(0),
+                                 interpret=True, slopes=sl, fixed_max=fm)
+    # bf16 probability rounding differs between the two softmax forms
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=1e-2, rtol=1e-2)
+
+
 def test_flash_prefill_block_t_falls_back_for_odd_caches():
     """T a multiple of 256 but not of the default block_t=512 (e.g.
     max_seq_len=768) must still trace: block_t falls back to a divisor
