@@ -196,10 +196,6 @@ class InferenceEngine:
             spec_decode_device,
         )
 
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "speculative decoding under a mesh is not wired yet; "
-                "use generate()")
         tokens = jnp.asarray([list(prompt_ids)], jnp.int32)
         if (self.start_pos + tokens.shape[1] + max_new_tokens
                 > self.max_seq_len):
@@ -207,23 +203,39 @@ class InferenceEngine:
         eos = int(stop_ids[0]) if len(stop_ids) else None
         sampled = gen is not None and not gen.greedy \
             and gen.temperature >= 1e-5
-        if device_loop is None:
-            device_loop = jax.default_backend() == "tpu" or sampled
-        if sampled and not device_loop:
-            raise ValueError("sampled speculation (gen.temperature > 0) "
-                             "requires device_loop=True")
-        if device_loop:
-            out_ids, stats = spec_decode_device(
-                self.params, self.cfg, tokens, self.cache,
-                max_new_tokens, k=k, n=n, eos=eos,
-                start_pos=self.start_pos, gen=gen,
-            )
-        else:
+        if self.mesh is not None:
+            # the device while_loop has no collectives; the host verify
+            # loop routes every window through tp_forward instead
+            if device_loop:
+                raise ValueError("device_loop is single-chip; mesh "
+                                 "speculation uses the host verify loop")
+            if sampled:
+                raise NotImplementedError(
+                    "sampled speculation under a mesh: use BatchEngine"
+                    "(spec_k=...) with a mesh RuntimeConfig")
             out_ids, stats = generate_speculative(
                 self.params, self.cfg, tokens, self.cache,
                 max_new_tokens, k=k, n=n, eos=eos,
-                start_pos=self.start_pos,
+                start_pos=self.start_pos, mesh=self.mesh,
             )
+        else:
+            if device_loop is None:
+                device_loop = jax.default_backend() == "tpu" or sampled
+            if sampled and not device_loop:
+                raise ValueError("sampled speculation (gen.temperature "
+                                 "> 0) requires device_loop=True")
+            if device_loop:
+                out_ids, stats = spec_decode_device(
+                    self.params, self.cfg, tokens, self.cache,
+                    max_new_tokens, k=k, n=n, eos=eos,
+                    start_pos=self.start_pos, gen=gen,
+                )
+            else:
+                out_ids, stats = generate_speculative(
+                    self.params, self.cfg, tokens, self.cache,
+                    max_new_tokens, k=k, n=n, eos=eos,
+                    start_pos=self.start_pos,
+                )
         self.cache = stats.pop("cache")
         if continue_dialogue:
             self.start_pos += tokens.shape[1] + len(out_ids)

@@ -56,7 +56,7 @@ def ngram_propose(ctx: np.ndarray, k: int, n: int = 3,
 def generate_speculative(
     params, cfg, tokens: jax.Array, cache, max_new: int,
     k: int = 7, n: int = 3, eos: Optional[int] = None,
-    start_pos: int = 0,
+    start_pos: int = 0, mesh=None,
 ) -> Tuple[List[int], dict]:
     """Greedy generation with n-gram speculative verification.
 
@@ -64,8 +64,20 @@ def generate_speculative(
     dialogue KV reuse) prompt. Returns ``(new_tokens, stats)`` with
     ``stats = {steps, drafted, accepted}`` — tokens/step =
     ``(len(new_tokens)) / steps`` is the speedup over one-per-step.
+
+    ``mesh``: run every forward (prefill and verify windows) through the
+    explicit-shard TP path — single-stream speculation on a multi-chip
+    engine (``params`` may be a TPParams deploy bundle, ``cache``
+    mesh-sharded).
     """
-    from awq_tpu.models import forward
+    if mesh is not None:
+        from awq_tpu.parallel import tp_forward
+
+        def forward(params, cfg, toks, cache, pos, last_only=True):
+            return tp_forward(params, cfg, toks, cache, pos, mesh,
+                              last_only=last_only)
+    else:
+        from awq_tpu.models import forward
 
     ctx = list(np.asarray(tokens[0]))
     logits, cache = forward(params, cfg, tokens, cache,

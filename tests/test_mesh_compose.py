@@ -118,6 +118,30 @@ def test_spec_int8_kv_on_tp_mesh(monkeypatch):
     assert out == ref_out
 
 
+def test_engine_speculative_on_mesh():
+    """InferenceEngine.generate_speculative on a tp=2 mesh (the host
+    verify loop routes every window through tp_forward) emits the same
+    greedy tokens as the single-chip engine; round 4 raised
+    NotImplementedError here."""
+    from awq_tpu.runtime.engine import InferenceEngine
+
+    cfg = _cfg()
+    params = _qparams(cfg, seed=15)
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4]
+
+    e1 = InferenceEngine(cfg, params,
+                         RuntimeConfig(max_seq_len=256),
+                         cache_dtype=jnp.float32)
+    ref = e1.generate_speculative(prompt, 8, k=3, device_loop=False)
+
+    e2 = InferenceEngine(cfg, params,
+                         RuntimeConfig(max_seq_len=256, mesh=_tp_mesh()),
+                         cache_dtype=jnp.float32)
+    got = e2.generate_speculative(prompt, 8, k=3)
+    assert list(map(int, got["output_ids"])) == \
+        list(map(int, ref["output_ids"]))
+
+
 def test_paged_on_tp_mesh(monkeypatch):
     """Paged admission + decode on a tp=2 mesh (tp_decode_step_paged,
     KV-head-sharded page pool) matches the single-chip paged engine."""
