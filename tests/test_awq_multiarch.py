@@ -102,6 +102,28 @@ def test_awq_bloom():
     )
 
 
+def test_bloom_engine_generate():
+    """Quantized Bloom end-to-end through the InferenceEngine: embed-LN
+    + alibi + gelu_tanh + per-head interleave survive quantize ->
+    fuse_linears -> generate (greedy)."""
+    from awq_tpu.config import GenConfig, RuntimeConfig
+    from awq_tpu.models.llama import quantize_params
+    from awq_tpu.models import init_params
+    from awq_tpu.runtime.engine import InferenceEngine
+
+    cfg = _cfg(arch="bloom", pos_embed="alibi", act="gelu_tanh",
+               embed_ln=True, num_layers=2)
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(9)),
+                             QuantConfig(w_bit=4, group_size=32))
+    eng = InferenceEngine(cfg, params, RuntimeConfig(max_seq_len=64),
+                          cache_dtype=jnp.float32)
+    out = eng.generate([5, 6, 7, 8], GenConfig(greedy=True,
+                                               max_new_tokens=6))
+    ids = np.asarray(out["output_ids"]).reshape(-1)
+    assert ids.shape[0] >= 1
+    assert ((0 <= ids) & (ids < cfg.vocab_size)).all()
+
+
 def test_awq_apply_reproduces_search_transform():
     cfg = _cfg()
     params, new_params, result = _run(cfg)
