@@ -27,7 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dcn_parity():
+def _run_pair():
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = {k: v for k, v in os.environ.items()
@@ -47,8 +47,22 @@ def test_two_process_dcn_parity():
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.fail("multihost workers timed out:\n"
-                    + "\n".join(o or "" for o in outs))
+        return False, "multihost workers timed out:\n" + \
+            "\n".join(o or "" for o in outs)
     for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {i} failed:\n{out}"
-        assert "MULTIHOST PARITY OK" in out, f"proc {i} output:\n{out}"
+        if p.returncode != 0:
+            return False, f"proc {i} failed:\n{out}"
+        if "MULTIHOST PARITY OK" not in out:
+            return False, f"proc {i} output:\n{out}"
+    return True, ""
+
+
+def test_two_process_dcn_parity():
+    ok, msg = _run_pair()
+    if not ok and ("DEADLINE_EXCEEDED" in msg or "timed out" in msg):
+        # Gloo's 30s key-value rendezvous can expire when the full suite
+        # saturates this 1-core VM (4 xdist workers + 2 subprocesses
+        # compiling simultaneously) — one retry distinguishes real
+        # breakage from scheduler starvation
+        ok, msg = _run_pair()
+    assert ok, msg
