@@ -398,6 +398,57 @@ def _embed_ln(cfg: ModelConfig, params: Params, h: jax.Array) -> jax.Array:
                       cfg.rms_eps).astype(h.dtype)
 
 
+def _embed_lookup(params: Params, cfg: ModelConfig, ids: jax.Array, dt,
+                  tp_axis: Optional[str]) -> jax.Array:
+    """Token embedding lookup, shared by every forward/decode entry.
+
+    Under explicit TP with a vocab-sharded table: local masked lookup,
+    then psum — rows outside this shard contribute zeros (Megatron
+    embedding-parallel)."""
+    if tp_axis is not None and params["embed"].shape[0] != cfg.vocab_size:
+        emb = params["embed"]
+        shard = emb.shape[0]
+        loc = ids - jax.lax.axis_index(tp_axis) * shard
+        ok = (loc >= 0) & (loc < shard)
+        h = jnp.where(ok[..., None], emb[jnp.clip(loc, 0, shard - 1)], 0)
+        return jax.lax.psum(h, tp_axis).astype(dt)
+    return params["embed"][ids].astype(dt)
+
+
+def _lin_row_fn(layers_all, tp_axis: Optional[str], lin, a8: bool = False):
+    """Build the row-parallel linear apply shared by every decode/verify
+    entry: the IC-sharded contraction yields a partial sum -> psum over
+    ``tp_axis``, with the (replicated) bias added AFTER the psum — once,
+    not tp times. ``lin`` is the local non-collective apply returned
+    unchanged when ``tp_axis`` is None."""
+    if tp_axis is None:
+        return lin
+    import dataclasses as _dc
+
+    from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked
+
+    def lin_row(name, idx, xx):
+        p = layers_all[name]
+        bias = None
+        if isinstance(p, QLinear):
+            if p.bias is not None:
+                bias, p = p.bias[idx], _dc.replace(p, bias=None)
+            out = qlinear_apply_stacked(
+                p, idx, xx, a8=a8,
+                w8stack=layers_all.get(name + "_w8") if a8 else None)
+        else:
+            lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
+            if getattr(lp1, "b", None) is not None:
+                bias, lp1 = lp1.b, _dc.replace(lp1, b=None)
+            out = linear_apply(lp1, xx)
+        out = jax.lax.psum(out, tp_axis)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
+    return lin_row
+
+
 def _head_logits(params: Params, h: jax.Array, dt) -> jax.Array:
     """Final-normed hidden states -> f32 logits, dispatching on the head
     format (tied embedding / stacked-of-1 tiled QLinear / plain QLinear /
@@ -508,17 +559,8 @@ def forward(
     dt = _dtype(cfg)
     if inputs_embeds is not None:
         h = inputs_embeds.astype(dt)
-    elif tp_axis is not None and params["embed"].shape[0] != cfg.vocab_size:
-        # vocab-sharded embedding: local masked lookup, then psum — rows
-        # outside this shard contribute zeros (Megatron embedding-parallel)
-        emb = params["embed"]
-        shard = emb.shape[0]
-        loc = tokens - jax.lax.axis_index(tp_axis) * shard
-        ok = (loc >= 0) & (loc < shard)
-        h = jnp.where(ok[..., None], emb[jnp.clip(loc, 0, shard - 1)], 0)
-        h = jax.lax.psum(h, tp_axis).astype(dt)
     else:
-        h = params["embed"][tokens].astype(dt)
+        h = _embed_lookup(params, cfg, tokens, dt, tp_axis)
     h = _embed_ln(cfg, params, h)
 
     is_q8 = isinstance(cache, KVCache8)
@@ -775,31 +817,7 @@ def forward(
             lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
             return linear_apply(lp1, xx)
 
-        def lin_row(name, idx, xx):
-            """Row-parallel linear under explicit TP: the IC-sharded
-            contraction yields a partial sum -> psum over the axis, with
-            the (replicated) bias added AFTER the psum, not tp times."""
-            if tp_axis is None:
-                return lin(name, idx, xx)
-            import dataclasses as _dc
-
-            p = layers_all[name]
-            bias = None
-            if isinstance(p, QLinear):
-                if p.bias is not None:
-                    bias, p = p.bias[idx], _dc.replace(p, bias=None)
-                out = qlinear_apply_stacked(
-                    p, idx, xx, a8=a8,
-                    w8stack=layers_all.get(name + "_w8") if a8 else None)
-            else:
-                lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
-                if getattr(lp1, "b", None) is not None:
-                    bias, lp1 = lp1.b, _dc.replace(lp1, b=None)
-                out = linear_apply(lp1, xx)
-            out = jax.lax.psum(out, tp_axis)
-            if bias is not None:
-                out = out + bias.astype(out.dtype)
-            return out
+        lin_row = _lin_row_fn(layers_all, tp_axis, lin, a8=a8)
 
         # flash decode takes the current token's k/v in-register, so the
         # append can be DEFERRED out of the scan: one batched update for
@@ -979,16 +997,8 @@ def decode_step_batched(
     b = tokens.shape[0]
     dt = _dtype(cfg)
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if tp_axis is not None and params["embed"].shape[0] != cfg.vocab_size:
-        emb = params["embed"]
-        shard = emb.shape[0]
-        loc = tokens - jax.lax.axis_index(tp_axis) * shard
-        ok = (loc >= 0) & (loc < shard)
-        h = jnp.where(ok[..., None], emb[jnp.clip(loc, 0, shard - 1)], 0)
-        h = jax.lax.psum(h, tp_axis)[:, None].astype(dt)
-    else:
-        h = params["embed"][tokens][:, None].astype(dt)  # [B, 1, H]
-    h = _embed_ln(cfg, params, h)
+    h = _embed_lookup(params, cfg, tokens, dt, tp_axis)[:, None]
+    h = _embed_ln(cfg, params, h)                        # [B, 1, H]
     is_q8 = isinstance(cache, KVCache8)
     max_t = cache_seq_len(cache)
     cos, sin = rope_table(cfg, max_t)
@@ -1086,28 +1096,7 @@ def decode_step_batched(
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
         return linear_apply(lp1, xx)
 
-    def lin_row(name, idx, xx):
-        """Row-parallel linear under explicit TP: psum the IC-sharded
-        partial sum, bias added once after (mirrors forward())."""
-        if tp_axis is None:
-            return lin(name, idx, xx)
-        import dataclasses as _dc
-
-        p = layers_all[name]
-        bias = None
-        if isinstance(p, QLinear):
-            if p.bias is not None:
-                bias, p = p.bias[idx], _dc.replace(p, bias=None)
-            out = qlinear_apply_stacked(p, idx, xx)
-        else:
-            lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
-            if getattr(lp1, "b", None) is not None:
-                bias, lp1 = lp1.b, _dc.replace(lp1, b=None)
-            out = linear_apply(lp1, xx)
-        out = jax.lax.psum(out, tp_axis)
-        if bias is not None:
-            out = out + bias.astype(out.dtype)
-        return out
+    lin_row = _lin_row_fn(layers_all, tp_axis, lin)
 
     rows = jnp.arange(b)
     if cfg.pos_embed == "alibi":
@@ -1307,15 +1296,7 @@ def verify_step_batched(
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     is_q8 = isinstance(cache, KVCache8)
     max_t = cache_seq_len(cache)
-    if tp_axis is not None and params["embed"].shape[0] != cfg.vocab_size:
-        emb = params["embed"]
-        shard = emb.shape[0]
-        loc = windows - jax.lax.axis_index(tp_axis) * shard
-        ok = (loc >= 0) & (loc < shard)
-        h = jnp.where(ok[..., None], emb[jnp.clip(loc, 0, shard - 1)], 0)
-        h = jax.lax.psum(h, tp_axis).astype(dt)
-    else:
-        h = params["embed"][windows].astype(dt)          # [B, W, H]
+    h = _embed_lookup(params, cfg, windows, dt, tp_axis)  # [B, W, H]
     h = _embed_ln(cfg, params, h)
     cos, sin = rope_table(cfg, max_t)
     positions = lengths[:, None] + jnp.arange(w)[None]   # [B, W]
@@ -1339,28 +1320,7 @@ def verify_step_batched(
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
         return linear_apply(lp1, xx)
 
-    def lin_row(name, idx, xx):
-        """Row-parallel linear under explicit TP: psum the IC-sharded
-        partial sum, bias added once after (mirrors forward())."""
-        if tp_axis is None:
-            return lin(name, idx, xx)
-        import dataclasses as _dc
-
-        p = layers_all[name]
-        bias = None
-        if isinstance(p, QLinear):
-            if p.bias is not None:
-                bias, p = p.bias[idx], _dc.replace(p, bias=None)
-            out = qlinear_apply_stacked(p, idx, xx)
-        else:
-            lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
-            if getattr(lp1, "b", None) is not None:
-                bias, lp1 = lp1.b, _dc.replace(lp1, b=None)
-            out = linear_apply(lp1, xx)
-        out = jax.lax.psum(out, tp_axis)
-        if bias is not None:
-            out = out + bias.astype(out.dtype)
-        return out
+    lin_row = _lin_row_fn(layers_all, tp_axis, lin)
 
     def xla_attn(q, k_new, v_new, kc, vc, ksc=None, vsc=None):
         """q/k_new/v_new [B, W, n*, hd]; prefix cache kc/vc
@@ -1448,11 +1408,7 @@ def verify_step_batched(
     )
     # per-row window append (B static slices; kv_all [L, 2, B, n_kv, W, hd])
     if is_q8:
-        kf = kv_all.astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(kf), axis=-1)           # [L,2,B,n_kv,W]
-        sc = jnp.maximum(absmax, 1e-6) / 127.0
-        kq = jnp.clip(jnp.round(kf / sc[..., None]),
-                      -127, 127).astype(jnp.int8)
+        kq, sc = quantize_kv(kv_all)   # shape-agnostic over leading axes
         for i in range(b):
             cache = KVCache8(
                 data=jax.lax.dynamic_update_slice(
@@ -1499,16 +1455,8 @@ def decode_step_paged(
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     page = pool.shape[4]
     max_t = tables.shape[1] * page
-    if tp_axis is not None and params["embed"].shape[0] != cfg.vocab_size:
-        emb = params["embed"]
-        shard = emb.shape[0]
-        loc = tokens - jax.lax.axis_index(tp_axis) * shard
-        ok = (loc >= 0) & (loc < shard)
-        h = jnp.where(ok[..., None], emb[jnp.clip(loc, 0, shard - 1)], 0)
-        h = jax.lax.psum(h, tp_axis)[:, None].astype(dt)
-    else:
-        h = params["embed"][tokens][:, None].astype(dt)  # [B, 1, H]
-    h = _embed_ln(cfg, params, h)
+    h = _embed_lookup(params, cfg, tokens, dt, tp_axis)[:, None]
+    h = _embed_ln(cfg, params, h)                        # [B, 1, H]
     cos, sin = rope_table(cfg, max_t)
     positions = lengths[:, None]                         # [B, 1]
 
@@ -1585,28 +1533,7 @@ def decode_step_paged(
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
         return linear_apply(lp1, xx)
 
-    def lin_row(name, idx, xx):
-        """Row-parallel linear under explicit TP: psum the IC-sharded
-        partial sum, bias added once after (mirrors forward())."""
-        if tp_axis is None:
-            return lin(name, idx, xx)
-        import dataclasses as _dc
-
-        p = layers_all[name]
-        bias = None
-        if isinstance(p, QLinear):
-            if p.bias is not None:
-                bias, p = p.bias[idx], _dc.replace(p, bias=None)
-            out = qlinear_apply_stacked(p, idx, xx)
-        else:
-            lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
-            if getattr(lp1, "b", None) is not None:
-                bias, lp1 = lp1.b, _dc.replace(lp1, b=None)
-            out = linear_apply(lp1, xx)
-        out = jax.lax.psum(out, tp_axis)
-        if bias is not None:
-            out = out + bias.astype(out.dtype)
-        return out
+    lin_row = _lin_row_fn(layers_all, tp_axis, lin)
 
     if cfg.pos_embed == "alibi":
         assert tp_axis is None, "tp_axis does not support ALiBi archs"

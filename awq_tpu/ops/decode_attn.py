@@ -577,6 +577,9 @@ def _stacked_prefill_kernel(
     acc0 = jnp.zeros((bq, hd), jnp.float32)
     if fixed_max is not None:
         l, acc = jax.lax.fori_loop(0, nblk, body, (l0, acc0))
+        # a row whose every score sits below M-126 underflows l to 0;
+        # degrade to zeros, not 0/0 NaN hidden states
+        l = jnp.maximum(l, 1e-30)
     else:
         m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
         _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))

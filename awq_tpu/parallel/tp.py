@@ -120,6 +120,16 @@ def _mesh_tp(mesh: Mesh) -> int:
     return dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
 
 
+_STEP_CACHE: Dict[Any, Any] = {}
+
+
+def _specs_key(specs):
+    """Hashable key for a PartitionSpec pytree."""
+    leaves, treedef = jax.tree_util.tree_flatten(
+        specs, is_leaf=lambda x: isinstance(x, P))
+    return (treedef, tuple(leaves))
+
+
 def _alibi_operand(cfg: ModelConfig):
     """(global slopes [n_q], P("tp")) for ALiBi archs under explicit TP,
     or (None, P()) otherwise: the q-head axis shards contiguously over
@@ -243,17 +253,26 @@ def tp_decode_step_batched(
 
     slopes, sspec = _alibi_operand(cfg)
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(pspecs, P("dp"), cspecs, P("dp"), sspec),
-        out_specs=(P("dp", "tp"), cspecs),
-        check_vma=False,
-    )
-    def run(params, tokens, cache, lengths, slopes):
-        return decode_step_batched(params, lcfg, tokens, cache, lengths,
-                                   tp_axis="tp", alibi_slopes=slopes)
+    # memoize the jitted closure: a fresh function per call would make
+    # jax.jit re-trace/re-lower the whole sharded model EVERY engine
+    # step (jit caches on function identity)
+    key = ("decode_step_batched", cfg, mesh, _specs_key(pspecs),
+           _specs_key(cspecs), sspec)
+    run = _STEP_CACHE.get(key)
+    if run is None:
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(pspecs, P("dp"), cspecs, P("dp"), sspec),
+            out_specs=(P("dp", "tp"), cspecs),
+            check_vma=False,
+        )
+        def run(params, tokens, cache, lengths, slopes):
+            return decode_step_batched(params, lcfg, tokens, cache,
+                                       lengths, tp_axis="tp",
+                                       alibi_slopes=slopes)
 
+        _STEP_CACHE[key] = run
     return run(params, tokens, cache, lengths, slopes)
 
 
@@ -276,17 +295,22 @@ def tp_verify_step_batched(
     lcfg = tp_local_cfg(cfg, tp)
     cspecs = cache_specs(cache, shard_kv=tp > 1)
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(pspecs, P("dp", None), cspecs, P("dp")),
-        out_specs=(P("dp", None, "tp"), cspecs),
-        check_vma=False,
-    )
-    def run(params, windows, cache, lengths):
-        return verify_step_batched(params, lcfg, windows, cache, lengths,
-                                   tp_axis="tp")
+    key = ("verify_step_batched", cfg, mesh, _specs_key(pspecs),
+           _specs_key(cspecs))
+    run = _STEP_CACHE.get(key)
+    if run is None:
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(pspecs, P("dp", None), cspecs, P("dp")),
+            out_specs=(P("dp", None, "tp"), cspecs),
+            check_vma=False,
+        )
+        def run(params, windows, cache, lengths):
+            return verify_step_batched(params, lcfg, windows, cache,
+                                       lengths, tp_axis="tp")
 
+        _STEP_CACHE[key] = run
     return run(params, windows, cache, lengths)
 
 
@@ -316,18 +340,22 @@ def tp_decode_step_paged(
     params, pspecs = _resolve_params(params, cfg, tp)
     lcfg = tp_local_cfg(cfg, tp)
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(pspecs, P("dp"), pool_specs(pool), P("dp", None),
-                  P("dp")),
-        out_specs=(P("dp", "tp"), pool_specs(pool)),
-        check_vma=False,
-    )
-    def run(params, tokens, pool, tables, lengths):
-        return decode_step_paged(params, lcfg, tokens, pool, tables,
-                                 lengths, tp_axis="tp")
+    key = ("decode_step_paged", cfg, mesh, _specs_key(pspecs))
+    run = _STEP_CACHE.get(key)
+    if run is None:
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(pspecs, P("dp"), pool_specs(pool), P("dp", None),
+                      P("dp")),
+            out_specs=(P("dp", "tp"), pool_specs(pool)),
+            check_vma=False,
+        )
+        def run(params, tokens, pool, tables, lengths):
+            return decode_step_paged(params, lcfg, tokens, pool, tables,
+                                     lengths, tp_axis="tp")
 
+        _STEP_CACHE[key] = run
     return run(params, tokens, pool, tables, lengths)
 
 

@@ -287,6 +287,10 @@ class BatchEngine:
         # greediness no longer gates eligibility.
         if not self.spec_k:
             return False
+        # verify_step_batched has no ALiBi path: alibi archs (mpt/bloom)
+        # fall back to plain decode instead of crashing at trace time
+        if self.cfg.pos_embed not in ("rope", "learned", "none"):
+            return False
         w = self.spec_k + 1
         return all(self.lengths[i] + w <= self.max_seq for i in active)
 

@@ -115,6 +115,29 @@ def test_spec_accept_sample_greedy_identity():
     assert take[1] == 1 and emit[1, 0] == argm[1, 0]
 
 
+def test_spec_alibi_falls_back_to_plain_decode():
+    """spec_k on an ALiBi arch (mpt/bloom): verify_step_batched has no
+    alibi path, so eligibility must route to plain decode — the engine
+    completes instead of crashing at trace time (review regression)."""
+    from awq_tpu.runtime.batch_engine import BatchEngine
+
+    cfg = ModelConfig(
+        arch="mpt", vocab_size=64, hidden_size=256,
+        intermediate_size=256, num_layers=2, num_heads=2, num_kv_heads=2,
+        head_dim=128, max_position_embeddings=256, dtype="float32",
+        norm="layernorm", act="gelu", pos_embed="alibi",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(2)),
+                             QuantConfig(w_bit=4, group_size=128))
+    eng = BatchEngine(cfg, params, n_slots=2, max_seq_len=128, spec_k=3,
+                      cache_dtype=jnp.float32)
+    assert not eng._spec_eligible([])
+    rid = eng.submit([7, 8, 7, 8, 7, 8],
+                     GenConfig(greedy=True, max_new_tokens=6))
+    done = eng.run()
+    assert len(done[rid].out_ids) == 6
+
+
 def test_engine_spec_mixed_batch():
     """A spec BatchEngine with one greedy and one temperature-0.7 row:
     the greedy row still matches the plain engine bit-for-bit (argmax
