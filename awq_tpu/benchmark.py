@@ -143,7 +143,7 @@ def build_model(geometry: str, precision: str, load_quant, max_seq: int,
         # head alone streams >1 GB/token); fuse_linears tiles it folded
         params["lm_head"] = quantize_linear(
             params["lm_head"].astype(jnp.float32),
-            n_bit=4, group_size=128)
+            n_bit=4, group_size=128 if cfg.hidden_size % 128 == 0 else 64)
     params = fuse_linears(params, cfg, consume=True)
     if prefill_w8:
         # int8 prefill weight cache — must build before the strip below

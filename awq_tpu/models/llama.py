@@ -213,15 +213,16 @@ def fuse_linears(params: Params, cfg: ModelConfig,
     is repacked) so the device-memory peak is old+one tensor instead of
     old+new — use when the caller rebinds ``params`` anyway.
 
-    ``tile`` controls the folded block-contiguous repack. Default: on
-    unless the arch cannot ride the stacked/megakernel decode paths
-    (ALiBi models take forward's plain branch, where tiled weights would
-    be untiled + nibble-remapped inside the per-layer scan EVERY decode
-    step — strictly worse than the plain layout)."""
+    ``tile`` controls the folded block-contiguous repack (round 5: ON
+    for every arch — ALiBi models now ride the stacked flash path with
+    in-kernel slopes, so the old plain-branch exception is stale).
+    Linears whose OC has no 128-lane tile width (falcon-7b's 71x64
+    heads) stay plain with a warning — the stacked kernel serves plain
+    and tiled layouts side by side."""
     from awq_tpu.ops.w4a16 import QLinear
 
     if tile is None:
-        tile = cfg.pos_embed != "alibi"
+        tile = True
 
     layers = params["layers"] if consume else dict(params["layers"])
     if "wqkv" in layers or "wq" not in layers:
@@ -271,6 +272,36 @@ def fuse_linears(params: Params, cfg: ModelConfig,
             block_n //= 2
         for name, p in list(layers.items()):
             if isinstance(p, QLinear):
+                if p.out_features % 128:
+                    # falcon-7b-class shapes (71x64 heads, 4544 hidden):
+                    # the 128-aligned OC prefix tiles normally; the
+                    # sub-128 tail splits off at LAYOUT time as a small
+                    # plain '<name>_rem' QLinear (slicing the stacked
+                    # array per decode step instead would copy every
+                    # layer's codes each scan iteration). OC is the lane
+                    # axis in both packings, so the split is free.
+                    oc_main = p.out_features // 128 * 128
+
+                    def cut(ql, lo, hi):
+                        return QLinear(
+                            qweight=ql.qweight[..., lo:hi],
+                            scales=ql.scales[..., lo:hi],
+                            szeros=ql.szeros[..., lo:hi],
+                            bias=(ql.bias[..., lo:hi]
+                                  if ql.bias is not None else None),
+                            w_bit=ql.w_bit, group_size=ql.group_size,
+                            dense3=ql.dense3,
+                        )
+
+                    rem = cut(p, oc_main, p.out_features)
+                    mainq = cut(p, 0, oc_main)
+                    if consume:
+                        del layers[name]
+                    layers[name] = tile_qlinear(mainq, block_n=block_n,
+                                                fold_scales=True)
+                    layers[name + "_rem"] = rem
+                    del p
+                    continue
                 # fold_scales packs scales/szeros into the blocks: one HBM
                 # stream per matmul — the layout the decode megakernel's
                 # manual-DMA loop wants (ops/megakernel.py).
@@ -413,6 +444,20 @@ def _embed_lookup(params: Params, cfg: ModelConfig, ids: jax.Array, dt,
         h = jnp.where(ok[..., None], emb[jnp.clip(loc, 0, shard - 1)], 0)
         return jax.lax.psum(h, tp_axis).astype(dt)
     return params["embed"][ids].astype(dt)
+
+
+def _apply_rem(layers_all, name, idx, xx, out):
+    """Append the ``<name>_rem`` tail — fuse_linears' layout-time split
+    of an OC with no 128-lane tile width (falcon-7b-class shapes) —
+    onto the main kernel output. No-op for every other arch."""
+    rem = layers_all.get(name + "_rem")
+    if rem is None:
+        return out
+    from awq_tpu.ops.w4a16 import qlinear_apply_stacked
+
+    return jnp.concatenate(
+        [out, qlinear_apply_stacked(rem, idx, xx).astype(out.dtype)],
+        axis=-1)
 
 
 def _lin_row_fn(layers_all, tp_axis: Optional[str], lin, a8: bool = False):
@@ -811,9 +856,10 @@ def forward(
         def lin(name, idx, xx):
             p = layers_all[name]
             if isinstance(p, QLinear):
-                return qlinear_apply_stacked(
+                out = qlinear_apply_stacked(
                     p, idx, xx, a8=a8,
                     w8stack=layers_all.get(name + "_w8") if a8 else None)
+                return _apply_rem(layers_all, name, idx, xx, out)
             lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
             return linear_apply(lp1, xx)
 
@@ -1092,7 +1138,8 @@ def decode_step_batched(
     def lin(name, idx, xx):
         p = layers_all[name]
         if isinstance(p, QLinear) and on_tpu:
-            return qlinear_apply_stacked(p, idx, xx)
+            return _apply_rem(layers_all, name, idx, xx,
+                              qlinear_apply_stacked(p, idx, xx))
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
         return linear_apply(lp1, xx)
 
@@ -1316,7 +1363,8 @@ def verify_step_batched(
     def lin(name, idx, xx):
         p = layers_all[name]
         if isinstance(p, QLinear) and on_tpu:
-            return qlinear_apply_stacked(p, idx, xx)
+            return _apply_rem(layers_all, name, idx, xx,
+                              qlinear_apply_stacked(p, idx, xx))
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
         return linear_apply(lp1, xx)
 
@@ -1468,7 +1516,7 @@ def decode_step_paged(
 
     on_tpu = jax.default_backend() == "tpu"
     _force = _os.environ.get("AWQ_TPU_FORCE_FLASH") == "1"
-    use_flash = ((on_tpu or _force) and hd % 64 == 0 and page % 8 == 0
+    use_flash = ((on_tpu or _force) and hd % 128 == 0 and page % 8 == 0
                  and cfg.pos_embed in ("rope", "none", "learned"))
     layers_all = params["layers"]
     from awq_tpu.ops.w4a16 import QLinear, qlinear_apply_stacked
@@ -1529,7 +1577,8 @@ def decode_step_paged(
     def lin(name, idx, xx):
         p = layers_all[name]
         if isinstance(p, QLinear) and on_tpu:
-            return qlinear_apply_stacked(p, idx, xx)
+            return _apply_rem(layers_all, name, idx, xx,
+                              qlinear_apply_stacked(p, idx, xx))
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
         return linear_apply(lp1, xx)
 

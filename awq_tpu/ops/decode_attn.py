@@ -94,6 +94,7 @@ def _flash_decode_kernel(
 def _stacked_decode_kernel(
     scalars_ref, q_ref, kn_ref, vn_ref, cache_ref, *rest,
     block_t: int, scale: float, has_bias: bool = False,
+    paired: bool = False,
 ):
     """Flash decode over the cache prefix [0, length) PLUS the current
     token's k/v passed in-register (kn/vn) — so the cache append can be
@@ -103,13 +104,21 @@ def _stacked_decode_kernel(
     ``has_bias``: an extra per-(kv-head, group) ALiBi slope operand; the
     relative bias ``slope * (j - i)`` collapses to ``slope * j`` by the
     per-row shift invariance of softmax (the reference's MMHA takes the
-    same slopes, ``decoder_masked_multihead_attention.cu:30-101``)."""
-    if has_bias:
-        slopes_ref, o_ref, kbuf, vbuf, ksem, vsem = rest
-        sl = slopes_ref[0][:, None].astype(jnp.float32)   # [g, 1]
-    else:
-        o_ref, kbuf, vbuf, ksem, vsem = rest
-        sl = None
+    same slopes, ``decoder_masked_multihead_attention.cu:30-101``).
+
+    ``paired``: the head_dim-64 specialization (falcon-7b / small
+    bloom). Mosaic tiles HBM lanes at 128, so a [bt, 64] cache slab
+    cannot DMA; the wrapper instead passes the cache VIEWED as
+    ``[..., T/2, 128]`` — two consecutive POSITIONS packed per 128-lane
+    row — and each block computes two half-lane dots (even lanes =
+    position 2t, odd half = 2t+1). Same FLOPs, aligned DMAs; the
+    reference MMHA dispatches head dims 32..256
+    (``decoder_masked_multihead_attention.cu:30-101``).
+
+    ALiBi slopes ride the SCALAR-PREFETCH vector as bitcast int32 (a
+    tiny VMEM operand has no legal Mosaic block shape): entries
+    ``scalars[1 + B + head]`` hold the f32 bit patterns."""
+    o_ref, kbuf, vbuf, ksem, vsem = rest
     b = pl.program_id(0)
     h = pl.program_id(1)
     layer = scalars_ref[0]
@@ -117,11 +126,26 @@ def _stacked_decode_kernel(
 
     q = q_ref[0, 0].astype(jnp.float32) * scale      # [g, hd]
     g, hd = q.shape
+    sl = None
+    if has_bias:
+        # slopes for THIS kv head's g q-heads (global q head = h*g + j)
+        # as FIXED-POINT (x 2^24) ints in the scalar vector: Mosaic can
+        # neither block a [n_kv, g] operand nor vector-stack dynamic
+        # SMEM reads, so build the [g, 1] row vector as a select chain
+        # of scalar broadcasts (g == 1 for every real ALiBi arch — MHA)
+        base_off = scalars_ref.shape[0] - pl.num_programs(1) * g
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+        sl = jnp.zeros((g, 1), jnp.float32)
+        for j in range(g):
+            sj = (scalars_ref[base_off + h * g + j].astype(jnp.float32)
+                  * (1.0 / (1 << 24)))
+            sl = jnp.where(rowi == j, sj, sl)
     nblk = pl.cdiv(length, block_t)
+    bt_rows = block_t // 2 if paired else block_t    # slab rows per block
 
     def dma(buf, kv, sem, slot, i):
         return pltpu.make_async_copy(
-            cache_ref.at[layer, kv, b, h, pl.ds(i * block_t, block_t), :],
+            cache_ref.at[layer, kv, b, h, pl.ds(i * bt_rows, bt_rows), :],
             buf.at[slot],
             sem.at[slot],
         )
@@ -130,6 +154,28 @@ def _stacked_decode_kernel(
     def _():
         dma(kbuf, 0, ksem, 0, 0).start()
         dma(vbuf, 1, vsem, 0, 0).start()
+
+    def scores(qf, kb, i):
+        """[(s, col)] per lane-half: one (full block) or two (paired)."""
+        if not paired:
+            s = jax.lax.dot_general(
+                qf, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + i * block_t)
+            return [(s, col)]
+        out = []
+        for half in (0, 1):
+            s = jax.lax.dot_general(
+                qf, kb[:, half * hd:(half + 1) * hd],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # [g, bt_rows]
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + i * bt_rows) * 2 + half
+            out.append((s, col))
+        return out
 
     def body(i, carry):
         m, l, acc = carry
@@ -141,25 +187,29 @@ def _stacked_decode_kernel(
             dma(vbuf, 1, vsem, (i + 1) % 2, i + 1).start()
 
         dma(kbuf, 0, ksem, slot, i).wait()
-        s = jax.lax.dot_general(
-            q, kbuf[slot],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
-        if has_bias:
-            s = s + sl * col.astype(jnp.float32)
-        s = jnp.where(col < length, s, -jnp.inf)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        parts = []
+        for s, col in scores(q, kbuf[slot], i):
+            if has_bias:
+                s = s + sl * col.astype(jnp.float32)
+            parts.append(jnp.where(col < length, s, -jnp.inf))
+        m_new = m
+        for s in parts:
+            m_new = jnp.maximum(m_new, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        ps = [jnp.exp(s - m_new) for s in parts]
+        l_new = l * alpha
+        for p in ps:
+            l_new = l_new + jnp.sum(p, axis=1, keepdims=True)
         dma(vbuf, 1, vsem, slot, i).wait()
-        pv = jax.lax.dot_general(
-            p.astype(vbuf.dtype), vbuf[slot],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        pv = jnp.zeros_like(acc)
+        vb = vbuf[slot]
+        for half, p in enumerate(ps):
+            vh = vb if not paired else vb[:, half * hd:(half + 1) * hd]
+            pv = pv + jax.lax.dot_general(
+                p.astype(vb.dtype), vh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return m_new, l_new, acc * alpha + pv
 
     m0 = jnp.full((g, 1), -jnp.inf, jnp.float32)
@@ -170,12 +220,18 @@ def _stacked_decode_kernel(
     # current token (not yet in the cache), in-register
     kn = kn_ref[0, 0].astype(jnp.float32)            # [1, hd]
     vn = vn_ref[0, 0]                                # [1, hd]
-    s_c = jax.lax.dot_general(
-        q, kn, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                # [g, 1]
     if has_bias:
+        # VPU multiply-reduce instead of the [g, 1] MXU dot: Mosaic
+        # fuses an add on a dot output into the accumulator and only
+        # supports CONSTANT accumulators — the bias add would fail to
+        # compile ("only constant accumulators supported")
+        s_c = jnp.sum(q * kn, axis=1, keepdims=True)
         s_c = s_c + sl * length.astype(jnp.float32)
+    else:
+        s_c = jax.lax.dot_general(
+            q, kn, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # [g, 1]
     m_new = jnp.maximum(m, s_c)
     alpha = jnp.exp(m - m_new)
     p_c = jnp.exp(s_c - m_new)                       # [g, 1]
@@ -374,10 +430,25 @@ def flash_decode_stacked(
     lengths = jnp.broadcast_to(
         jnp.asarray(length, jnp.int32).reshape(-1), (b,)
     )
-    scalars = jnp.concatenate(
-        [jnp.reshape(layer, (1,)).astype(jnp.int32), lengths]
-    )
+    scalar_parts = [jnp.reshape(layer, (1,)).astype(jnp.int32), lengths]
+    if slopes is not None:
+        # fixed-point (x 2^24) slopes ride the scalar-prefetch vector
+        # (a [n_kv, g] VMEM operand has no legal Mosaic block shape);
+        # power-of-two slopes are exact, the rest keep 24-bit precision
+        scalar_parts.append(jnp.round(
+            jnp.reshape(slopes, (-1,)).astype(jnp.float32) * (1 << 24)
+        ).astype(jnp.int32))
+    scalars = jnp.concatenate(scalar_parts)
 
+    paired = hd % 128 != 0
+    if paired:
+        # hd-64 specialization: Mosaic tiles HBM lanes at 128, so the
+        # cache rides as [..., T/2, 128] (two positions per row — a free
+        # view) and the kernel runs two half-lane dots per block
+        assert hd == 64, f"flash decode: head_dim {hd} unsupported"
+        cache = cache.reshape(*cache.shape[:4], t // 2, 2 * hd)
+    buf_rows = block_t // 2 if paired else block_t
+    buf_cols = 2 * hd if paired else hd
     in_specs = [
         pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
         pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
@@ -386,17 +457,14 @@ def flash_decode_stacked(
     ]
     args = [scalars, qg, k_new.astype(cdt).reshape(b, n_kv, 1, hd),
             v_new.astype(cdt).reshape(b, n_kv, 1, hd), cache]
-    if slopes is not None:
-        in_specs.append(pl.BlockSpec((1, g), lambda i, j, *_: (j, 0)))
-        args.append(jnp.reshape(slopes, (n_kv, g)).astype(jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_kv),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *_: (i, j, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_t, hd), cdt),
-            pltpu.VMEM((2, block_t, hd), cdt),
+            pltpu.VMEM((2, buf_rows, buf_cols), cdt),
+            pltpu.VMEM((2, buf_rows, buf_cols), cdt),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -405,6 +473,7 @@ def flash_decode_stacked(
         functools.partial(
             _stacked_decode_kernel, block_t=block_t,
             scale=1.0 / (hd ** 0.5), has_bias=slopes is not None,
+            paired=paired,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_kv, g, hd), q.dtype),
@@ -433,6 +502,7 @@ def _stacked_prefill_kernel(
     scalars_ref, q_ref, cache_ref, *rest,
     block_t: int, block_q: int, scale: float, nbuf: int,
     has_bias: bool = False, fixed_max: float = None,
+    paired: bool = False,
 ):
     """Flash attention for (chunked) prefill over the stacked cache.
 
@@ -467,12 +537,7 @@ def _stacked_prefill_kernel(
     ``(M - ~100, M + 80)`` — f32 exp2 spans 2^+-126, so with M=16 that
     window covers any trained model's score range; beyond the +80 clamp
     the ratios saturate gracefully instead of overflowing to inf."""
-    if has_bias:
-        slopes_ref, o_ref, kvbuf, kvsem = rest
-        sl = slopes_ref[0, 0].astype(jnp.float32)
-    else:
-        o_ref, kvbuf, kvsem = rest
-        sl = None
+    o_ref, kvbuf, kvsem = rest
     b = pl.program_id(0)
     h = pl.program_id(1)          # q head
     qb = pl.program_id(2)
@@ -480,6 +545,13 @@ def _stacked_prefill_kernel(
     start_pos = scalars_ref[1]
     groups = scalars_ref[2]       # n_q // n_kv
     kvh = h // groups
+    sl = None
+    if has_bias:
+        # per-head ALiBi slope as an f32 bit pattern in the scalar
+        # vector (a [n_q, 1] VMEM operand has no legal block shape;
+        # tpu.bitcast wants vectors, so go through a 1-elem stack)
+        sl = jax.lax.bitcast_convert_type(
+            jnp.stack([scalars_ref[3 + h]]), jnp.float32)[0]
 
     # bf16 MXU dots with f32 accumulation — an f32 score dot runs at
     # 1/4-1/8 the MXU rate (3-pass) and was the measured prefill TTFT
@@ -489,20 +561,21 @@ def _stacked_prefill_kernel(
     q = (q_ref[0].astype(jnp.float32)
          * (scale * 1.4426950408889634)).astype(jnp.bfloat16)
     bq, hd = q.shape
+    bt_rows = block_t // 2 if paired else block_t    # slab rows per block
+    t_total = cache_ref.shape[4] * (2 if paired else 1)
     q0 = start_pos + qb * block_q                    # global pos of row 0
     hi = q0 + bq                                     # exclusive causal max
     # padded tail q-blocks may point past the cache end: clamp
-    nblk = jnp.minimum(pl.cdiv(hi, block_t),
-                       cache_ref.shape[4] // block_t)
+    nblk = jnp.minimum(pl.cdiv(hi, block_t), t_total // block_t)
 
-    max_blk = cache_ref.shape[4] // block_t
+    max_blk = t_total // block_t
 
     def dma(slot, i):
         # clamp: prologue/prefetch indices past nblk are pl.when-guarded
         # (never executed) but the slice must still be in bounds at trace
         i = jnp.minimum(jnp.asarray(i, jnp.int32), max_blk - 1)
         return pltpu.make_async_copy(
-            cache_ref.at[layer, :, b, kvh, pl.ds(i * block_t, block_t), :],
+            cache_ref.at[layer, :, b, kvh, pl.ds(i * bt_rows, bt_rows), :],
             kvbuf.at[slot], kvsem.at[slot],
         )
 
@@ -514,14 +587,57 @@ def _stacked_prefill_kernel(
     # hoisted mask operand: keep col j of block i iff global col
     # i*block_t + iota1 <= global row q0 + iota0, i.e. diff >= i*block_t
     # — per masked block this is one scalar compare + select instead of
-    # iota+add+compare+select (mask was ~6.6 ms of the 47 ms chain)
-    diff = (jax.lax.broadcasted_iota(jnp.int32, (bq, block_t), 0) + q0
-            - jax.lax.broadcasted_iota(jnp.int32, (bq, block_t), 1))
-    # ALiBi uses the ROW-RELATIVE form slope*(j - i) = slope*(i_blk*bt -
-    # diff) <= 0: equally softmax-shift-invariant, but keeps scores
-    # bounded (slope*j grows ~linearly with absolute position and would
-    # walk out of the fixed-max exactness window)
+    # iota+add+compare+select (mask was ~6.6 ms of the 47 ms chain).
+    # In paired mode the per-half global col is (i*bt_rows + iota1)*2 +
+    # half, so keep iff diff_p >= 2*i*bt_rows + half with
+    # diff_p = rows - 2*iota1.
+    rows_m = jax.lax.broadcasted_iota(jnp.int32, (bq, bt_rows), 0) + q0
+    cols_m = jax.lax.broadcasted_iota(jnp.int32, (bq, bt_rows), 1)
+    diff = rows_m - (2 * cols_m if paired else cols_m)
+    # ALiBi uses the ROW-RELATIVE form slope*(j - i) <= 0: equally
+    # softmax-shift-invariant, but keeps scores bounded (slope*j grows
+    # ~linearly with absolute position and would walk out of the
+    # fixed-max exactness window)
     difff = diff.astype(jnp.float32) if has_bias else None
+
+    def halves(slot, i):
+        """[(s_masked,)] per lane-half: one (full block) or two (paired,
+        even/odd positions)."""
+        kslab = kvbuf[slot, 0]
+        out = []
+        for half in range(2 if paired else 1):
+            kh = (kslab[:, half * hd:(half + 1) * hd] if paired
+                  else kslab)
+            s = jax.lax.dot_general(
+                q, kh.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # [bq, bt_rows]
+            base = 2 * i * bt_rows + half if paired else i * block_t
+            if has_bias:
+                # slope already in the exp2 (log2) domain; row-relative
+                s = s + sl * (jnp.float32(1) * base - difff)
+            # only blocks overlapping the causal diagonal need the
+            # mask; interior blocks (every col <= the min row) skip it
+            s = jax.lax.cond(
+                (i + 1) * block_t - 1 <= q0, lambda s: s,
+                lambda s: jnp.where(diff >= base, s, -jnp.inf), s)
+            out.append(s)
+        return out
+
+    def pv_dot(slot, ps):
+        vslab = kvbuf[slot, 1]
+        pv = None
+        for half, p in enumerate(ps):
+            vh = (vslab[:, half * hd:(half + 1) * hd] if paired
+                  else vslab)
+            d = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pv = d if pv is None else pv + d
+        return pv
 
     def body(i, carry):
         if fixed_max is not None:
@@ -536,42 +652,25 @@ def _stacked_prefill_kernel(
             dma(nxt % nbuf, nxt).start()
 
         dma(slot, i).wait()
-        s = jax.lax.dot_general(
-            q, kvbuf[slot, 0].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                            # [bq, bt]
-        if has_bias:
-            # slope already in the exp2 (log2) domain
-            s = s + sl * ((i * block_t).astype(jnp.float32) - difff)
-
-        # only blocks overlapping the causal diagonal need the mask;
-        # interior blocks (every col <= the block's min row) skip it
-        s = jax.lax.cond(
-            (i + 1) * block_t - 1 <= q0, lambda s: s,
-            lambda s: jnp.where(diff >= i * block_t, s, -jnp.inf), s)
+        parts = halves(slot, i)
         if fixed_max is not None:
             # no running max, no rescale: min+sub+exp2 fuse to one
             # elementwise pass; masked -inf cols map to exp2 -> 0
-            p = jnp.exp2(jnp.minimum(s, fixed_max + 80.0) - fixed_max)
-            l_new = l + jnp.sum(p, axis=1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16),
-                kvbuf[slot, 1].astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return l_new, acc + pv
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            ps = [jnp.exp2(jnp.minimum(s, fixed_max + 80.0) - fixed_max)
+                  for s in parts]
+            l_new = l
+            for p in ps:
+                l_new = l_new + jnp.sum(p, axis=1, keepdims=True)
+            return l_new, acc + pv_dot(slot, ps)
+        m_new = m
+        for s in parts:
+            m_new = jnp.maximum(m_new, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), kvbuf[slot, 1].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc * alpha + pv
+        ps = [jnp.exp2(s - m_new) for s in parts]
+        l_new = l * alpha
+        for p in ps:
+            l_new = l_new + jnp.sum(p, axis=1, keepdims=True)
+        return m_new, l_new, acc * alpha + pv_dot(slot, ps)
 
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, hd), jnp.float32)
@@ -616,37 +715,60 @@ def flash_prefill_stacked(
     assert block_t >= 256 and t % block_t == 0, (t, block_t)
     bq = min(block_q, s)
     s_pad = -s % bq
-    # q rides as [B, S, n_q*hd] (a FREE reshape of the projection output):
-    # the head axis becomes a lane-aligned block column (1, bq, hd), so
-    # there is NO host-visible transpose. The old swapaxes in/out relayout
-    # cost ~67 MB/layer of pure glue at S=2048 (part of the round-3
-    # "29 ms un-itemized" TTFT bucket).
-    qt = q.reshape(b, s, n_q * hd)
+    lane_cols = hd % 128 == 0
+    paired = not lane_cols
+    if paired:
+        # hd-64 archs: the cache rides as [..., T/2, 128] (two positions
+        # per 128-lane row — a free view; Mosaic can't DMA 64-lane
+        # slabs) and the kernel runs two half-lane dots per block
+        assert hd == 64, f"flash prefill: head_dim {hd} unsupported"
+        cache = cache.reshape(*cache.shape[:4], t // 2, 2 * hd)
+    if lane_cols:
+        # q rides as [B, S, n_q*hd] (a FREE reshape of the projection
+        # output): the head axis becomes a lane-aligned block column
+        # (1, bq, hd), so there is NO host-visible transpose. The old
+        # swapaxes in/out relayout cost ~67 MB/layer of pure glue at
+        # S=2048 (part of the round-3 "29 ms un-itemized" TTFT bucket).
+        qt = q.reshape(b, s, n_q * hd)
+        q_spec = pl.BlockSpec((1, bq, hd), lambda i, j, k, *_: (i, k, j))
+    else:
+        # hd-64 archs (falcon/mpt/bloom): a 64-lane block column is not
+        # Mosaic-tileable; head-major [B*n_q, S, hd] makes hd the FULL
+        # last dim (always legal) at the cost of one relayout each way
+        qt = jnp.swapaxes(q, 1, 2).reshape(b * n_q, s, hd)
+        q_spec = pl.BlockSpec(
+            (1, bq, hd), lambda i, j, k, *_: (i * n_q + j, k, 0))
     if s_pad:
         qt = jnp.pad(qt, ((0, 0), (0, s_pad), (0, 0)))
-    scalars = jnp.stack([
+    scalar_parts = [jnp.stack([
         jnp.asarray(layer, jnp.int32),
         jnp.asarray(start_pos, jnp.int32),
         jnp.asarray(n_q // n_kv, jnp.int32),
-    ])
+    ])]
+    if slopes is not None:
+        # slope bit patterns in the scalar vector, pre-multiplied by
+        # log2(e) to live in the kernel's exp2 domain
+        scalar_parts.append(jax.lax.bitcast_convert_type(
+            jnp.reshape(slopes, (-1,)).astype(jnp.float32)
+            * 1.4426950408889634, jnp.int32))
+    scalars = jnp.concatenate(scalar_parts)
     in_specs = [
-        pl.BlockSpec((1, bq, hd), lambda i, j, k, *_: (i, k, j)),
+        q_spec,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     args = [scalars, qt, cache]
-    if slopes is not None:
-        in_specs.append(pl.BlockSpec((1, 1), lambda i, j, k, *_: (j, 0)))
-        # fold log2(e) so the bias lives in the kernel's exp2 domain
-        args.append(jnp.reshape(slopes, (n_q, 1)).astype(jnp.float32)
-                    * 1.4426950408889634)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_q, qt.shape[1] // bq),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bq, hd),
-                               lambda i, j, k, *_: (i, k, j)),
+        out_specs=pl.BlockSpec(
+            (1, bq, hd),
+            (lambda i, j, k, *_: (i, k, j)) if lane_cols
+            else (lambda i, j, k, *_: (i * n_q + j, k, 0))),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, 2, block_t, hd), cache.dtype),
+            pltpu.VMEM((nbuf, 2,
+                        block_t // 2 if paired else block_t,
+                        2 * hd if paired else hd), cache.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
@@ -661,6 +783,7 @@ def flash_prefill_stacked(
             _stacked_prefill_kernel, block_t=block_t, block_q=bq,
             scale=1.0 / (hd ** 0.5), nbuf=nbuf,
             has_bias=slopes is not None, fixed_max=fixed_max,
+            paired=paired,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
@@ -670,7 +793,10 @@ def flash_prefill_stacked(
         ),
         interpret=interpret,
     )(*args)
-    return out[:, :s] if s_pad else out
+    if lane_cols:
+        return out[:, :s] if s_pad else out
+    out = out.reshape(b, n_q, s + s_pad, hd)[:, :, :s]
+    return jnp.swapaxes(out, 1, 2).reshape(b, s, n_q * hd)
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
