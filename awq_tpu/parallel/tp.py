@@ -177,17 +177,26 @@ def tp_forward(
 
     slopes, sspec = _alibi_operand(cfg)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(pspecs, P("dp", None), cspecs, P(), sspec),
-        out_specs=(P("dp", None, "tp"), cspecs),
-        check_vma=False,
-    )
-    def run(params, tokens, cache, start_pos, slopes):
-        return forward(params, lcfg, tokens, cache, start_pos,
-                       last_only=last_only, tp_axis="tp",
-                       alibi_slopes=slopes)
+    key = ("forward", cfg, mesh, last_only, _specs_key(pspecs),
+           _specs_key(cspecs), sspec)
+    run = _STEP_CACHE.get(key)
+    if run is None:
+        # jax.jit on top: an eager shard_map re-traces its body on
+        # EVERY call (seconds for a 32-layer model) — jit caches the
+        # trace on this memoized function object
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(pspecs, P("dp", None), cspecs, P(), sspec),
+            out_specs=(P("dp", None, "tp"), cspecs),
+            check_vma=False,
+        )
+        def run(params, tokens, cache, start_pos, slopes):
+            return forward(params, lcfg, tokens, cache, start_pos,
+                           last_only=last_only, tp_axis="tp",
+                           alibi_slopes=slopes)
 
+        _STEP_CACHE[key] = run
     return run(params, tokens, cache, start_pos, slopes)
 
 
@@ -215,20 +224,27 @@ def tp_decode_scan(
 
     slopes, sspec = _alibi_operand(cfg)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(pspecs, cspecs, P("dp"), P(), P(), P(), P("dp", None),
-                  sspec),
-        out_specs=(P("dp", None), P("dp", None), cspecs),
-        check_vma=False,
-    )
-    def run(params, cache, first, start_pos, key, stop, seen, slopes):
-        return decode_scan(
-            params, lcfg, cache, first, start_pos, key, stop, seen,
-            gen, num_steps, cfg.vocab_size, tp_axis="tp",
-            alibi_slopes=slopes,
+    memo_key = ("decode_scan", cfg, mesh, gen, num_steps,
+                _specs_key(pspecs), _specs_key(cspecs), sspec)
+    run = _STEP_CACHE.get(memo_key)
+    if run is None:
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(pspecs, cspecs, P("dp"), P(), P(), P(),
+                      P("dp", None), sspec),
+            out_specs=(P("dp", None), P("dp", None), cspecs),
+            check_vma=False,
         )
+        def run(params, cache, first, start_pos, key, stop, seen,
+                slopes):
+            return decode_scan(
+                params, lcfg, cache, first, start_pos, key, stop, seen,
+                gen, num_steps, cfg.vocab_size, tp_axis="tp",
+                alibi_slopes=slopes,
+            )
 
+        _STEP_CACHE[memo_key] = run
     return run(params, cache, first_token, start_pos, key, stop_ids,
                seen0, slopes)
 
@@ -409,6 +425,13 @@ def tp_prefill_sp(
     max_t = cache.shape[4]
     s_loc = s // tp
 
+    memo_key = ("prefill_sp", cfg, mesh, s, max_t, last_only,
+                _specs_key(pspecs), _specs_key(cspecs))
+    cached = _STEP_CACHE.get(memo_key)
+    if cached is not None:
+        return cached(params, tokens, cache, start_pos)
+
+    @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(pspecs, P("dp", None), cspecs, P()),
@@ -520,4 +543,5 @@ def tp_prefill_sp(
             h = jax.lax.all_gather(h, "tp", axis=1, tiled=True)
         return _head_logits(params, h, dt), cache
 
+    _STEP_CACHE[memo_key] = run
     return run(params, tokens, cache, start_pos)
