@@ -100,21 +100,6 @@ def main(S=256):
         print(f"w8 matmul chain m={m}: {mm_w8[m]:.2f} ms "
               f"({tf:.0f} TFLOP/s)", flush=True)
 
-    def mm_chain_bf(x):
-        def body(xc, idx):
-            a = qlinear_apply_stacked(la["wqkv"], idx, xc)
-            o = qlinear_apply_stacked(la["wo"], idx, a[:, :4096])
-            g = qlinear_apply_stacked(la["wgateup"], idx, xc + o)
-            d = qlinear_apply_stacked(la["down"], idx, g[:, :11008])
-            return (xc + d).astype(xc.dtype), None
-
-        x, _ = jax.lax.scan(body, x, jnp.arange(32))
-        return x[:1, :8]
-
-    x0 = jnp.ones((S, 4096), jnp.bfloat16) * 0.01
-    mm_bf = timeit(jax.jit(mm_chain_bf), x0)
-    print(f"bf16 matmul chain m={S}: {mm_bf:.2f} ms", flush=True)
-
     # ---- attn chain -------------------------------------------------------
     from awq_tpu.ops.decode_attn import flash_prefill_stacked
 
