@@ -272,7 +272,7 @@ def fuse_linears(params: Params, cfg: ModelConfig,
             block_n //= 2
         for name, p in list(layers.items()):
             if isinstance(p, QLinear):
-                if p.out_features % 128:
+                if p.out_features % 128 and p.out_features > 128:
                     # falcon-7b-class shapes (71x64 heads, 4544 hidden):
                     # the 128-aligned OC prefix tiles normally; the
                     # sub-128 tail splits off at LAYOUT time as a small
@@ -530,22 +530,30 @@ def _layer_forward(
     b, s, _ = h.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
+    def la(name, xx):
+        out = linear_apply(lp[name], xx)
+        rem = lp.get(name + "_rem")   # fuse_linears' OC-remainder split
+        if rem is not None:
+            out = jnp.concatenate(
+                [out, linear_apply(rem, xx).astype(out.dtype)], axis=-1)
+        return out
+
     x = _norm(cfg, h, lp["ln1"], lp.get("ln1_b"))
     if "wqkv" in lp:
-        qkv = linear_apply(lp["wqkv"], x)
+        qkv = la("wqkv", x)
         q, k, v = jnp.split(qkv, [nq * hd, (nq + nkv) * hd], axis=-1)
         q = q.reshape(b, s, nq, hd)
         k = k.reshape(b, s, nkv, hd)
         v = v.reshape(b, s, nkv, hd)
     else:
-        q = linear_apply(lp["wq"], x).reshape(b, s, nq, hd)
-        k = linear_apply(lp["wk"], x).reshape(b, s, nkv, hd)
-        v = linear_apply(lp["wv"], x).reshape(b, s, nkv, hd)
+        q = la("wq", x).reshape(b, s, nq, hd)
+        k = la("wk", x).reshape(b, s, nkv, hd)
+        v = la("wv", x).reshape(b, s, nkv, hd)
     if cfg.pos_embed == "rope":
         q, k = apply_rope(q, k, cos, sin, positions)
     k_cache, v_cache = update_kv_cache(kv[0], kv[1], k, v, start_pos)
     attn = attention(q, k_cache, v_cache, start_pos, bias=attn_bias)
-    attn_out = linear_apply(lp["wo"], attn)
+    attn_out = la("wo", attn)
 
     if cfg.parallel_block:
         # falcon/neox: both branches read (pre-)norms of the SAME input and
@@ -555,10 +563,17 @@ def _layer_forward(
         h = h + attn_out
         xm = _norm(cfg, h, lp["ln2"], lp.get("ln2_b"))
     if "wgateup" in lp:
-        gu = linear_apply(lp["wgateup"], xm)
+        gu = la("wgateup", xm)
         g, u = jnp.split(gu, 2, axis=-1)
         hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
-        m = linear_apply(lp["down"], hm)
+        m = la("down", hm)
+    elif "up_rem" in lp or "down_rem" in lp:
+        # OC-remainder split layouts (falcon-7b-class): apply via la()
+        hm = la("up", xm)
+        hm = jax.nn.gelu(hm.astype(jnp.float32),
+                         approximate=(cfg.act == "gelu_tanh")
+                         ).astype(xm.dtype)
+        m = la("down", hm)
     elif cfg.act == "silu":
         m = mlp_swiglu(lp["gate"], lp["up"], lp["down"], xm)
     else:

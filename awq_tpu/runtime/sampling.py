@@ -8,6 +8,7 @@ categorical sampling.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -85,6 +86,7 @@ def process_logits(
     return jnp.where(proc < thresh, -jnp.inf, proc)
 
 
+@jax.jit
 def sample_logits_batched(
     logits: jax.Array,             # [B, V] f32
     key: jax.Array,
@@ -174,6 +176,7 @@ def spec_accept_sample(
     return emit, m + 1
 
 
+@functools.partial(jax.jit, static_argnames=("gen",))
 def sample_logits(
     logits: jax.Array,             # [B, V]
     key: jax.Array,
