@@ -92,9 +92,16 @@ def pytest_runtest_call(item):
     if not (_TEST_TIMEOUT and hasattr(signal, "SIGALRM")):
         return (yield)
 
+    # @pytest.mark.timeout_s(N) overrides for legitimately long tests
+    # (the 70B-geometry rehearsal compiles ~10 min on this 1-core VM
+    # and slower still under a loaded 4-worker suite)
+    mark = item.get_closest_marker("timeout_s")
+    limit = int(mark.args[0]) if mark and mark.args else _TEST_TIMEOUT
+
     def _timeout(signum, frame):
         raise TimeoutError(
-            f"test exceeded AWQ_TPU_TEST_TIMEOUT={_TEST_TIMEOUT}s")
+            f"test exceeded its {limit}s timeout "
+            "(AWQ_TPU_TEST_TIMEOUT / @pytest.mark.timeout_s)")
 
     # hard backstop at 2x: SIGALRM cannot interrupt a hung C-level XLA
     # compile — faulthandler dumps every thread's traceback and KILLS
@@ -102,9 +109,9 @@ def pytest_runtest_call(item):
     # instead of stalling the whole run
     import faulthandler
 
-    faulthandler.dump_traceback_later(_TEST_TIMEOUT * 2, exit=True)
+    faulthandler.dump_traceback_later(limit * 2, exit=True)
     old = signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(_TEST_TIMEOUT)
+    signal.alarm(limit)
     try:
         return (yield)
     finally:

@@ -15,7 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.heavy
+# ~10 min of XLA:CPU compiles solo on this 1-core VM, slower under a
+# loaded 4-worker suite — needs more than the default 900 s alarm
+pytestmark = [pytest.mark.heavy, pytest.mark.timeout_s(2400)]
 
 from awq_tpu.config import GenConfig, ModelConfig, QuantConfig
 from awq_tpu.models import init_kv_cache
