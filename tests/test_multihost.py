@@ -30,8 +30,12 @@ def _free_port() -> int:
 def _run_pair():
     port = _free_port()
     coord = f"127.0.0.1:{port}"
+    # drop the shared compilation cache too: a machine-feature-mismatched
+    # AOT entry (written by a TPU-attached process) makes XLA:CPU refuse
+    # to load and can SIGILL (see conftest.py's cache-dir note)
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "JAX_COMPILATION_CACHE_DIR")}
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, coord, "2", str(i)],
