@@ -61,7 +61,7 @@ GEOMETRIES: Dict[str, dict] = {
         arch="mpt", vocab_size=50432, hidden_size=4096,
         intermediate_size=16384, num_layers=32, num_heads=32,
         num_kv_heads=32, head_dim=128, max_position_embeddings=2048,
-        norm="layernorm", act="gelu", pos_embed="alibi",
+        norm="layernorm", norm_bias=False, act="gelu", pos_embed="alibi",
     ),
     # 70B-class geometries: don't fit one v5e chip even at W4 (~35 GB
     # packed) — these are the --mesh / --mode scaling targets (the

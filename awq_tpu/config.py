@@ -74,6 +74,7 @@ class ModelConfig:
     attn_bias: bool = False         # opt/bigcode: bias on all attn projs
     mlp_bias: bool = False
     norm: str = "rmsnorm"           # rmsnorm | layernorm
+    norm_bias: bool = True          # layernorm beta (mpt no_bias: False)
     act: str = "silu"               # silu (swiglu mlp) | gelu (plain mlp)
     pos_embed: str = "rope"         # rope | learned | alibi | none
     do_layer_norm_before: bool = True  # opt pre/post-LN variant
@@ -255,6 +256,7 @@ def model_config_from_hf(hf: Mapping[str, Any]) -> ModelConfig:
             head_dim=hidden // hf["n_heads"],
             max_position_embeddings=_get(hf, "max_seq_len", default=2048),
             norm="layernorm",
+            norm_bias=not _get(hf, "no_bias", default=True),
             act="gelu",
             pos_embed="alibi",
             tie_word_embeddings=True,

@@ -81,7 +81,7 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> Params
         layers["ln2"] = jnp.ones((L, h), dt)
     if cfg.act == "silu":
         layers["gate"] = lin(ks[4], h, i, cfg.mlp_bias)
-    if cfg.norm == "layernorm":
+    if cfg.norm == "layernorm" and cfg.norm_bias:
         layers["ln1_b"] = jnp.zeros((L, h), dt)
         if not cfg.single_ln:
             layers["ln2_b"] = jnp.zeros((L, h), dt)
@@ -90,7 +90,7 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> Params
         "layers": layers,
         "norm": jnp.ones((h,), dt),
     }
-    if cfg.norm == "layernorm":
+    if cfg.norm == "layernorm" and cfg.norm_bias:
         params["norm_b"] = jnp.zeros((h,), dt)
     if cfg.embed_ln:
         params["embed_ln_w"] = jnp.ones((h,), dt)
@@ -678,9 +678,10 @@ def forward(
     mega_logits = None
     # the megakernel fuses ALL layers into one launch, so per-layer psums
     # cannot be inserted — incompatible with Megatron TP by construction
-    if (use_flash and b == 1 and cfg.pos_embed == "rope"
+    if (use_flash and b == 1 and cfg.pos_embed in ("rope", "alibi")
             and tp_axis is None
-            and jax.default_backend() == "tpu"):
+            and (jax.default_backend() == "tpu"
+                 or _os.environ.get("AWQ_TPU_FORCE_MEGAKERNEL") == "1")):
         from awq_tpu.ops.megakernel import megakernel_supported
 
         use_mega = (
@@ -728,19 +729,23 @@ def forward(
         mhead = params.get("lm_head")
         if not (isinstance(mhead, _QL0) and mhead.qweight.ndim == 4
                 and mhead.folded and mhead.bias is None
-                and mhead.tiled_bn <= 512 and cfg.norm == "rmsnorm"
+                and mhead.tiled_bn <= 512
+                and params.get("norm_b") is None
                 # the head phase runs in the same unpack mode as the body
                 and mhead.dense3 == la["wqkv"].dense3):
             mhead = None
 
         res = w4a16_llama_token_step(
-            h[:, 0], la["wqkv"], la["wo"], la["wgateup"], la["down"],
+            h[:, 0], la["wqkv"], la["wo"],
+            la["wgateup"] if "wgateup" in la else la["up"], la["down"],
             la["ln1"], la["ln2"], cos_row, sin_row,
             cache.data if is_q8 else cache, start_pos,
             nq=cfg.num_heads, nkv=cfg.num_kv_heads, eps=cfg.rms_eps,
             cache_scales=cache.scales if is_q8 else None,
             whead=mhead,
             norm_w=params["norm"] if mhead is not None else None,
+            norm=cfg.norm, act=cfg.act, pos_embed=cfg.pos_embed,
+            interpret=jax.default_backend() != "tpu",
         )
         if mhead is not None:
             hn, ks_new, vs_new, mega_logits = res

@@ -317,6 +317,30 @@ def _rms_rows(x_rows, g_rows, eps):
     return xf * jax.lax.rsqrt(ms + eps) * g_rows.astype(jnp.float32)
 
 
+def _norm_rows(x_rows, g_rows, eps, kind="rmsnorm"):
+    """rmsnorm or (weight-only) layernorm over the whole [ngh, 128]
+    residual rows — one token, so the mean/variance span all of H
+    (mpt-class models run bias-free LayerNorm; bloom-class LN biases are
+    not megakernel-eligible)."""
+    if kind == "rmsnorm":
+        return _rms_rows(x_rows, g_rows, eps)
+    xf = x_rows[:, :].astype(jnp.float32)
+    xf = xf - jnp.mean(xf)
+    ms = jnp.mean(xf * xf)
+    return xf * jax.lax.rsqrt(ms + eps) * g_rows.astype(jnp.float32)
+
+
+def _alibi_chunk_slopes(c, hc, grp, nq):
+    """[hc, grp, 1] ALiBi slopes for chunk ``c``'s q heads, computed
+    in-kernel from the head index (nq must be a power of two — the
+    closest-power-of-2 extension would need a host-side table):
+    slope_h = 2^(-8 (h+1) / nq), matching models/layers.alibi_slopes."""
+    hidx = (jax.lax.broadcasted_iota(jnp.int32, (hc, grp, 1), 0) * grp
+            + jax.lax.broadcasted_iota(jnp.int32, (hc, grp, 1), 1)
+            + c * hc * grp).astype(jnp.float32)   # int iota (Mosaic)
+    return jnp.exp2(-(8.0 / nq) * (hidx + 1.0))
+
+
 def _rope_rows(x, cos, sin):
     """x [heads, 128] rows, cos/sin [1, 128] (HF rotate_half)."""
     half = x.shape[-1] // 2
@@ -415,8 +439,8 @@ def _attn_phases(
     run_phase = _make_phase_runner(layer, base2, phases, wbuf, wsem, p_s,
                                    dims, unpack, tail_dma)
 
-    # ---- phase 1: rmsnorm + fused QKV matmul --------------------------------
-    xn = _rms_rows(h_rows, ln1_row, eps)
+    # ---- phase 1: norm + fused QKV matmul -----------------------------------
+    xn = _norm_rows(h_rows, ln1_row, eps, d.get("norm", "rmsnorm"))
     xq_s[:, :] = xn
     xsum_s[0:1, :ngh] = _row_sums(xn, ngh)
     run_phase(0, xq_s, xsum_s[0:1, :ngh],
@@ -426,10 +450,14 @@ def _attn_phases(
 
     # ---- phase 2: rope + flash attention over the cache ---------------------
     scale = 1.0 / (hd ** 0.5)
-    cos = cs_ref[0][None, :]
-    sin = cs_ref[1][None, :]
-    q = _rope_rows(qkv_s[:nq, :], cos, sin)           # [nq, hd] f32
-    k = _rope_rows(qkv_s[nq:nq + nkv, :], cos, sin)
+    if d.get("rope", True):
+        cos = cs_ref[0][None, :]
+        sin = cs_ref[1][None, :]
+        q = _rope_rows(qkv_s[:nq, :], cos, sin)       # [nq, hd] f32
+        k = _rope_rows(qkv_s[nq:nq + nkv, :], cos, sin)
+    else:                                             # alibi archs (mpt)
+        q = qkv_s[:nq, :]
+        k = qkv_s[nq:nq + nkv, :]
     v = qkv_s[nq + nkv:nq + 2 * nkv, :]
     kv_store(k, v)
     qs = (q * scale).reshape(nkv, grp, hd)
@@ -469,6 +497,8 @@ def _attn_phases(
             start_blk(c, 0, 0)
 
         qc = qs[c * hc:(c + 1) * hc]                   # [hc, grp, hd]
+        sl3 = (_alibi_chunk_slopes(c, hc, grp, nq)
+               if d.get("alibi") else None)
 
         def blk_body(i, carry):
             m, l, acc = carry
@@ -492,6 +522,8 @@ def _attn_phases(
             )                                          # [hc, grp, bt]
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) \
                 + i * bt
+            if sl3 is not None:
+                s = s + sl3 * col.astype(jnp.float32)
             s = jnp.where(col < length, s, -jnp.inf)
             m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
             alpha = jnp.exp(m - m_new)
@@ -520,6 +552,8 @@ def _attn_phases(
         kc = k[c * hc:(c + 1) * hc]
         vc = v[c * hc:(c + 1) * hc]
         s_c = jnp.sum(qc * kc[:, None, :], axis=2, keepdims=True)
+        if sl3 is not None:
+            s_c = s_c + sl3 * length.astype(jnp.float32)
         m_new = jnp.maximum(m, s_c)
         alpha = jnp.exp(m - m_new)
         p_c = jnp.exp(s_c - m_new)
@@ -557,18 +591,37 @@ def _mlp_phases(
     run_phase = _make_phase_runner(layer, base2, phases, wbuf, wsem, p_s,
                                    dims, unpack, tail_dma)
 
-    # ---- phase 4: norm2 + gate/up --------------------------------------------
-    xm = _rms_rows(h1_rows, ln2_row, d["eps"])
+    # ---- phase 4: norm2 + gate/up (or plain up) ------------------------------
+    xm = _norm_rows(h1_rows, ln2_row, d["eps"], d.get("norm", "rmsnorm"))
     xq_s[:, :] = xm                                   # reuse xq as xm
     xsum_s[2:3, :ngh] = _row_sums(xm, ngh)
     run_phase(0, xq_s, xsum_s[2:3, :ngh],
               lambda acc, j: _store_block(gu_s, acc, j, d["bng"]))
 
-    # ---- phase 5: SwiGLU + down ----------------------------------------------
+    # ---- phase 5: SwiGLU (or GELU) + down ------------------------------------
     ir = ngi            # intermediate rows = I/128
-    gate = gu_s[:ir, :]
-    up = gu_s[ir:2 * ir, :]
-    hm = gate * jax.lax.logistic(gate) * up
+    if d.get("gated", True):
+        gate = gu_s[:ir, :]
+        up = gu_s[ir:2 * ir, :]
+        hm = gate * jax.lax.logistic(gate) * up
+    elif d.get("act") == "gelu":
+        # erf GELU (HF MptMLP runs approximate="none"); Mosaic has no
+        # erf primitive, so use Abramowitz-Stegun 7.1.26 (max abs error
+        # 1.5e-7 — far below the bf16 activation noise floor)
+        u = gu_s[:ir, :]
+        x = u * 0.7071067811865476
+        sx = jnp.sign(x)
+        ax = jnp.abs(x)
+        t = 1.0 / (1.0 + 0.3275911 * ax)
+        poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+                 - 0.284496736) * t + 0.254829592) * t
+        erf = sx * (1.0 - poly * jnp.exp(-ax * ax))
+        hm = 0.5 * u * (1.0 + erf)
+    else:
+        # tanh-GELU (bloom-class plain MLP)
+        u = gu_s[:ir, :]
+        hm = 0.5 * u * (1.0 + jnp.tanh(
+            0.7978845608028654 * (u + 0.044715 * u * u * u)))
     hm_s[:, :] = hm
     xsum_s[3:4, :ngi] = _row_sums(hm, ngi)
     # accumulate in f32 scratch; a partial bf16 store at a dynamic row
@@ -723,10 +776,11 @@ def _token_kernel(
     out_ref[:, :] = hbuf[:, :].astype(out_ref.dtype)
 
     if head:
-        # ---- final rmsnorm + quantized lm_head phase ---------------------
+        # ---- final norm + quantized lm_head phase ------------------------
         ngh = d["ngh"]
         bnh, NBH, rh = d["bnh"], d["NBH"], d["rh"]
-        xf = _rms_rows(hbuf, nw_ref[:, :], d["eps"])
+        xf = _norm_rows(hbuf, nw_ref[:, :], d["eps"],
+                        d.get("norm", "rmsnorm"))
         xq_s[:, :] = xf
         xsum_s[0:1, :ngh] = _row_sums(xf, ngh)
         p0 = jnp.asarray(n_layers * tot, jnp.int32)
@@ -759,12 +813,15 @@ def _token_kernel(
 
 
 def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
-              wdn: QLinear, cache, eps: float):
+              wdn: QLinear, cache, eps: float,
+              norm: str = "rmsnorm", gated: bool = True,
+              rope: bool = True, alibi: bool = False,
+              act: str = "silu"):
     nq, nkv, hd = cfg_like
     q8 = cache.dtype == jnp.int8
     H = nq * hd
     I2 = wgu.out_features
-    I = I2 // 2
+    I = I2 // 2 if gated else I2
     t = cache.shape[4]
     bt = 256
     hc = max(1, min(nkv, (512 * 1024) // (bt * hd * cache.dtype.itemsize)))
@@ -784,6 +841,7 @@ def _dims_for(cfg_like, wqkv: QLinear, wo: QLinear, wgu: QLinear,
         # SMALLER under TP where nq is the per-rank head count
         ngh=H // 128, ngi=I // 128, ngo=nq * hd // 128,
         bt=bt, hc=hc, T=t, q8=q8,
+        norm=norm, gated=gated, rope=rope, alibi=alibi, act=act,
     )
 
 
@@ -823,13 +881,30 @@ def _cost(ws, n_layers: int = 1):
 
 
 def megakernel_supported(cfg, layers, cache, slots: int = 1) -> bool:
-    """Static eligibility check (see module docstring)."""
-    if cfg.head_dim != 128 or cfg.act != "silu" or cfg.norm != "rmsnorm":
+    """Static eligibility check (see module docstring).
+
+    Two model shapes ride the kernel: the llama family
+    (rope + rmsnorm + SwiGLU) and — round 5 — the mpt class
+    (ALiBi + bias-free LayerNorm + tanh-GELU plain MLP, power-of-2
+    head count so the slopes compute in-kernel)."""
+    if cfg.head_dim != 128:
+        return False
+    llama_shape = (cfg.act == "silu" and cfg.norm == "rmsnorm"
+                   and cfg.pos_embed == "rope")
+    mpt_shape = (cfg.act in ("gelu", "gelu_tanh")
+                 and cfg.norm == "layernorm"
+                 and cfg.pos_embed == "alibi"
+                 and cfg.num_heads & (cfg.num_heads - 1) == 0
+                 and layers.get("ln1_b") is None
+                 and not cfg.embed_ln)
+    if not (llama_shape or mpt_shape):
         return False
     if cfg.parallel_block or cfg.rotary_pct != 1.0:
         return False
-    needed = ("wqkv", "wgateup", "wo", "down")
+    needed = ("wqkv", "wgateup" if llama_shape else "up", "wo", "down")
     if not all(n in layers for n in needed):
+        return False
+    if any(k.endswith("_rem") for k in layers):
         return False
     d3 = isinstance(layers.get("wqkv"), QLinear) and layers["wqkv"].dense3
     for n in needed:
@@ -967,7 +1042,8 @@ def w4a16_llama_layer_step(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nq", "nkv", "eps", "interpret", "unpack"))
+                   static_argnames=("nq", "nkv", "eps", "interpret",
+                                    "unpack", "norm", "act", "pos_embed"))
 def w4a16_llama_token_step(
     h: jax.Array,            # [1, H] bf16 residual input (post-embed)
     wqkv: QLinear, wo: QLinear, wgu: QLinear, wdn: QLinear,
@@ -984,6 +1060,9 @@ def w4a16_llama_token_step(
     cache_scales: jax.Array = None,   # [L, 2, 1, n_kv, T] f32 (int8 cache)
     whead: QLinear = None,            # folded stacked-of-1 lm_head
     norm_w: jax.Array = None,         # [H] final rmsnorm weight
+    norm: str = "rmsnorm",            # mpt-class: "layernorm" (no bias)
+    act: str = "silu",                # "gelu"/"gelu_tanh" = plain-up MLP
+    pos_embed: str = "rope",          # "alibi" = in-kernel slopes, no rope
 ):
     """Run ALL decoder layers for one token in one Pallas call. Returns
     ``(h_new [1, H], k_new [L, n_kv, hd], v_new [L, n_kv, hd])`` — the
@@ -1000,7 +1079,10 @@ def w4a16_llama_token_step(
     assert wqkv.folded and wo.folded and wgu.folded and wdn.folded
     if wqkv.dense3:
         unpack = "dense3"
-    dims = _dims_for((nq, nkv, hd), wqkv, wo, wgu, wdn, cache, eps)
+    dims = _dims_for((nq, nkv, hd), wqkv, wo, wgu, wdn, cache, eps,
+                     norm=norm, gated=act == "silu",
+                     rope=pos_embed == "rope",
+                     alibi=pos_embed == "alibi", act=act)
     dims["exact"] = bool(interpret)
     ngh = dims["ngh"]
 

@@ -84,6 +84,46 @@ def test_alibi_batched_decode_flash_parity(monkeypatch):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_mpt_megakernel_token_step_parity(monkeypatch):
+    """The mpt-class whole-token megakernel variant (bias-free
+    LayerNorm + in-kernel ALiBi slopes + exact-GELU plain MLP, round 5)
+    matches the XLA path in interpret mode — one launch per token for
+    mpt/bloom-shape models like llama's."""
+    from awq_tpu.config import QuantConfig
+    from awq_tpu.models.llama import fuse_linears, init_params, \
+        quantize_params
+    from awq_tpu.ops.megakernel import megakernel_supported
+
+    cfg = ModelConfig(
+        arch="mpt", vocab_size=256, hidden_size=512,
+        intermediate_size=1024, num_layers=2, num_heads=4, num_kv_heads=4,
+        head_dim=128, max_position_embeddings=256, dtype="float32",
+        norm="layernorm", norm_bias=False, act="gelu", pos_embed="alibi",
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(7)),
+                             QuantConfig(w_bit=4, group_size=128))
+    toks = jnp.asarray([[5, 9, 2, 7, 1, 4, 8, 3]], jnp.int32)
+    cache = init_kv_cache(cfg, 1, 256, jnp.float32)
+    _, cache = forward(params, cfg, toks, cache, jnp.int32(0))
+    ref, _ = forward(params, cfg, jnp.asarray([[6]], jnp.int32),
+                     jnp.array(cache), jnp.int32(8))
+
+    fused = fuse_linears({**params, "layers": dict(params["layers"])},
+                         cfg)
+    assert megakernel_supported(cfg, fused["layers"], cache)
+    monkeypatch.setenv("AWQ_TPU_FORCE_FLASH", "1")
+    monkeypatch.setenv("AWQ_TPU_FORCE_MEGAKERNEL", "1")
+    jax.clear_caches()
+    got, _ = forward(fused, cfg, jnp.asarray([[6]], jnp.int32),
+                     jnp.array(cache), jnp.int32(8))
+    # same tolerance class as the llama megakernel tests (the kernel
+    # rounds the residual stream to bf16 between layers by design)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+    # greedy argmax agreement is the semantic bar
+    assert int(jnp.argmax(got[0, -1])) == int(jnp.argmax(ref[0, -1]))
+
+
 def test_alibi_explicit_tp_parity():
     """ALiBi under explicit-shard TP (tp=2): per-rank slopes ride a
     P('tp') operand; tp_forward logits == single-device forward.
