@@ -568,11 +568,18 @@ def _layer_forward(
         hm = jax.nn.silu(g.astype(jnp.float32)).astype(xm.dtype) * u
         m = la("down", hm)
     elif "up_rem" in lp or "down_rem" in lp:
-        # OC-remainder split layouts (falcon-7b-class): apply via la()
+        # OC-remainder split layouts (falcon-7b-class): apply via la(),
+        # mirroring mlp_gelu's act dispatch AND the AWQ act_scale fold
         hm = la("up", xm)
-        hm = jax.nn.gelu(hm.astype(jnp.float32),
-                         approximate=(cfg.act == "gelu_tanh")
-                         ).astype(xm.dtype)
+        if cfg.act == "relu":
+            hm = jnp.maximum(hm, 0)
+        else:
+            hm = jax.nn.gelu(hm.astype(jnp.float32),
+                             approximate=(cfg.act == "gelu_tanh")
+                             ).astype(xm.dtype)
+        if lp.get("act_scale") is not None:
+            hm = (hm.astype(jnp.float32)
+                  / lp["act_scale"]).astype(hm.dtype)
         m = la("down", hm)
     elif cfg.act == "silu":
         m = mlp_swiglu(lp["gate"], lp["up"], lp["down"], xm)
@@ -664,11 +671,11 @@ def forward(
     flash_ok = (
         use_stacked
         and max_t % 256 == 0
-        # 64-lane rows (falcon/mpt/bloom head_dim 64) DMA and dot with
-        # padded lanes; decode attention is bandwidth-bound so the
-        # half-util dots cost nothing measurable (reference MMHA
-        # dispatches head dims 32..256)
-        and cfg.head_dim % 64 == 0
+        # hd 128-multiples tile directly; hd 64 (falcon-7b / small
+        # bloom) rides the kernels' PAIRED mode ([T/2, 128] cache view,
+        # two half-lane dots — the reference MMHA dispatches head dims
+        # 32..256). Other dims (e.g. 192) fall back to XLA attention.
+        and (cfg.head_dim % 128 == 0 or cfg.head_dim == 64)
         and (jax.default_backend() == "tpu" or _force_flash)
     )
     use_flash = s == 1 and flash_ok and not (is_q8 and slopes is not None)
@@ -1078,7 +1085,8 @@ def decode_step_batched(
     import os as _os0
 
     _force = _os0.environ.get("AWQ_TPU_FORCE_FLASH") == "1"
-    use_flash = ((on_tpu or _force) and max_t % 256 == 0 and hd % 64 == 0
+    use_flash = ((on_tpu or _force) and max_t % 256 == 0
+                 and (hd % 128 == 0 or hd == 64)
                  and (cfg.pos_embed in ("rope", "none", "learned")
                       or (cfg.pos_embed == "alibi" and not is_q8)))
     layers_all = params["layers"]
@@ -1157,7 +1165,10 @@ def decode_step_batched(
 
     def lin(name, idx, xx):
         p = layers_all[name]
-        if isinstance(p, QLinear) and on_tpu:
+        # _rem layouts must go through the stacked apply on every
+        # backend (the plain tree_map path would drop the tail columns)
+        if isinstance(p, QLinear) and (on_tpu
+                                       or name + "_rem" in layers_all):
             return _apply_rem(layers_all, name, idx, xx,
                               qlinear_apply_stacked(p, idx, xx))
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
@@ -1382,7 +1393,10 @@ def verify_step_batched(
 
     def lin(name, idx, xx):
         p = layers_all[name]
-        if isinstance(p, QLinear) and on_tpu:
+        # _rem layouts must go through the stacked apply on every
+        # backend (the plain tree_map path would drop the tail columns)
+        if isinstance(p, QLinear) and (on_tpu
+                                       or name + "_rem" in layers_all):
             return _apply_rem(layers_all, name, idx, xx,
                               qlinear_apply_stacked(p, idx, xx))
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)
@@ -1596,7 +1610,10 @@ def decode_step_paged(
 
     def lin(name, idx, xx):
         p = layers_all[name]
-        if isinstance(p, QLinear) and on_tpu:
+        # _rem layouts must go through the stacked apply on every
+        # backend (the plain tree_map path would drop the tail columns)
+        if isinstance(p, QLinear) and (on_tpu
+                                       or name + "_rem" in layers_all):
             return _apply_rem(layers_all, name, idx, xx,
                               qlinear_apply_stacked(p, idx, xx))
         lp1 = jax.tree_util.tree_map(lambda a: a[idx], p)

@@ -1423,32 +1423,17 @@ def qlinear_apply_stacked(ql: QLinear, layer_idx: jax.Array,
                 block_n=get_block_n(ql.in_features, ql.out_features,
                                     x2.shape[0]),
             )
-        elif oc_main == 0:
-            # narrower than one lane tile (a '_rem' tail from
-            # fuse_linears' layout-time split): XLA dequant matmul
+        else:
+            # OC without a 128-lane tile width. FAST split layouts come
+            # from fuse_linears (tiled main + '_rem' tail, done ONCE at
+            # layout time); this fallback serves '_rem' tails themselves
+            # and raw un-split stacked layouts. It slices ONE layer
+            # (never the full [L, ...] stack — that would copy every
+            # layer's codes per decode step) and dequants via XLA.
             out = w4a16_matmul_xla(
                 x2, ql.qweight[layer_idx], ql.scales[layer_idx],
                 ql.szeros[layer_idx], ql.group_size, dense3=ql.dense3,
             ).astype(x2.dtype)
-        else:
-            # OC with a sub-128 remainder (falcon-7b's 71x64 heads +
-            # 4544-wide hidden): the 128-aligned prefix rides the
-            # stacked kernel (OC slicing of the packed layout is free —
-            # OC is the lane axis), the tail columns dequant via XLA
-            out = jnp.concatenate([
-                w4a16_matmul_stacked(
-                    x2, ql.qweight[..., :oc_main],
-                    ql.scales[..., :oc_main], ql.szeros[..., :oc_main],
-                    layer_idx, ql.group_size,
-                    block_n=get_block_n(ql.in_features, oc_main,
-                                        x2.shape[0]),
-                ),
-                w4a16_matmul_xla(
-                    x2, ql.qweight[layer_idx, :, oc_main:],
-                    ql.scales[layer_idx, :, oc_main:],
-                    ql.szeros[layer_idx, :, oc_main:], ql.group_size,
-                ).astype(x2.dtype),
-            ], axis=-1)
     else:
         qw = ql.qweight[layer_idx]
         if ql.tiled_bn:
