@@ -129,7 +129,12 @@ def test_tpmega_decode_parity_qwen2_bias(monkeypatch):
         la[n] = dataclasses.replace(
             ql,
             bias=jax.random.normal(
-                jax.random.PRNGKey(hash(n) % 100), ql.bias.shape,
+                # NOT hash(n): python string hashing is salted per
+                # process, so the drawn biases differed between runs and
+                # occasionally produced near-tie logits that flipped the
+                # greedy-token identity assert (flaked once in-suite)
+                jax.random.PRNGKey({"wq": 1, "wk": 2, "wv": 3}[n]),
+                ql.bias.shape,
                 jnp.float32) * 0.1)
     params = dict(params, layers=la)
     cache = init_kv_cache(cfg, 2, 256, jnp.float32)
